@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() action) after a warm-up pass of
+the session; per-query wall time includes plan + execution, not session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_left_join_dim",
+    "j2_inner_join_broadcast",
+    "j4_scalar_subquery_latest",
+    "a2_latest_per_key",
+    "a5_summary_stats",
+    "a6_count_distinct",
+    "w1_ranking",
+    "w2_running_sum",
+    "o3_dedup_keep_last",
+    "o5_top_k",
+    "r1_melt_unpivot",
+    "e1_tumbling_window",
+    "e3_session_window",
+    "d1_exact_dedup",
+    "d2_fingerprints",
+    "d3_minhash_signatures",
+    "d4_lsh_jaccard_pairs",
+    "d5_simhash",
+    "s1_cosine_topk",
+    "s3_lsh_bucket_stats",
+    "tx1_token_stats",
+    "tx2_quality_score",
+    "tx3_language_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from nyc_open_data_pipeline_spark.plans import all_queries
+    from nyc_open_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = all_queries()
+
+    # JVM/codegen warm-up on the smallest corpus
+    specs["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"total wall-clock of {len(timings)} headline queries",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

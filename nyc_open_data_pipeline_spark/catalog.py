@@ -1,0 +1,80 @@
+"""Table catalog over parquet directories.
+
+The reference keeps a YAML registry of datasets and registers each as a
+Postgres table (reference datasets/registry.yaml:1-55,
+src/ingestion/storage.py:73-183). Here the catalog is a thin layer over the
+Spark catalog: a directory of ``<name>.parquet`` files (or partitioned
+parquet dirs) becomes a set of named temp views, and all engine queries go
+through ``spark.table(name)`` / ``spark.sql``.
+
+At 100 TB the same interface points at partitioned table roots instead of
+single files; Catalyst partition pruning replaces the reference's indexes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver's synthetic corpus (TESTDATA.md) + any engine-produced tables.
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Resolve a table name to its parquet path under a scale-factor dir."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.exists(p):
+        return p
+    # partitioned-table layout: a directory named after the table
+    d = os.path.join(sf_dir, name)
+    if os.path.exists(d):
+        return d
+    raise FileNotFoundError(f"table {name!r} not found under {sf_dir}")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
+    (spark.sql.legacy.parquet.nanosAsLong); we restore TimestampType here."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        # integer div: double division would lose precision above 2^53 ns
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register every table under ``sf_dir`` as a temp view; return handles."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,114 @@
+"""Vector / embedding functions: cosine similarity and ANN search.
+
+Two execution paths, per the engine's scale policy:
+
+- **JVM expression path** (``dot``, ``cosine``): F.zip_with + F.aggregate —
+  codegen'd, no Python, exact left-to-right fold (deterministic).
+- **Arrow/NumPy path** (``cosine_topk_pandas``): for the 100 TB shape —
+  broadcast the query matrix, one BLAS GEMM per Arrow batch via
+  ``mapInPandas``. ~50-100x the throughput of per-row expression eval for
+  wide vectors; this is the production ANN scan.
+
+The LSH variant (``hyperplane_bucket``) gives the sub-linear candidate
+path: 2^nbits buckets, candidates only within a bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (double fold, in order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# Deterministic ±1 hyperplanes (LCG-generated, fixed seed) for sign-LSH.
+def hyperplanes(dim: int, nbits: int = 8) -> list[list[float]]:
+    state = 0x2545F4914F6CDD1D
+    planes = []
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(1.0 if (state >> 32) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(dot(v, plane_i)). Same construction
+    is SQL-expressible, so DuckDB oracles can reproduce it exactly."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def cosine_topk_pandas(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path brute-force ANN: mapInPandas + NumPy GEMM per Arrow batch,
+    then a global top-k (TakeOrderedAndProject-style via window).
+
+    The query matrix rides to every task via closure broadcast; per batch of
+    B corpus vectors and Q queries the scoring is one (Q x D)·(D x B) GEMM.
+    Partial top-k per batch bounds the shuffle to Q*k rows per partition.
+    """
+    import numpy as np
+
+    qids = [q[0] for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    spark = embeddings.sparkSession
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = (qmat @ mat.T) / (qnorm @ nrm.T)  # Q x B
+            ids = pdf[id_col].to_numpy()
+            out = []
+            kk = min(k + 1, scores.shape[1])
+            for qi, qid in enumerate(qids):
+                top = np.argpartition(-scores[qi], kk - 1)[:kk]
+                for j in top:
+                    out.append((qid, int(ids[j]), float(scores[qi, j])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+
+    schema = "query_id long, neighbor_id long, score double"
+    scored = embeddings.select(id_col, vec_col).mapInPandas(score_batches, schema=schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,249 @@
+"""Deduplication operators.
+
+Covers the reference's keep-last subset dedup
+(food_supply_gap/transformer.py:75 ``drop_duplicates(subset=..., keep='last')``)
+plus the large-scale text-dedup family (exact hash, canonical fingerprint,
+MinHash-LSH, SimHash, n-gram Jaccard) a training-data pipeline needs.
+
+Scale design: every dedup here is a single shuffle on an explicit key
+(hash, band-bucket, or user key). Nothing collects to the driver; pairwise
+comparisons only happen inside LSH buckets, never across the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_last(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Keep the LAST row per key under an explicit ordering.
+
+    Spark's ``dropDuplicates`` keeps an arbitrary row per key (partition- and
+    scheduling-dependent), so reproducing pandas ``keep='last'`` requires an
+    explicit arrival-order column set — SURVEY §7.4 hard-part #1.
+    One shuffle on ``keys``; at 100 TB prefer more, smaller partitions via
+    ``spark.sql.shuffle.partitions`` and let AQE coalesce.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_by])
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Keep the FIRST row per key under an explicit ordering."""
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order_by])
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# Text dedup family (training-data pipeline extensions)
+# ---------------------------------------------------------------------------
+
+_WS = r"\s+"
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical text form: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), _WS, " "))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text md5: returns (content_hash, keep_id,
+    n_copies). Hash-groupBy — one shuffle on the 128-bit hash, no skew
+    (cryptographic hash distributes uniformly)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted set of
+    normalized tokens (key-collision / "fingerprint" method). Catches
+    shuffled-word duplicates that exact hashing misses."""
+    toks = F.array_distinct(F.split(normalized_text(col), " "))
+    return F.md5(F.array_join(F.array_sort(toks), " "))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set of a document (distinct, order-preserving
+    construction then dedup). Built from slices of the token array —
+    pure JVM expressions, no UDF."""
+    toks = F.split(normalized_text(col), " ")
+    num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), num - F.lit(1))
+    gram = lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " ")  # noqa: E731
+    return F.when(num > 0, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _hash64(col: Column) -> Column:
+    """Portable 64-bit-ish hash: first 15 hex digits of md5 as a bigint.
+    Engine-agnostic (md5 is standard), unlike Spark's murmur F.hash —
+    chosen so DuckDB oracles can reproduce it exactly."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# Fixed affine hash parameters for MinHash permutations (public textbook
+# construction: h_i(x) = (a_i * (x mod p) + b_i) mod p, p prime).
+# p = 2^31-1 keeps (x mod p) * a < 2^62, inside signed-64 range in BOTH
+# Spark (Java long) and DuckDB (BIGINT) — overflow-free cross-engine parity.
+MINHASH_P = 2147483647
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from a fixed LCG — reproducible
+    across runs without RNG at plan-build time."""
+    params = []
+    state = 0x5DEECE66D
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MINHASH_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: (id, sig: array<bigint>[num_hashes]).
+
+    Shingle -> portable 64-bit hash -> per-permutation min, all as JVM
+    expressions over the shingle array (F.transform + F.array_min) — no
+    Python in the hot path, no explode/shuffle: signatures are computed
+    in a single narrow stage.
+    """
+    sh = shingles(F.col(text_col), shingle_n).alias("sh")
+    base = df.select(F.col(id_col).alias("id"), sh)
+    hashed = base.select(
+        "id", F.transform(F.col("sh"), lambda s: _hash64(s)).alias("hv")
+    )
+    def _perm_fn(a: int, b: int):
+        # closure (NOT lambda default-args: extra params change the lambda's
+        # arity and break pyspark's higher-order-function binding)
+        return lambda h: (h % F.lit(MINHASH_P) * a + b) % F.lit(MINHASH_P)
+
+    mins = [
+        F.array_min(F.transform(F.col("hv"), _perm_fn(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    ]
+    return hashed.select("id", F.array(*mins).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
+
+    bands x rows layout (rows = num_hashes // bands); a pair is a candidate
+    if any band's row-slice matches exactly. Shuffle is on (band, band_key) —
+    bucket sizes are tiny for non-duplicate corpora, so the per-bucket
+    self-join never blows up; a popular-bucket cap would be added for
+    adversarial corpora at 100 TB.
+    Returns (id_a, id_b) with id_a < id_b, distinct.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", i * rows + 1, rows), lambda x: x.cast("string")
+                        ),
+                        "_",
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join shingle sets back and
+    compute |A∩B| / |A∪B| with array intrinsics. Broadcast-friendly when the
+    candidate set is small; otherwise two shuffles on id."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        candidate_pairs.join(a, candidate_pairs.id_a == F.col("a.id"))
+        .join(b, candidate_pairs.id_b == F.col("b.id"))
+        .select("id_a", "id_b", F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+def simhash64(col: Column, token_weight: Column | None = None) -> Column:
+    """64-bit SimHash over normalized tokens, as pure JVM expressions.
+
+    For each bit position, sum +1/-1 votes from each distinct token's md5-derived
+    bit; the sign forms the fingerprint bit. Near-duplicate docs differ in
+    few bits (compare with hamming distance via xor+bit_count).
+    """
+    toks = F.array_distinct(F.split(normalized_text(col), " "))
+    hashed = F.transform(toks, lambda s: _hash64(s))
+
+    def _vote_fn(i: int):
+        mask = 1 << i
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_votes = [
+        F.aggregate(hashed, F.lit(0), _vote_fn(i))
+        for i in range(63)  # 63 bits to stay in signed-long range
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,147 @@
+"""Event-time windowed aggregation over the ``events`` table (SURVEY §2.13).
+
+The reference has no streaming (SURVEY §2.13: batch CLI only); these queries
+add the tumbling/sliding/session window surface as batch queries with exact
+SQL oracles. The same ``F.window``/``F.session_window`` expressions run
+unchanged under ``readStream`` — see ``streaming/windows.py`` for the
+watermarked streaming variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_open_data_pipeline_spark.plans.common import dec, dsum, sql_dsum, t
+from nyc_open_data_pipeline_spark.plans.registry import register
+
+
+@register(
+    "e1_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events GROUP BY 1
+    """,
+    survey_ref="§2.13 extension (tumbling event-time window; SURVEY notes events table motivates it)",
+)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows. F.window buckets rows map-side; the agg is an
+    ordinary hash aggregate on window_start — partial-agg friendly at scale."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "e2_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - off) * 1800) * 1000000)
+               AS window_start,
+             value
+      FROM events, (SELECT UNNEST([0, 1]) AS off)
+    )
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum("value", "total_value")}
+    FROM assigned GROUP BY 1
+    """,
+    survey_ref="§2.13 extension (sliding window, 1h window / 30min slide)",
+)
+def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: each event lands in window_size/slide = 2 windows.
+    Spark's window() fans rows out map-side (no shuffle until the agg)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "e3_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "session_value")}
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+    survey_ref="§2.13 extension (session window, 30min gap; streaming/windows.py has the stateful variant)",
+)
+def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap. Spark merges
+    overlapping per-key sessions after a shuffle on user_id; the oracle is
+    the classic gaps-and-islands rewrite."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "e4_json_extract",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS prop_k
+    FROM events
+    """,
+    survey_ref="§1.2 extension (semi-structured props column; reference stores raw JSON rows pre-transform)",
+)
+def e4_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("long").alias("prop_k"),
+    )
+
+
+@register(
+    "e5_event_type_stats",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum("value", "total_value")},
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="§2.6 A4/A5 over the event stream shape",
+)
+def e5_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value", "total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )

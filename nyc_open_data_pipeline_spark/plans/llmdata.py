@@ -1,0 +1,418 @@
+"""Training-data pipeline operators over ``documents`` / ``embeddings``.
+
+The reference pipeline has no text/vector surface; these are the engine's
+100 TB-scale extensions (driver north-star BASELINE.json:6): exact +
+fingerprint + MinHash-LSH + SimHash dedup, n-gram Jaccard, cosine top-k,
+sign-LSH ANN bucketing, token/quality/language text analytics.
+
+Every query has a DuckDB oracle that reproduces the *same hash constructions*
+(md5-derived 64-bit hashes, affine MinHash permutations mod 2^31-1, ±1
+hyperplanes) — full cross-engine value parity, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_open_data_pipeline_spark.functions import text as TXT
+from nyc_open_data_pipeline_spark.functions import vectors as VEC
+from nyc_open_data_pipeline_spark.operators import dedup as DD
+from nyc_open_data_pipeline_spark.plans.common import t
+from nyc_open_data_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (mirror operators/dedup.py constructions)
+# ---------------------------------------------------------------------------
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_TOKENS = f"regexp_split_to_array({SQL_NORM}, ' ')"
+
+
+def sql_hash64(s: str) -> str:
+    return f"CAST(concat('0x', substr(md5({s}),1,15)) AS BIGINT)"
+
+
+P = DD.MINHASH_P
+PERMS = DD._perm_params(16)
+NBANDS, NROWS = 4, 4
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d1_exact_dedup",
+    oracle=f"""
+    SELECT md5({SQL_NORM}) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    survey_ref="extension: exact dedup (hash-groupBy) — driver north-star op #1",
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text md5. One shuffle on the hash; at
+    100 TB the hash-groupBy is skew-free by construction."""
+    return DD.exact_dup_groups(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "d2_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({SQL_TOKENS})), ' ')) AS set_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform({SQL_TOKENS}, s -> {sql_hash64('s')})),
+             (acc, h) -> (acc * 31 + h % {P}) % {P}
+           ) AS rolling_fp
+    FROM documents
+    """,
+    survey_ref="extension: document fingerprinting (set-hash + rolling hash)",
+)
+def d2_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fingerprints per doc: order-insensitive sorted-token-set md5 and
+    the order-sensitive Rabin-Karp rolling hash — both pure JVM expressions."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        DD.fingerprint(F.col("text")).alias("set_fp"),
+        TXT.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+def _sql_shingles(tk: str = SQL_TOKENS, n: int = 3) -> str:
+    return (
+        f"CASE WHEN len({tk}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({tk}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({tk}, i, i + {n - 1}), ' '))) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def _sql_minhash_sigs() -> str:
+    """CTE text computing per-doc MinHash signature columns mh_0..mh_15."""
+    mins = ",\n           ".join(
+        f"MIN(((h % {P}) * {a} + {b}) % {P}) AS mh_{i}" for i, (a, b) in enumerate(PERMS)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_sql_shingles('tk')} AS sh FROM toks),
+    hv AS (SELECT doc_id, unnest(list_transform(sh, s -> {sql_hash64('s')})) AS h FROM sh),
+    sigs AS (
+      SELECT doc_id,
+           {mins}
+      FROM hv GROUP BY doc_id
+    )"""
+
+
+@register(
+    "d3_minhash_signatures",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()}
+    SELECT doc_id,
+           concat_ws('_', {', '.join(f'mh_{i}' for i in range(16))}) AS sig
+    FROM sigs
+    """,
+    survey_ref="extension: MinHash signatures (shingle->hash->per-permutation min)",
+)
+def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signature, emitted as a joined string so the
+    cross-engine compare sees a scalar. Computed in a single narrow stage —
+    no explode, no shuffle (F.transform + F.array_min over the shingle array)."""
+    sig = DD.minhash_signatures(t(spark, sf_dir, "documents"), num_hashes=16)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.transform("sig", lambda x: x.cast("string")), "_").alias("sig"),
+    )
+
+
+@register(
+    "d4_lsh_jaccard_pairs",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * NROWS + r}" for r in range(NROWS))
+        + ") AS band_key FROM sigs"
+        for b in range(NBANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+    """,
+    survey_ref="extension: MinHash-LSH banding + exact n-gram Jaccard verify",
+)
+def d4_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via 4-band LSH, verified with exact shingle
+    Jaccard. The only pairwise work happens inside equal-band-key buckets —
+    sub-quadratic at 100 TB (plus a bucket-size cap for adversarial data)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=NBANDS)
+    scored = DD.jaccard_pairs(docs, pairs)
+    return scored.select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "d5_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({SQL_TOKENS}) AS tk FROM documents
+    ),
+    h AS (SELECT doc_id, unnest(list_transform(tk, s -> {sql_hash64('s')})) AS hv FROM toks),
+    bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN CAST(1 AS BIGINT) << b.bit ELSE 0 END AS bitval
+      FROM h, (SELECT unnest(generate_series(0, 62)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
+    """,
+    survey_ref="extension: SimHash fingerprint (63-bit sign-vote)",
+)
+def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash per document as one JVM expression tree (per-bit ±1
+    votes over token hashes). Near-dups then reduce to hamming64 <= k joins."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash64(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "s1_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    p AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS score
+      FROM n q, n b
+      WHERE q.vec_id < 5 AND b.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk,
+           round(score, 6) AS cos_sim
+    FROM p
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5
+    """,
+    survey_ref="extension: brute-force cosine top-k (ANN baseline)",
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for queries vec_id<5, JVM expression path
+    (zip_with/aggregate fold — deterministic order). The production-scale
+    variant is functions.vectors.cosine_topk_pandas (Arrow + GEMM)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("bv"))
+    joined = F.broadcast(q).crossJoin(b).filter(F.col("neighbor_id") != F.col("query_id"))
+    score = VEC.cosine(F.col("qv"), F.col("bv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("cos_sim"))
+    )
+
+
+_PLANES = VEC.hyperplanes(64, 8)
+
+
+def _sql_bucket() -> str:
+    terms = []
+    for i, p in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(x) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({SQL_VEC}, {arr}) > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "s2_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id, {_sql_bucket()} AS bucket FROM embeddings
+    """,
+    survey_ref="extension: sign-LSH bucketing (sub-linear ANN candidate path)",
+)
+def s2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit random-hyperplane bucket per vector. At scale, write bucketed
+    (DISTRIBUTE BY bucket) so ANN probes read one bucket's files only."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", VEC.hyperplane_bucket(F.col("embedding"), _PLANES).alias("bucket")
+    )
+
+
+@register(
+    "s3_lsh_bucket_stats",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, {_sql_bucket()} AS bucket FROM embeddings)
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM b GROUP BY bucket
+    """,
+    survey_ref="extension: LSH bucket histogram (skew check for the ANN path)",
+)
+def s3_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = s2_lsh_buckets(spark, sf_dir)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx1_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars_no_ws,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / len({SQL_TOKENS}) AS avg_token_len
+    FROM documents
+    """,
+    survey_ref="extension: token counting (whitespace tokenizer)",
+)
+def tx1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ntok = TXT.token_count(F.col("text"))
+    nchar = TXT.char_count_no_ws(F.col("text"))
+    return d.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        nchar.alias("n_chars_no_ws"),
+        (nchar.cast("double") / ntok.cast("double")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "tx2_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({SQL_TOKENS}) AS DOUBLE) AS n,
+             CAST(len(list_filter({SQL_TOKENS},
+                  x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+               AS sw,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+               AS np,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nc
+      FROM documents
+    )
+    SELECT doc_id,
+           least(n / 50.0, 1.0)
+             * (0.5 + 0.5 * least(CASE WHEN n > 0 THEN sw / n ELSE 0 END * 5.0, 1.0))
+             * (CASE WHEN np / nc > 0.2 THEN 0.5 ELSE 1.0 END) AS quality
+    FROM s
+    """,
+    survey_ref="extension: quality scoring (length/stopword/punctuation heuristics)",
+)
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+
+
+def _sql_lang_hits(lang: str) -> str:
+    sw = ", ".join(f"'{w}'" for w in TXT.STOPWORDS[lang])
+    return f"CAST(len(list_filter({SQL_TOKENS}, x -> x IN ({sw}))) AS BIGINT)"
+
+
+@register(
+    "tx3_language_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {", ".join(f"{_sql_lang_hits(lg)} AS s_{lg}" for lg in TXT.STOPWORDS)}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                {" ".join(f"WHEN s_{lg} = greatest(s_en, s_es, s_de, s_fr) THEN '{lg}'" for lg in TXT.STOPWORDS)}
+           END AS predicted_lang
+    FROM s
+    """,
+    survey_ref="extension: language ID (stopword n-gram heuristic)",
+)
+def tx3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TXT.language_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "tx4_source_profile",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len({SQL_TOKENS}) AS BIGINT)) AS BIGINT) AS total_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    survey_ref="extension: per-source corpus profiling (the reference's metadata-table idiom at corpus scale)",
+)
+def tx4_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text"))).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm1_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(text) AS BIGINT) AS first_code
+    FROM documents
+    """,
+    survey_ref="extension: multimodal binary-column plumbing (typed metadata over opaque bytes)",
+)
+def mm1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata path: text -> utf8 bytes stands in for an image
+    payload; the decode/feature UDFs live in functions/multimodal.py
+    (mapInPandas, stubbed per environment constraints)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        F.ascii("text").cast("long").alias("first_code"),
+    )

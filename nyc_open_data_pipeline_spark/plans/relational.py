@@ -1,0 +1,833 @@
+"""Relational operator surface (SURVEY.md §2.3-§2.10) as declared queries.
+
+Every query here re-expresses a reference operator over the driver's
+synthetic corpus, Spark-first, with a DuckDB oracle. The survey_ref column
+cites the §2 inventory row; docstrings cite the reference file:line the
+semantics come from.
+
+Scale notes are attached per query: all aggregations are partial-agg
+(map-side combine) friendly, joins annotate broadcast choices, and no query
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_open_data_pipeline_spark.plans.common import (
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+from nyc_open_data_pipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape) — the widest agg fan the corpus
+# supports. Exercises filter pushdown, partial aggregation, decimal-exact
+# sums. At 100 TB: single shuffle on 2 low-cardinality keys; map-side combine
+# collapses 600 M rows/executor to <10 partials.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))", "sum_disc_price", 38, 8)},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="§2.6 A1/A4 + §2.3 P10 (agg spine; reference routes.py:23-46 agg shape)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice", 18, 4) * (F.lit(1) - dec("l_discount", 18, 4))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_drop_columns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    """,
+    survey_ref="§2.3 P1/P2 (reference food_supply_gap/transformer.py:28-30 metadata strip)",
+)
+def p1_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning: Catalyst pushes the 5-column projection into the scan
+    (ReadSchema shows only these columns — the 100 TB win over SELECT *)."""
+    li = t(spark, sf_dir, "lineitem")
+    drop = [c for c in li.columns if c not in
+            ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")]
+    return li.drop(*drop)
+
+
+@register(
+    "p3_rename_columns",
+    oracle="""
+    SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+           s_nationkey AS nation_id, s_acctbal AS account_balance
+    FROM supplier
+    """,
+    survey_ref="§2.3 P3/P4/P5 (reference ntas_2020/transformer.py:31-46 static rename map)",
+)
+def p3_rename_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping = {
+        "s_suppkey": "supplier_id",
+        "s_name": "supplier_name",
+        "s_nationkey": "nation_id",
+        "s_acctbal": "account_balance",
+    }
+    return t(spark, sf_dir, "supplier").withColumnsRenamed(mapping)
+
+
+@register(
+    "p6_isin_filter",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    """,
+    survey_ref="§2.3 P6 (reference zillow_zori/transformer.py:9-10 NYC-ZIP isin)",
+)
+def p6_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-list semi-filter. Small literal list stays an in-scan IN predicate
+    (pushed to parquet); a large list would become a broadcast semi-join."""
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "p7_range_invalid_to_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity BETWEEN 5 AND 45 THEN l_quantity END AS quantity_clean
+    FROM lineitem
+    """,
+    survey_ref="§2.3 P7 + §2.15 V4 (reference food_supply_gap/transformer.py:63-68 range nulling)",
+)
+def p7_range_invalid_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity").between(5, 45), F.col("l_quantity")).alias("quantity_clean"),
+    )
+
+
+@register(
+    "p8_sentinel_to_null",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN value > 300 THEN NULL ELSE value END AS value_clean
+    FROM events
+    """,
+    survey_ref="§2.3 P8 (reference census_acs/transformer.py:26-33 sentinel nulling)",
+)
+def p8_sentinel_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("value") > 300, F.lit(None)).otherwise(F.col("value")).alias("value_clean"),
+    )
+
+
+@register(
+    "p9_drop_null_rows",
+    oracle="""
+    SELECT event_id, user_id, value AS value_clean FROM events
+    WHERE value <= 300
+    """,
+    survey_ref="§2.3 P9/P10 (reference zillow_zori/transformer.py:23 dropna)",
+)
+def p9_drop_null_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel-null then dropna — the reference's clean-then-filter idiom."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("value") > 300, F.lit(None)).otherwise(F.col("value")).alias("value_clean"),
+    )
+    return ev.na.drop(subset=["value_clean"])
+
+
+@register(
+    "p11_equality_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    survey_ref="§2.3 P11 + §2.1 S2 (reference nyc_open_data_fetcher.py:64-77 SoQL equality pushdown)",
+)
+def p11_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Type conversion / scalar expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_coercing_cast",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(substr(p_brand, 7, 10) AS INTEGER) AS brand_num,
+           TRY_CAST(p_type AS DOUBLE) AS type_as_num
+    FROM part
+    """,
+    survey_ref="§2.4 T1 (reference food_supply_gap/transformer.py:49 pd.to_numeric errors='coerce')",
+)
+def t1_coercing_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-off cast: invalid -> NULL, exactly pandas to_numeric(coerce)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_brand", 7, 10).cast("int").alias("brand_num"),
+        F.col("p_type").cast("double").alias("type_as_num"),
+    )
+
+
+@register(
+    "t2_string_cast_trim",
+    oracle="""
+    SELECT c_custkey, trim(CAST(c_custkey AS VARCHAR)) AS custkey_str,
+           trim(c_name) AS name_trimmed
+    FROM customer
+    """,
+    survey_ref="§2.4 T2 / §2.12 F2 (reference food_supply_gap/transformer.py:50 astype(str).str.strip)",
+)
+def t2_string_cast_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim(F.col("c_custkey").cast("string")).alias("custkey_str"),
+        F.trim(F.col("c_name")).alias("name_trimmed"),
+    )
+
+
+@register(
+    "t3_datetime_parse",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS TIMESTAMP) AS order_day
+    FROM orders
+    """,
+    survey_ref="§2.4 T3 (reference zillow_zori/transformer.py:20 pd.to_datetime on YYYY-MM-DD)",
+)
+def t3_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: format to 'YYYY-MM-DD' string (the Zillow column-name shape)
+    then parse back — exercising to_date on string input."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd")
+        .cast("timestamp")
+        .alias("order_day"),
+    )
+
+
+@register(
+    "t5_derived_ratio",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_discount / (1 + l_tax) * 100 AS effective_discount_pct
+    FROM lineitem
+    """,
+    survey_ref="§2.4 T5/T9 (reference census_acs/transformer.py:36-38 poverty_rate ratio)",
+)
+def t5_derived_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_discount") / (F.lit(1) + F.col("l_tax")) * 100).alias("effective_discount_pct"),
+    )
+
+
+@register(
+    "t6_literal_metadata",
+    oracle="""
+    SELECT n_nationkey, n_name, 'nation' AS dataset_id,
+           TIMESTAMP '2026-01-01 00:00:00' AS ingestion_ts
+    FROM nation
+    """,
+    survey_ref="§2.4 T6 (reference datasets/base.py:58-71 add_metadata; fixed ts for determinism)",
+)
+def t6_literal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        F.lit("nation").alias("dataset_id"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ingestion_ts"),
+    )
+
+
+@register(
+    "t7_year_extract",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    survey_ref="§2.4 T7 (reference routes.py:121 EXTRACT(YEAR FROM r.date))",
+)
+def t7_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").cast("long").alias("order_year"))
+        .groupBy("order_year")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_left_join_dim",
+    oracle=f"""
+    SELECT n.n_nationkey, n.n_name,
+           COUNT(c.c_custkey) AS n_customers,
+           {sql_dsum("c.c_acctbal", "total_acctbal")}
+    FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+    survey_ref="§2.5 J1 (reference routes.py:43-45 NTA left-join food gaps)",
+)
+def j1_left_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join dim->fact. nation (25 rows) is broadcast — at 100 TB the
+    fact side never shuffles for this join."""
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(n)
+        .join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@register(
+    "j2_inner_join_broadcast",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o.o_totalprice", "segment_revenue")}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ref="§2.5 J2/J3 (reference routes.py:82-84 ZCTA inner-join ACS)",
+)
+def j2_inner_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "segment_revenue"))
+    )
+
+
+@register(
+    "j4_scalar_subquery_latest",
+    oracle=f"""
+    SELECT CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS ship_month,
+           COUNT(*) AS n_items,
+           {sql_dsum("l_quantity", "month_qty")}
+    FROM lineitem
+    WHERE EXTRACT(YEAR FROM l_shipdate) =
+          (SELECT MAX(EXTRACT(YEAR FROM l_shipdate)) FROM lineitem)
+    GROUP BY 1
+    """,
+    survey_ref="§2.5 J4 + §2.6 A1 (reference routes.py:45 year = (SELECT MAX(year)...))",
+)
+def j4_scalar_subquery_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot selection via scalar subquery, as Spark SQL so Catalyst
+    plans the subquery (broadcast of a 1-row relation, not a driver collect)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS month_qty
+        FROM lineitem
+        WHERE year(l_shipdate) = (SELECT MAX(year(l_shipdate)) FROM lineitem)
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "j5_point_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey = 42
+    """,
+    survey_ref="§2.5 J5 (reference App.jsx:116-117 client point lookup)",
+)
+def j5_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+@register(
+    "j6_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    survey_ref="§2.5 (engine surface: left_semi; reference has only implicit semi via isin P6)",
+)
+def j6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j7_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    survey_ref="§2.5 (engine surface: left_anti — also the K3 upsert building block)",
+)
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_max_scalar",
+    oracle="SELECT MAX(o_orderdate) AS max_orderdate, MIN(o_orderdate) AS min_orderdate FROM orders",
+    survey_ref="§2.6 A1 (reference routes.py:45 SELECT MAX(year))",
+)
+def a1_max_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.min("o_orderdate").alias("min_orderdate"),
+    )
+
+
+@register(
+    "a2_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id, value AS latest_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    survey_ref="§2.6 A2 + §2.7 + §2.8 O2 (reference zillow_zori/transformer.py:26-29 latest rent per ZIP)",
+)
+def a2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key: single shuffle on the key; at scale prefer this
+    window form (or max_by) over sort-then-dropDuplicates, which is
+    nondeterministic in a distributed engine."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+@register(
+    "a3_collect_sorted_list",
+    oracle="""
+    SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS customer_names,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+    survey_ref="§2.6 A3 (reference routes.py:24-42 json_agg nested-doc aggregation, determinized)",
+)
+def a3_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is unordered in a distributed engine; sort_array makes the
+    nested-doc aggregation deterministic (the GeoJSON builder in
+    functions/json_doc.py uses the same pattern)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("customer_names"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
+    "a4_conditional_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount,
+           CAST(SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="§2.6 A4 + §2.15 V2 (reference parser.py:92-105 range-violation counting)",
+)
+def a4_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_high_discount"),
+        F.sum(F.when(F.col("l_quantity") < 10, 1).otherwise(0)).alias("n_small_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "a5_summary_stats",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(c_acctbal) AS n,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           {sql_davg("c_acctbal", "mean_bal")},
+           sqrt(greatest(
+             (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,8))) AS DOUBLE)
+              - CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                * CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) / COUNT(c_acctbal))
+             / (COUNT(c_acctbal) - 1), 0)) AS std_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    survey_ref="§2.6 A5 (reference ingest_data.py:114 df.describe dry-run stats)",
+)
+def a5_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style stats with order-independent variance: exact decimal
+    sums of x and x^2, combined in double — deterministic under any
+    partitioning (naive stddev_samp over doubles is not)."""
+    c = t(spark, sf_dir, "customer")
+    n = F.count("c_acctbal")
+    s = F.sum(dec("c_acctbal", 28, 4)).cast("double")
+    sq = F.sum(dec(F.col("c_acctbal") * F.col("c_acctbal"), 28, 8)).cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1))
+    return c.groupBy("c_mktsegment").agg(
+        n.alias("n"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        (s / n).alias("mean_bal"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_bal"),
+    )
+
+
+@register(
+    "a6_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="§2.6 (engine surface: distinct aggregates; SURVEY notes reference lacks them)",
+)
+def a6_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "a7_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ref="§2.6 (engine surface: grouping sets/rollup; free in Spark per SURVEY §2.6)",
+)
+def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_ranking",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+           CAST(rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS drnk
+    FROM customer
+    """,
+    survey_ref="§2.7 (window surface; reference's only window idiom is A2, rank is a source column)",
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "w2_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,4)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+    survey_ref="§2.7 (running aggregate; decimal-exact so partition order can't flip the hash)",
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec("value", 28, 4)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "w3_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+    survey_ref="§2.7 (analytic functions surface)",
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Sorts / limits / distinct / dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o3_dedup_keep_last",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    survey_ref="§2.8 O3 (reference food_supply_gap/transformer.py:75 drop_duplicates keep='last')",
+)
+def o3_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep='last' dedup. Spark's dropDuplicates keeps an ARBITRARY row, so
+    the arrival order (here ts, event_id) must be threaded explicitly —
+    SURVEY §7.4 hard-part #1."""
+    from nyc_open_data_pipeline_spark.operators.dedup import dedup_keep_last
+
+    ev = t(spark, sf_dir, "events")
+    return dedup_keep_last(ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
+@register(
+    "o4_limit_preview",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10
+    """,
+    survey_ref="§2.8 O4 (reference ingest_data.py:112 head(10) dry-run preview)",
+)
+def o4_limit_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "o5_top_k",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    survey_ref="§2.8 O5 (reference README.md:331-339 ORDER BY supply_gap DESC LIMIT 10)",
+)
+def o5_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heaps, no full
+    sort, no full shuffle. Tie-broken on the unique key for determinism."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "o6_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    survey_ref="§2.8 (distinct surface)",
+)
+def o6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_chunks",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'FURNITURE'
+    """,
+    survey_ref="§2.9 U1 (reference census_fetcher.py:114 pd.concat of IN-list chunks)",
+)
+def u1_union_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING")
+    b = c.filter(F.col("c_mktsegment") == "FURNITURE")
+    return a.unionByName(b)
+
+
+@register(
+    "u3_intersect_except",
+    oracle="""
+    SELECT n_nationkey, 'both' AS side FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' AS side FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+    survey_ref="§2.9 (intersect/except surface; SURVEY notes Spark provides natively)",
+)
+def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    both = cust.intersect(supp).withColumn("side", F.lit("both"))
+    only = cust.exceptAll(supp).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 Reshaping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r1_melt_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS metric_value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+    survey_ref="§2.10 R1 (reference zillow_zori/transformer.py:12-17 wide->long melt)",
+)
+def r1_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot — one narrow scan, no shuffle; row count fans out 3x
+    but stays pipelined inside the stage."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+@register(
+    "r2_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="§2.10 (pivot surface; SURVEY notes groupBy().pivot() available)",
+)
+def r2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity", 28, 4)).cast("double"))
+    )
+    return pivoted.withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-reproducibility (UTC, ANSI off so casts
+coerce to NULL like the reference's ``pd.to_numeric(errors='coerce')``,
+cf. reference src/ingestion/parser.py and datasets/*/transformer.py) and for
+scale (AQE on, shuffle partitions sized to the cluster, Arrow enabled for the
+Pandas-UDF slow path).
+
+On a real cluster the same builder is used; only ``master`` and the
+shuffle-partition count change (set ``spark.sql.shuffle.partitions`` to
+~2-3x total executor cores, and let AQE coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "nyc_open_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Local mode is a single JVM; ``spark.driver.memory`` is the only memory
+    knob. On a cluster, pass ``master=None`` and let spark-submit decide.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # coercing casts: invalid -> NULL, matching pandas errors='coerce'
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet TIMESTAMP(NANOS) columns read as long; catalog.load_table
+        # converts them back to TimestampType (micros) explicitly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # partition-size ceiling so 100TB scans split into sane tasks
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
