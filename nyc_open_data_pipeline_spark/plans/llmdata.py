@@ -158,8 +158,11 @@ def d4_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard. The only pairwise work happens inside equal-band-key buckets —
     sub-quadratic at 100 TB (plus a bucket-size cap for adversarial data)."""
     docs = t(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=NBANDS)
-    scored = DD.jaccard_pairs(docs, pairs)
+    # shingle sets feed three branches (signatures, jaccard x2) — persist
+    # once instead of recomputing the normalize+shingle+md5 pipeline 3x
+    sh = DD.shingle_sets(docs).persist()
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=NBANDS, precomputed_shingles=sh)
+    scored = DD.jaccard_pairs(docs, pairs, precomputed_shingles=sh)
     return scored.select("id_a", "id_b", "jaccard")
 
 

@@ -45,6 +45,8 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) columns read as long; catalog.load_table
         # converts them back to TimestampType (micros) explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let custom Python data sources receive pushed filters (SoQL S2)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # partition-size ceiling so 100TB scans split into sane tasks
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -1,0 +1,117 @@
+"""Operator-library unit tests: dedup family, vectors, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_open_data_pipeline_spark.functions.multimodal import (
+    attach_payload,
+    decode_image_meta,
+    frame_sample_plan,
+)
+from nyc_open_data_pipeline_spark.functions.vectors import cosine_topk_pandas
+from nyc_open_data_pipeline_spark.operators.dedup import (
+    dedup_keep_first,
+    dedup_keep_last,
+    hamming64,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_B = "the quick brown fox jumps over the lazy dog near the river bank yesterday"  # near-dup
+DOC_C = "spark engines shuffle partitioned columnar data across executor nodes quickly"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B), (3, DOC_C)], ["doc_id", "text"]
+    )
+
+
+def test_keep_last_vs_first(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "first"), ("k1", 2, "last"), ("k2", 5, "only")],
+        ["k", "seq", "v"],
+    )
+    last = {r["k"]: r["v"] for r in dedup_keep_last(df, ["k"], ["seq"]).collect()}
+    first = {r["k"]: r["v"] for r in dedup_keep_first(df, ["k"], ["seq"]).collect()}
+    assert last == {"k1": "last", "k2": "only"}
+    assert first == {"k1": "first", "k2": "only"}
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), num_hashes=16, bands=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # the planted near-duplicate pair
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_jaccard_scores(spark):
+    docs = _docs(spark)
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    scores = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, cand).collect()}
+    assert scores[(1, 2)] > 0.6  # near-dup: long shared shingle prefix
+    assert scores[(1, 3)] == 0.0
+
+
+def test_simhash_hamming_ordering(spark):
+    df = _docs(spark).select("doc_id", simhash64(F.col("text")).alias("sh"))
+    sh = {r["doc_id"]: r["sh"] for r in df.collect()}
+    d = df.sparkSession.createDataFrame(
+        [(sh[1], sh[2]), (sh[1], sh[3])], ["a", "b"]
+    ).select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    near, far = d[0]["d"], d[1]["d"]
+    assert near < far  # near-dup pair closer in hamming space
+
+
+def test_cosine_topk_pandas_matches_jvm(spark, sf_dir):
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    jvm = all_queries()["s1_cosine_topk"].fn(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    arrow = cosine_topk_pandas(emb, queries, k=5).collect()
+    jvm_pairs = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in jvm}
+    arrow_pairs = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in arrow}
+    assert jvm_pairs == arrow_pairs  # GEMM path agrees with expression path
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = attach_payload(docs)
+    decoded = decode_image_meta(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    r = rows[0]
+    assert r["n_bytes"] > 0 and len(r["content_hash"]) == 32
+    assert 16 <= r["width"] <= 2048 and 16 <= r["height"] <= 2048
+    # deterministic: second run produces identical metadata
+    again = {x["media_id"]: x["content_hash"] for x in decode_image_meta(media, fake=True).collect()}
+    assert again == {x["media_id"]: x["content_hash"] for x in rows}
+
+
+def test_multimodal_decode_gated_without_pil(spark, sf_dir):
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
+    media = attach_payload(docs)
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; gate not exercised")
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image_meta(media, fake=False)
+
+
+def test_frame_sample_plan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    media = attach_payload(docs)
+    frames = frame_sample_plan(media, every_n=10).collect()
+    assert len(frames) >= 5
+    assert all(r["frame_idx"] % 10 == 0 for r in frames)

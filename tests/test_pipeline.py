@@ -1,0 +1,129 @@
+"""Pipeline spine: schema parsing, transformer base, validation, storage merge."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_open_data_pipeline_spark.pipeline.base import BaseTransformer
+from nyc_open_data_pipeline_spark.pipeline.parser import load_transformer, parse, validate
+from nyc_open_data_pipeline_spark.pipeline.schema import ColumnSpec, TableSchema, parse_type
+from nyc_open_data_pipeline_spark.pipeline.storage import ParquetStorage
+
+
+def test_parse_type_reference_strings():
+    # the exact logical-type strings the reference configs use (SURVEY §1.2)
+    assert parse_type("integer") == T.IntegerType()
+    assert parse_type("VARCHAR(10)") == T.StringType()
+    assert parse_type("NUMERIC(12, 2)") == T.DecimalType(12, 2)
+    assert parse_type("FLOAT") == T.DoubleType()
+    assert parse_type("DATE") == T.DateType()
+    assert parse_type("TIMESTAMP") == T.TimestampType()
+    assert parse_type("GEOMETRY('MULTIPOLYGON', srid=4326)") == T.StringType()
+    assert parse_type("unknown_gibberish") == T.StringType()
+
+
+def test_schema_from_dict_and_struct():
+    schema = TableSchema.from_dict(
+        {
+            "table_name": "food_supply_gaps",
+            "columns": [
+                {"name": "year", "type": "integer", "required": True, "min": 2000, "max": 2100},
+                {"name": "nta_code", "type": "VARCHAR(10)", "required": True},
+                {"name": "supply_gap_lbs", "type": "NUMERIC(14,2)"},
+            ],
+            "validation": {"unique_keys": ["year", "nta_code"]},
+            "indexes": ["year"],
+        }
+    )
+    st = schema.to_struct_type()
+    assert [f.dataType for f in st.fields] == [
+        T.IntegerType(),
+        T.StringType(),
+        T.DecimalType(14, 2),
+    ]
+    assert schema.unique_keys == ["year", "nta_code"]
+    assert schema.partition_by == ["year"]
+
+
+class ToyTransformer(BaseTransformer):
+    dataset_id = "toy"
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        df = self.standardize_column_names(df)
+        df = self.drop_metadata_columns(df)
+        return df.withColumn("val", F.col("val").cast("double"))
+
+    def get_schema(self) -> TableSchema:
+        return TableSchema(
+            table_name="toy",
+            columns=[
+                ColumnSpec("key", "string", required=True),
+                ColumnSpec("val", "float", min=0, max=100),
+            ],
+            unique_keys=["key"],
+        )
+
+
+def test_transformer_and_validation(spark):
+    df = spark.createDataFrame(
+        [(":meta", "a", "5"), (":meta", "a", "200"), (":meta", "b", "oops")],
+        [":id", "Key Name", "val"],
+    ).withColumnRenamed("Key Name", "KEY")
+    out, report = parse(df, ToyTransformer())
+    assert "key" in out.columns and ":id" not in out.columns
+    assert report.record_count == 3
+    assert report.range_violations == {"val": 1}  # 200 out of range; 'oops'->NULL
+    assert report.duplicate_keys == 1  # two 'a' rows
+
+
+def test_validation_missing_column_raises(spark):
+    df = spark.createDataFrame([("a", "1")], ["not_key", "val"])
+    with pytest.raises(ValueError, match="missing required columns"):
+        parse(df, ToyTransformer())
+
+
+def test_load_transformer_dotted_path():
+    # importlib may re-import this module under its dotted name, so compare
+    # by qualified name, not identity
+    t = load_transformer("tests.test_pipeline.ToyTransformer")
+    assert type(t).__name__ == "ToyTransformer"
+    assert t.dataset_id == "toy"
+
+
+def test_storage_upsert_idempotent(spark, tmp_path):
+    storage = ParquetStorage(str(tmp_path))
+    schema = TableSchema(
+        table_name="t",
+        columns=[ColumnSpec("k", "integer", primary_key=True), ColumnSpec("v", "string")],
+        unique_keys=["k"],
+    )
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    n = storage.upsert(spark, batch1, schema)
+    assert n == 2
+    # idempotence: same batch again -> no growth (SURVEY §5 property #4)
+    assert storage.upsert(spark, batch1, schema) == 2
+    # update + insert: incoming wins on conflict (ON CONFLICT DO UPDATE)
+    batch2 = spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"])
+    assert storage.upsert(spark, batch2, schema) == 3
+    rows = {
+        r["k"]: r["v"] for r in spark.read.parquet(storage.path("t")).collect()
+    }
+    assert rows == {1: "a", 2: "B2", 3: "c"}
+
+
+def test_storage_append_and_metadata(spark, tmp_path):
+    storage = ParquetStorage(str(tmp_path))
+    schema = TableSchema(table_name="logs", columns=[ColumnSpec("x", "integer")])
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    storage.create_or_append(df, schema)
+    storage.create_or_append(df, schema)  # append: no unique keys -> grows
+    assert spark.read.parquet(storage.path("logs")).count() == 4
+
+    storage.update_metadata(spark, "ds1", "logs", 4, last_ingestion="2026-01-01")
+    storage.update_metadata(spark, "ds1", "logs", 4, last_ingestion="2026-01-02")
+    meta = storage.read_metadata(spark).collect()
+    assert len(meta) == 1 and meta[0]["last_ingestion"] == "2026-01-02"
