@@ -25,7 +25,8 @@ def feature(geometry_json: Column, properties: Column) -> Column:
         F.lit('{"type":"Feature","geometry":'),
         F.coalesce(geometry_json, F.lit("null")),
         F.lit(',"properties":'),
-        F.to_json(properties),
+        # keep null properties explicit, matching json_build_object semantics
+        F.to_json(properties, {"ignoreNullFields": "false"}),
         F.lit("}"),
     )
 

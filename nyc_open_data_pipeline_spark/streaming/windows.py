@@ -1,0 +1,97 @@
+"""Watermarked event-time windows over streaming DataFrames.
+
+Builders are shape-identical to the batch queries (plans/events.py
+e1/e2/e3): the same F.window / F.session_window expressions run under
+``readStream``; only the watermark (late-data bound) is added. This is the
+engine's guarantee that batch backfill and streaming produce the same
+results for on-time data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyc_open_data_pipeline_spark.plans.common import dec
+
+
+def events_stream(
+    spark, schema: str = "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string", path: str | None = None, **options
+) -> DataFrame:
+    """File-based events stream (new parquet files appear -> new micro-batch).
+    In production this is a Kafka source with the same downstream plan."""
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling window agg with late-data bound (watermark lets Spark drop
+    state for closed windows — unbounded state is the 100 TB streaming
+    failure mode)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value", 28, 4)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value", 28, 4)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows; Spark merges overlapping session state
+    across micro-batches (the stateful operator batch can't express)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value", 28, 4)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Execute a streaming plan over all currently-available input
+    (availableNow trigger) into an in-memory table; returns the query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
