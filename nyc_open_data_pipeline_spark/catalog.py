@@ -59,12 +59,31 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
+# Tables whose queries are dominated by per-row expression work (shingling,
+# md5 hashing, vector folds). The driver's test files are single-row-group
+# parquet — unsplittable, so Spark scans each as ONE task. Fanning these out
+# right after the scan puts the narrow expression stages on every core. At
+# production scale the inputs have many row groups/files and the scan already
+# matches cluster parallelism, so the condition below is a no-op there.
+# events/lineitem stay as-is: their queries shuffle on a key immediately, and
+# a round-robin pre-shuffle would only add a second exchange.
+_EXPRESSION_HEAVY = {"documents", "embeddings"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         # integer div: double division would lose precision above 2^53 ns
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if name in _EXPRESSION_HEAVY and os.path.isfile(path):
+        # footer-only row-group probe (cheaper than df.rdd.getNumPartitions(),
+        # which pays a py4j DataFrame->RDD conversion per call)
+        import pyarrow.parquet as pq
+
+        target = spark.sparkContext.defaultParallelism
+        if pq.ParquetFile(path).metadata.num_row_groups < target:
+            df = df.repartition(target)
     return df
 
 

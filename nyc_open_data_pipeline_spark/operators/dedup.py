@@ -249,20 +249,28 @@ def simhash64(col: Column, token_weight: Column | None = None) -> Column:
     toks = F.array_distinct(F.split(normalized_text(col), " "))
     hashed = F.transform(toks, lambda s: _hash64(s))
 
-    def _vote_fn(i: int):
-        mask = 1 << i
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_votes = [
-        F.aggregate(hashed, F.lit(0), _vote_fn(i))
-        for i in range(63)  # 63 bits to stay in signed-long range
-    ]
-    out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    # One aggregate with an array<long> accumulator of 63 per-bit vote
+    # counters. Writing this as 63 separate F.aggregate folds duplicates the
+    # whole token-hash subtree 63x and makes Catalyst spend ~1.4 s PLANNING
+    # the query; the array form is a few dozen expression nodes total.
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
+    zero = F.array_repeat(F.lit(0).cast("long"), 63)
+    votes = F.aggregate(
+        hashed,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        ),
+    )
+    bits = F.zip_with(
+        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
 def hamming64(a: Column, b: Column) -> Column:
