@@ -36,8 +36,11 @@ HEADLINE = [
     "d3_minhash_signatures",
     "d4_lsh_jaccard_pairs",
     "d5_simhash",
+    "d6_embedding_neardup",
     "s1_cosine_topk",
     "s3_lsh_bucket_stats",
+    "s4_ivf_ann",
+    "mm2_decode_features",
     "tx1_token_stats",
     "tx2_quality_score",
     "tx3_language_id",

@@ -399,6 +399,186 @@ def tx4_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_PLANES4 = VEC.hyperplanes(64, 4)
+
+
+def _sql_bucket4() -> str:
+    terms = []
+    for i, p in enumerate(_PLANES4):
+        arr = "[" + ", ".join(str(x) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({SQL_VEC}, {arr}) > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "d6_embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, {SQL_VEC} AS v, {_sql_bucket4()} AS bucket FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM b)
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos_sim
+    FROM n l JOIN n r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= 0.3
+    """,
+    survey_ref="extension: embedding-cosine near-dup (sign-LSH blocked pairwise)",
+)
+def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: 4-bit sign-LSH blocks the corpus into
+    16 buckets; exact cosine only within a bucket (sub-quadratic — at 100 TB
+    the bucket join shuffles on the bucket id, and more hyperplane bits keep
+    bucket sizes bounded). Threshold 0.3 fits the synthetic corpus, whose max
+    pairwise cosine is ~0.51; production near-dup would use ~0.95."""
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        VEC.hyperplane_bucket(F.col("embedding"), _PLANES4).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cos = F.round(VEC.cosine(F.col("l.v"), F.col("r.v")), 6)
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+@register(
+    "s4_ivf_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+    assign AS (
+      SELECT a.vec_id, a.v, a.nrm, c.cid,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm) DESC, c.cid
+             ) AS rn
+      FROM n a, c
+    ),
+    cell AS (SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, c.cid AS cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC, c.cid
+             ) AS rn
+      FROM n q, c WHERE q.vec_id < 3
+    ),
+    pr AS (SELECT query_id, qv, qnrm, cell FROM probes WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id,
+             list_dot_product(p.qv, m.v) / (p.qnrm * m.nrm) AS score
+      FROM pr p JOIN cell m USING (cell)
+      WHERE m.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk,
+           round(score, 6) AS cos_sim
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5
+    """,
+    survey_ref="extension: IVF ANN (centroid assign -> probe nprobe cells -> exact rerank)",
+)
+def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (the first 8 vectors stand in
+    for k-means output), every vector assigned to its nearest centroid cell,
+    queries probe their nprobe=2 closest cells and rerank exactly.
+
+    Scale shape: the centroid table broadcasts (K rows); assignment is a
+    narrow broadcast-join stage over the corpus; the probe join shuffles on
+    the cell id only — at 100 TB the cell table is written DISTRIBUTE BY
+    cell so a probe reads just its cells' files."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        "cid",
+        VEC.cosine(F.col("embedding"), F.col("cv")).alias("cs"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    cell = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    qscored = (
+        e.filter(F.col("vec_id") < 3)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "cid",
+            VEC.cosine(F.col("embedding"), F.col("cv")).alias("cs"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probed = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    cand = probed.join(cell, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            VEC.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("cos_sim"))
+    )
+
+
+# BPE-ish subword tokenizer regex: letter runs, 1-3 digit groups, punctuation
+# runs — the GPT-2 pretokenizer's shape without the unicode categories.
+# Identical semantics in Java regex (Spark) and RE2 (DuckDB).
+_BPE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "tx5_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_subtokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+             AS n_unique_subtokens
+    FROM documents
+    """,
+    survey_ref="extension: BPE-ish regex token counting (whitespace counter is tx1)",
+)
+def tx5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish token counts via the pretokenizer regex — all JVM-side
+    (regexp_extract_all + array ops), no Python in the hot path."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_subtokens"),
+    )
+
+
 @register(
     "mm1_binary_meta",
     oracle="""
@@ -418,4 +598,56 @@ def mm1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
         F.ascii("text").cast("long").alias("first_code"),
+    )
+
+
+@register(
+    "mm2_decode_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 2032 AS INT)
+             AS width,
+           CAST(16 + CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 2032 AS INT)
+             AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    survey_ref="extension: multimodal decode/feature-extract (mapInPandas over binary payloads; "
+    "deterministic stand-in decoder — real codecs are environment-gated)",
+)
+def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode stage end-to-end: binary payload column ->
+    Arrow-batched mapInPandas decoder -> typed feature columns. The decoder
+    is the deterministic stand-in (no PIL in this container;
+    functions/multimodal.py gates the real one), so the oracle can reproduce
+    it exactly — the Spark plumbing (schema, batch shape, partitioning) is
+    the real production path."""
+    from nyc_open_data_pipeline_spark.functions import multimodal as MM
+
+    d = t(spark, sf_dir, "documents")
+    media = MM.attach_payload(d)
+    return MM.decode_image_meta(media, fake=True)
+
+
+@register(
+    "mm3_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, octet_length(encode(text)) % 100, 10)) AS BIGINT)
+             AS frame_idx
+    FROM documents
+    """,
+    survey_ref="extension: multimodal frame-sampling fan-out (video -> frames plan shape)",
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: one row per sampled frame index per media item
+    (explode of a bounded sequence — narrow, no shuffle; the real decoder
+    would emit frame payloads in the same shape)."""
+    from nyc_open_data_pipeline_spark.functions import multimodal as MM
+
+    d = t(spark, sf_dir, "documents")
+    media = MM.attach_payload(d)
+    return MM.frame_sample_plan(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )

@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every plan module (side effect: registration) and return all."""
     from nyc_open_data_pipeline_spark.plans import (  # noqa: F401
         events,
+        geo,
         llmdata,
         relational,
     )

@@ -696,6 +696,40 @@ def o3_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "o1_multi_key_sort",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type,
+             CASE WHEN value < 10 THEN NULL ELSE value END AS big_value
+      FROM events
+    )
+    SELECT event_id, event_type, big_value
+    FROM s
+    ORDER BY event_type ASC, big_value ASC NULLS LAST, event_id ASC
+    LIMIT 100
+    """,
+    survey_ref="§2.8 O1 (reference food_supply_gap/transformer.py:81 "
+    "sort_values(['year','rank'], na_position='last'))",
+)
+def o1_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with pandas na_position='last' semantics
+    (asc_nulls_last — Spark's plain asc already sorts NULLs first, so the
+    modifier is load-bearing). A derived nullable column exercises the NULL
+    placement; LIMIT makes the cutoff value-verifiable."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value")).alias("big_value"),
+    )
+    return s.orderBy(
+        F.col("event_type").asc(),
+        F.col("big_value").asc_nulls_last(),
+        F.col("event_id").asc(),
+    ).limit(100)
+
+
+@register(
     "o4_limit_preview",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10
