@@ -40,6 +40,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with precomputed norms: one array fold per pair instead of
+    three. In pairwise joins (ANN probe, near-dup blocking) norms are
+    per-ROW quantities — compute them once on each side before the join,
+    never inside the pair expression."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 # Deterministic ±1 hyperplanes (LCG-generated, fixed seed) for sign-LSH.
 def hyperplanes(dim: int, nbits: int = 8) -> list[list[float]]:
     state = 0x2545F4914F6CDD1D

@@ -118,6 +118,22 @@ def shingle_sets(
     )
 
 
+def shingle_hash_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """(id, hv: array<bigint>) — 64-bit-hashed shingle sets. The preferred
+    shared intermediate: MinHash permutes these longs directly, and exact
+    Jaccard intersects long arrays (far cheaper than string arrays, and the
+    persisted cache is a fraction of the size). One md5 pass per shingle
+    total across all downstream consumers."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: _hash64(s))
+        ).alias("hv"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -125,6 +141,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     precomputed_shingles: DataFrame | None = None,
+    precomputed_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (id, sig: array<bigint>[num_hashes]).
 
@@ -133,14 +150,17 @@ def minhash_signatures(
     Python in the hot path, no explode/shuffle: signatures are computed
     in a single narrow stage.
     """
-    base = (
-        precomputed_shingles
-        if precomputed_shingles is not None
-        else shingle_sets(df, text_col, id_col, shingle_n)
-    )
-    hashed = base.select(
-        "id", F.transform(F.col("sh"), lambda s: _hash64(s)).alias("hv")
-    )
+    if precomputed_hashes is not None:
+        hashed = precomputed_hashes.select("id", "hv")
+    else:
+        base = (
+            precomputed_shingles
+            if precomputed_shingles is not None
+            else shingle_sets(df, text_col, id_col, shingle_n)
+        )
+        hashed = base.select(
+            "id", F.transform(F.col("sh"), lambda s: _hash64(s)).alias("hv")
+        )
     def _perm_fn(a: int, b: int):
         # closure (NOT lambda default-args: extra params change the lambda's
         # arity and break pyspark's higher-order-function binding)
@@ -161,6 +181,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     precomputed_shingles: DataFrame | None = None,
+    precomputed_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
@@ -173,7 +194,8 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n, precomputed_shingles
+        df, text_col, id_col, num_hashes, shingle_n, precomputed_shingles,
+        precomputed_hashes,
     )
     banded = sig.select(
         "id",
@@ -230,6 +252,29 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+def jaccard_pairs_hashed(hashes: DataFrame, candidate_pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard over 64-bit-hashed shingle sets (``shingle_hash_sets``).
+    Set-identical to string-shingle Jaccard barring a 2^-60 intra-document
+    hash collision; long-array intersects are several times cheaper than
+    string-array intersects and the joined payload is much smaller."""
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    joined = (
+        candidate_pairs.join(a, candidate_pairs.id_a == F.col("a.id"))
+        .join(b, candidate_pairs.id_b == F.col("b.id"))
+        .select("id_a", "id_b", F.col("a.hv").alias("hv_a"), F.col("b.hv").alias("hv_b"))
+    )
+    inter = F.size(F.array_intersect("hv_a", "hv_b"))
+    union = F.size("hv_a") + F.size("hv_b") - inter
     return joined.select(
         "id_a",
         "id_b",

@@ -100,7 +100,11 @@ def _sql_minhash_sigs() -> str:
     return f"""
     toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
     sh AS (SELECT doc_id, {_sql_shingles('tk')} AS sh FROM toks),
-    hv AS (SELECT doc_id, unnest(list_transform(sh, s -> {sql_hash64('s')})) AS h FROM sh),
+    hvl AS (
+      SELECT doc_id, list_distinct(list_transform(sh, s -> {sql_hash64('s')})) AS hv
+      FROM sh
+    ),
+    hv AS (SELECT doc_id, unnest(hv) AS h FROM hvl),
     sigs AS (
       SELECT doc_id,
            {mins}
@@ -147,22 +151,24 @@ def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
     )
     SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+           CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+             / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv))) AS jaccard
+    FROM cand c JOIN hvl a ON c.id_a = a.doc_id JOIN hvl b ON c.id_b = b.doc_id
     """,
     survey_ref="extension: MinHash-LSH banding + exact n-gram Jaccard verify",
 )
 def d4_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via 4-band LSH, verified with exact shingle
     Jaccard. The only pairwise work happens inside equal-band-key buckets —
-    sub-quadratic at 100 TB (plus a bucket-size cap for adversarial data)."""
+    sub-quadratic at 100 TB (plus a bucket-size cap for adversarial data).
+
+    The shared intermediate is the HASHED shingle set (one md5 pass;
+    long arrays): MinHash permutes it, and the Jaccard verify intersects it
+    — persisted once for the three consuming branches."""
     docs = t(spark, sf_dir, "documents")
-    # shingle sets feed three branches (signatures, jaccard x2) — persist
-    # once instead of recomputing the normalize+shingle+md5 pipeline 3x
-    sh = DD.shingle_sets(docs).persist()
-    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=NBANDS, precomputed_shingles=sh)
-    scored = DD.jaccard_pairs(docs, pairs, precomputed_shingles=sh)
+    hv = DD.shingle_hash_sets(docs).persist()
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv)
+    scored = DD.jaccard_pairs_hashed(hv, pairs)
     return scored.select("id_a", "id_b", "jaccard")
 
 
@@ -224,11 +230,17 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is functions.vectors.cosine_topk_pandas (Arrow + GEMM)."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        VEC.norm(F.col("embedding")).alias("qn"),
     )
-    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("bv"))
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("bv"),
+        VEC.norm(F.col("embedding")).alias("bn"),
+    )
     joined = F.broadcast(q).crossJoin(b).filter(F.col("neighbor_id") != F.col("query_id"))
-    score = VEC.cosine(F.col("qv"), F.col("bv"))
+    score = VEC.cosine_prenormed(F.col("qv"), F.col("bv"), F.col("qn"), F.col("bn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         joined.select("query_id", "neighbor_id", score.alias("score"))
@@ -437,10 +449,16 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         "vec_id",
         F.col("embedding").alias("v"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
         VEC.hyperplane_bucket(F.col("embedding"), _PLANES4).alias("bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
-    cos = F.round(VEC.cosine(F.col("l.v"), F.col("r.v")), 6)
+    cos = F.round(
+        VEC.cosine_prenormed(
+            F.col("l.v"), F.col("r.v"), F.col("l.nrm"), F.col("r.nrm")
+        ),
+        6,
+    )
     return (
         l.join(
             r,
@@ -504,37 +522,44 @@ def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow broadcast-join stage over the corpus; the probe join shuffles on
     the cell id only — at 100 TB the cell table is written DISTRIBUTE BY
     cell so a probe reads just its cells' files."""
-    e = t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
+    e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
-        "cid",
-        VEC.cosine(F.col("embedding"), F.col("cv")).alias("cs"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    pair_cs = VEC.cosine_prenormed(
+        F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "nrm", "cid", pair_cs.alias("cs")
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
     cell = (
         scored.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
+        .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
     )
     qscored = (
         e.filter(F.col("vec_id") < 3)
         .crossJoin(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
             "cid",
-            VEC.cosine(F.col("embedding"), F.col("cv")).alias("cs"),
+            pair_cs.alias("cs"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
     probed = (
         qscored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 2)
-        .select("query_id", "qv", F.col("cid").alias("cell"))
+        .select("query_id", "qv", "qnrm", F.col("cid").alias("cell"))
     )
     cand = probed.join(cell, "cell").filter(F.col("vec_id") != F.col("query_id"))
     wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -542,7 +567,9 @@ def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            VEC.cosine(F.col("qv"), F.col("v")).alias("score"),
+            VEC.cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("score"),
         )
         .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= 5)
