@@ -437,6 +437,38 @@ def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+@register(
+    "j8_salted_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_quantity', 'total_qty')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    survey_ref="§2.5 + 100TB scale path: skew-salted equi-join "
+    "(operators/skew.py; result identical to the plain join — the oracle IS the plain join)",
+)
+def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact-to-dim join: lineitem rows sharded 8 ways, orders
+    replicated per shard, join on (orderkey, shard). The oracle runs the
+    PLAIN join — proving salting changes placement, never results."""
+    from nyc_open_data_pipeline_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "okey"),
+        o.withColumnRenamed("o_orderkey", "okey"),
+        on=["okey"],
+        how="inner",
+        salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity", "total_qty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 Aggregations
 # ---------------------------------------------------------------------------

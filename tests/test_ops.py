@@ -115,3 +115,43 @@ def test_frame_sample_plan(spark, sf_dir):
     frames = frame_sample_plan(media, every_n=10).collect()
     assert len(frames) >= 5
     assert all(r["frame_idx"] % 10 == 0 for r in frames)
+
+
+# ---------------------------------------------------------------------------
+# skew operators
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from nyc_open_data_pipeline_spark.operators.skew import salted_join
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("okey"), "l_quantity")
+        .limit(2000)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    plain = li.join(o, ["okey"], "inner")
+    salted = salted_join(li, o, on=["okey"], how="inner", salt=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join: unmatched left rows survive with nulls
+    extra = spark.createDataFrame([(-1, 9.0)], ["okey", "l_quantity"])
+    left_salted = salted_join(li.union(extra), o, on=["okey"], how="left", salt=4)
+    assert left_salted.filter("okey = -1 AND o_orderpriority IS NULL").count() == 1
+
+
+def test_skew_count_distinct(spark, sf_dir):
+    from nyc_open_data_pipeline_spark.operators.skew import skew_count_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["event_type"]: r["n_distinct_user_id"]
+        for r in skew_count_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got == want
