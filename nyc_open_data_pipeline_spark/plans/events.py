@@ -107,6 +107,40 @@ def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st1_stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events GROUP BY 1
+    """,
+    survey_ref="§2.13 Structured Streaming (readStream -> watermarked window -> "
+    "memory sink; oracle is the BATCH SQL — stream==batch for on-time data)",
+)
+def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e1 tumbling aggregation executed as a Structured Streaming job:
+    events re-materialized as a file stream, availableNow trigger, complete
+    mode. Proves the engine's batch/stream equivalence contract — the
+    oracle is the batch SQL, and the stream must reproduce it exactly."""
+    import tempfile
+    import uuid
+
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    d = tempfile.mkdtemp(prefix="st1_events_")
+    # micros re-materialization: the raw corpus is TIMESTAMP(NANOS), which
+    # file-stream readers can't consume (catalog.load_table converts)
+    t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    name = f"st1_{uuid.uuid4().hex[:8]}"
+    run_to_memory(tumbling_counts(events_stream(spark, path=d)), name, mode="complete")
+    return spark.table(name)
+
+
+@register(
     "e4_json_extract",
     oracle="""
     SELECT event_id,
