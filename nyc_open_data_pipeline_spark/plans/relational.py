@@ -623,6 +623,25 @@ def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a8_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey_ref="§2.6 (engine surface: cube — all grouping-set combinations)",
+)
+def a8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = one pass, Expand emits 2^k grouping rows map-side, then a
+    single hash aggregate — no per-grouping rescans at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Window functions
 # ---------------------------------------------------------------------------
@@ -697,6 +716,35 @@ def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "w4_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,4)))
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS value_30m
+    FROM events
+    """,
+    survey_ref="§2.7 (range-frame analytic window — trailing 30-minute per-user sum)",
+)
+def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time: trailing 30-minute sum per user. Ordered
+    on epoch MICROS in both engines so the frame boundary is bit-identical;
+    decimal-sum keeps the trailing sum order-independent."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec("value", 28, 4)).over(w).cast("double").alias("value_30m"),
     )
 
 

@@ -155,3 +155,15 @@ def test_skew_count_distinct(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
     assert got == want
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ surface (SURVEY §2.6: approx distinct is free in Spark; exact
+    parity with DuckDB is impossible by construction, so it is test-bounded
+    instead of oracle-matched: rsd=0.05 must land within 5x rsd of exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(1, 0.25 * row["exact"])
