@@ -314,6 +314,35 @@ def t7_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t9_derived_burden",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal * 12, 2) AS annual_amount,
+           CASE WHEN c_acctbal > 0
+                THEN round(c_acctbal * 12 / (c_acctbal * 52) * 100, 2)
+           END AS burden_pct
+    FROM customer
+    """,
+    survey_ref="§2.4 T9 (reference Dashboard.jsx:32-35 rent-burden derived metric, "
+    "moved engine-side as a derived view)",
+)
+def t9_derived_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference computes annual_rent = rent*12 and burden =
+    annual/income*100 client-side; the engine exposes the same arithmetic as
+    a derived view (pure row-level exprs — codegen'd, no shuffle). acctbal
+    stands in for the rent/income columns of the reference's tables."""
+    c = t(spark, sf_dir, "customer")
+    annual = F.round(F.col("c_acctbal") * 12, 2)
+    burden = F.when(
+        F.col("c_acctbal") > 0,
+        F.round(F.col("c_acctbal") * 12 / (F.col("c_acctbal") * 52) * 100, 2),
+    )
+    return c.select(
+        "c_custkey", annual.alias("annual_amount"), burden.alias("burden_pct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Joins
 # ---------------------------------------------------------------------------
