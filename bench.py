@@ -21,11 +21,14 @@ HEADLINE = [
     "j1_left_join_dim",
     "j2_inner_join_broadcast",
     "j4_scalar_subquery_latest",
+    "j8_salted_join",
     "a2_latest_per_key",
     "a5_summary_stats",
     "a6_count_distinct",
+    "a8_cube",
     "w1_ranking",
     "w2_running_sum",
+    "w4_range_frame",
     "o3_dedup_keep_last",
     "o5_top_k",
     "r1_melt_unpivot",
@@ -68,16 +71,22 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Two timed repetitions per query, report the MIN: the host shows bursty
+    # external load, and min-of-N is the standard unbiased-of-noise estimate
+    # of a query's true cost.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in specs:
             continue
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(

@@ -484,8 +484,12 @@ def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLAIN join — proving salting changes placement, never results."""
     from nyc_open_data_pipeline_spark.operators.skew import salted_join
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # single-row-group test files scan as ONE task; spread the salt/explode
+    # map work (at production scale the scan is already multi-partition —
+    # this mirrors that, it does not change results)
+    par = spark.sparkContext.defaultParallelism
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity").repartition(par)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").repartition(par)
     joined = salted_join(
         li.withColumnRenamed("l_orderkey", "okey"),
         o.withColumnRenamed("o_orderkey", "okey"),
