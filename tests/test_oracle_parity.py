@@ -66,6 +66,15 @@ def test_query_matches_oracle(spark, sf_dir, name):
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
 
+    # dtype families must agree (int vs int, float vs float, ...) — the
+    # driver's gate also compares schemas; catch width/kind drift here.
+    for c in got.columns:
+        gk = got[c].dtype.kind if got[c].dtype.kind != "O" else "O"
+        wk = want[c].dtype.kind if want[c].dtype.kind != "O" else "O"
+        assert gk == wk or {gk, wk} <= {"M", "O"}, (
+            f"{name}.{c}: dtype kind {got[c].dtype} vs {want[c].dtype}"
+        )
+
     g = _normalize(got)
     w = _normalize(want)
     # normalize temporal / decimal representations to python scalars
