@@ -261,6 +261,56 @@ def jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (id, cluster_id),
+    cluster_id = MIN id in the component. The final step of a dedup
+    pipeline: keep one representative per cluster, drop the rest.
+
+    Iterative min-label propagation (small-step Pregel): each round, every
+    node takes the min of its own label and its neighbors' labels; converges
+    in O(component diameter) rounds — near-dup components are tiny and
+    dense, so a handful. Each round ``localCheckpoint``s to truncate the
+    growing join lineage (THE failure mode of iterative Spark jobs: an
+    unbounded plan that re-executes from the source every round).
+
+    ``nodes``: one column ``id``; ``pairs``: columns ``id_a``, ``id_b``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "lbl")
+            .groupBy("id")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
 def jaccard_pairs_hashed(hashes: DataFrame, candidate_pairs: DataFrame) -> DataFrame:
     """Exact Jaccard over 64-bit-hashed shingle sets (``shingle_hash_sets``).
     Set-identical to string-shingle Jaccard barring a 2^-60 intra-document

@@ -411,6 +411,60 @@ def tx4_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register(
+    "d7_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_sql_minhash_sigs()},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * NROWS + r}" for r in range(NROWS))
+        + ") AS band_key FROM sigs"
+        for b in range(NBANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN hvl a ON c.id_a = a.doc_id JOIN hvl b ON c.id_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+              / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv))) >= 0.5
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM scored
+      UNION SELECT id_b, id_a FROM scored
+    ),
+    walk(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
+    """,
+    survey_ref="extension: dedup clustering (connected components over LSH-verified "
+    "near-dup pairs; iterative label propagation vs recursive-CTE oracle)",
+)
+def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: LSH candidates -> exact-Jaccard edges (>= 0.5) ->
+    connected components -> (doc_id, cluster_id = min id in component).
+    Downstream, `filter(doc_id == cluster_id)` keeps one representative per
+    near-dup cluster. Iterative (driver-controlled loop) yet still exactly
+    oracle-verified via the transitive-closure recursive CTE."""
+    docs = t(spark, sf_dir, "documents")
+    hv = DD.shingle_hash_sets(docs).persist()
+    cand = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv)
+    edges = DD.jaccard_pairs_hashed(hv, cand).filter(F.col("jaccard") >= 0.5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return DD.dedup_clusters(nodes, edges).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 _PLANES4 = VEC.hyperplanes(64, 4)
 
 
