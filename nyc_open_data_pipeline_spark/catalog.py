@@ -71,6 +71,9 @@ _EXPRESSION_HEAVY = {"documents", "embeddings"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from nyc_open_data_pipeline_spark.session import ensure_semantic_confs
+
+    ensure_semantic_confs(spark)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):

@@ -19,6 +19,27 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Confs the ENGINE'S SEMANTICS depend on (not just performance). Queries may
+# be handed a foreign SparkSession (the correctness driver constructs its
+# own); these are all runtime-settable SQL confs, pinned on first table load:
+# - ansi off: casts coerce invalid -> NULL (reference pd.to_numeric
+#   errors='coerce'); Spark 4 defaults ansi ON, which would raise instead
+# - UTC: timestamp semantics must match the DuckDB oracle
+# - nanosAsLong: the test corpus stores TIMESTAMP(NANOS), which Spark
+#   otherwise refuses to read (PARQUET_TYPE_ILLEGAL)
+SEMANTIC_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_semantic_confs(spark: SparkSession) -> None:
+    """Pin the semantics-critical confs on a possibly-foreign session."""
+    for k, v in SEMANTIC_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def get_spark(
     app_name: str = "nyc_open_data_pipeline_spark",
