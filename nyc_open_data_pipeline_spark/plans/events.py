@@ -158,6 +158,25 @@ def e4_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e6_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+    survey_ref="§1.2 extension (schema-on-read JSON parse — the idiomatic Spark "
+    "path vs e4's regex extraction; reference keeps raw JSON rows pre-transform)",
+)
+def e6_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema: JVM-side Jackson parse into a
+    struct, column-prunable — the correct scale path for semi-structured
+    columns (vs regex for ad-hoc single-field pulls)."""
+    ev = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k bigint")
+    return ev.select("event_id", parsed.getField("k").alias("prop_k"))
+
+
+@register(
     "e5_event_type_stats",
     oracle=f"""
     SELECT event_type,
