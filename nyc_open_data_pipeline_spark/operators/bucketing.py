@@ -1,0 +1,44 @@
+"""Bucketed tables: pre-shuffled storage for repeated co-located joins.
+
+The 100 TB strategy for fact-to-fact joins that recur on the same key
+(SCALE.md): pay the shuffle ONCE at write time — `bucketBy(n, key)` hashes
+rows into n buckets per the key, `sortBy` pre-sorts within buckets — and
+every subsequent equi-join between identically-bucketed tables runs with NO
+Exchange (and no Sort, if sorted): Catalyst recognizes the output
+partitioning and plans a zero-shuffle sort-merge join.
+
+Replaces the reference's Postgres indexes for the join-acceleration role
+(reference storage.py:149-156 declares per-table indexes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a bucketed (and bucket-sorted) catalog table. At
+    production scale pick buckets so each bucket file is ~128 MB-1 GB."""
+    keys = [key] if isinstance(key, str) else key
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def plan_string(df: DataFrame) -> str:
+    """Executed-plan text (for asserting shuffle-freeness in tests)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def joins_without_shuffle(spark: SparkSession, left: str, right: str, on: list[str]) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key. The
+    returned plan contains no Exchange on either side — verify with
+    ``plan_string``."""
+    return spark.table(left).join(spark.table(right), on)

@@ -660,6 +660,80 @@ def tx5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared redaction patterns (same regex dialect in Java and RE2)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+@register(
+    "tx6_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+    survey_ref="extension: PII redaction pass (email/phone masking — standard "
+    "training-data scrub stage; JVM regex, no Python)",
+)
+def tx6_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrub producing the redacted text plus per-doc match counts
+    (the counts feed a quality/compliance report). Narrow stage — at 100 TB
+    this runs in the same pass as the other text analytics."""
+    d = t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+    )
+
+
+@register(
+    "tx7_top_bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      FROM toks WHERE len(tk) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+    survey_ref="extension: corpus n-gram frequency (top-k bigrams — explode + "
+    "partial-agg + TakeOrdered; the corpus-statistics building block)",
+)
+def tx7_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams. Explode fans out ~tokens-per-doc rows map-side;
+    the count is partial-aggregated before the shuffle, and the top-k is
+    TakeOrdered (per-partition heaps) — no global sort at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(DD.normalized_text(F.col("text")), " ")
+    grams = d.select(toks.alias("tk")).filter(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tk", i), F.element_at("tk", i + F.lit(1))
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
 @register(
     "mm1_binary_meta",
     oracle="""
