@@ -141,6 +141,33 @@ def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st2_stateful_profiles",
+    oracle=None,  # applyInPandasWithState: custom per-key state machine — not
+    # SQL-expressible; stream==batch equivalence is asserted in
+    # tests/test_streaming.py::test_stateful_user_profile instead
+    survey_ref="§2.13 custom stateful streaming operator "
+    "(applyInPandasWithState per-user profile; rows-only check by design)",
+)
+def st2_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming: per-user running profile (event count,
+    last seen, value sum) maintained in GroupState across micro-batches.
+    The one declared query with no SQL oracle — its correctness contract
+    (stream result == batch groupBy) is enforced by the streaming test
+    suite rather than DuckDB."""
+    import tempfile
+    import uuid
+
+    from nyc_open_data_pipeline_spark.streaming.stateful import user_profile_stream
+    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+
+    d = tempfile.mkdtemp(prefix="st2_events_")
+    t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    name = f"st2_{uuid.uuid4().hex[:8]}"
+    run_to_memory(user_profile_stream(events_stream(spark, path=d)), name, mode="update")
+    return spark.table(name)
+
+
+@register(
     "e4_json_extract",
     oracle="""
     SELECT event_id,
