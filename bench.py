@@ -71,22 +71,21 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Two timed repetitions per query, report the MIN: the host shows bursty
-    # external load, and min-of-N is the standard unbiased-of-noise estimate
-    # of a query's true cost.
+    # Two FULL timed passes, min per query: the host shows bursty external
+    # load (observed 3-4x inflation for ~30s windows); separating the two
+    # repetitions of a query by a whole pass means a burst hits different
+    # queries in each pass, and min-of-2 recovers the true cost.
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        if name not in specs:
-            continue
-        best = None
-        for _ in range(2):
+    for _ in range(2):
+        for name in HEADLINE:
+            if name not in specs:
+                continue
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += best
+            timings[name] = min(timings.get(name, dt), dt)
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    total = sum(timings.values())
 
     print(
         json.dumps(
