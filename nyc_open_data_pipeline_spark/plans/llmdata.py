@@ -660,6 +660,36 @@ def tx5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d8_incremental_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, md5({SQL_NORM}) AS h FROM documents
+    ),
+    existing AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 2500),
+    incoming AS (SELECT doc_id, h FROM hashed WHERE doc_id >= 2500)
+    SELECT i.doc_id, i.h AS content_hash
+    FROM incoming i LEFT JOIN existing e ON i.h = e.h
+    WHERE e.h IS NULL
+    """,
+    survey_ref="extension: incremental dedup (new batch anti-joined against the "
+    "existing corpus's hash set — the production flow; composes with K3 upsert)",
+)
+def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an incoming batch survives only where its
+    content hash is absent from the existing corpus. left_anti join on the
+    hash — at 100 TB the existing side is just the (hash) column of the
+    corpus index, bucketed by hash so repeated ingests never reshuffle it."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(DD.normalized_text(F.col("text"))).alias("content_hash")
+    )
+    existing = d.filter(F.col("doc_id") < 2500).select("content_hash").distinct()
+    incoming = d.filter(F.col("doc_id") >= 2500)
+    return incoming.join(existing, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
 # Shared redaction patterns (same regex dialect in Java and RE2)
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
