@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale properties SCALE.md claims
+(pushdown, pruning, broadcast, partial aggregation, top-k) must survive
+refactors — assert them on the executed plan text.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_open_data_pipeline_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 6 of 16 lineitem columns read — column pruning reached the scan
+    assert "l_comment" not in plan
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_j2_broadcasts_the_dimension_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j2_inner_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_j1_left_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j1_left_join_dim")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_o5_top_k_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "o5_top_k")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_d3_minhash_is_narrow(spark, sf_dir):
+    """Signatures compute without any shuffle: at most the fan-out
+    repartition exchange from catalog.load_table, never a key exchange."""
+    plan = plan_of(spark, sf_dir, "d3_minhash_signatures")
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_no_python_udf_in_relational_core(spark, sf_dir):
+    """The relational/dedup/text hot paths stay JVM-side (geo queries use
+    dimension-table UDFs by design; everything else must not)."""
+    for name in [
+        "q1_pricing_summary",
+        "j2_inner_join_broadcast",
+        "d1_exact_dedup",
+        "d5_simhash",
+        "tx2_quality_score",
+        "w4_range_frame",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
