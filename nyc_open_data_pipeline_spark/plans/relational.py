@@ -657,6 +657,54 @@ def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a9_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="§2.6 A5 (exact percentiles; a5 covers summary quartiles — at 100 TB "
+    "use approx_percentile, bounded memory)",
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation, identical
+    definition in both engines). Exact percentile buffers per group — fine
+    for bounded groups; the scale path is approx_percentile (t-digest)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@register(
+    "t10_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+    survey_ref="§2.4 T3/T7 (date arithmetic surface: add/diff/trunc/last_day)",
+)
+def t10_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dates returned as midnight timestamps: pandas (the comparison medium)
+    # widens DATE to Timestamp anyway — emit the same type on both sides
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 90).cast("timestamp").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"),
+        F.trunc(d, "month").cast("timestamp").alias("order_month"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+    )
+
+
+@register(
     "a8_cube",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
@@ -749,6 +797,32 @@ def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "w5_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    survey_ref="§2.7 (distribution-rank analytics: ntile / percent_rank / cume_dist)",
+)
+def w5_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks over a global ordering. A single-partition window
+    is the one legitimately serial window shape — at 100 TB replace with
+    approx quantiles or range-partitioned two-pass ranking."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
