@@ -690,6 +690,40 @@ def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d9_hash_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN {sql_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                  WHEN {sql_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+    survey_ref="extension: deterministic train/val/test split (hash mod — stable "
+    "across runs and engines, no RNG; the split column is what the writer "
+    "partitions by)",
+)
+def d9_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split by content-stable hash of the document id: every
+    re-run, engine, and cluster assigns each document identically (RNG-based
+    sample() cannot promise that). At 100 TB the split column becomes the
+    output partition key so each split is contiguous files."""
+    d = t(spark, sf_dir, "documents")
+    bucket = DD._hash64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # Shared redaction patterns (same regex dialect in Java and RE2)
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
