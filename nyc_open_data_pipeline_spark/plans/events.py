@@ -142,18 +142,24 @@ def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st2_stateful_profiles",
-    oracle=None,  # applyInPandasWithState: custom per-key state machine — not
-    # SQL-expressible; stream==batch equivalence is asserted in
-    # tests/test_streaming.py::test_stateful_user_profile instead
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           round(SUM(value), 6) AS total_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
     survey_ref="§2.13 custom stateful streaming operator "
-    "(applyInPandasWithState per-user profile; rows-only check by design)",
+    "(applyInPandasWithState per-user profile; oracle is the batch GROUP BY "
+    "the final state must equal — stream==batch equivalence as a hard check)",
 )
 def st2_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-stateful streaming: per-user running profile (event count,
     last seen, value sum) maintained in GroupState across micro-batches.
-    The one declared query with no SQL oracle — its correctness contract
-    (stream result == batch groupBy) is enforced by the streaming test
-    suite rather than DuckDB."""
+    The final state per key is definitionally the batch groupBy over the
+    same events — that batch SQL is the oracle. The Python-side float
+    accumulation is order-dependent at the ulp level, so total_value is
+    rounded to 6 dp on both sides (registry numeric-determinism policy)."""
     import tempfile
     import uuid
 
@@ -164,7 +170,18 @@ def st2_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
     name = f"st2_{uuid.uuid4().hex[:8]}"
     run_to_memory(user_profile_stream(events_stream(spark, path=d)), name, mode="update")
-    return spark.table(name)
+    # update-mode memory sink holds one row per (key, micro-batch); keep each
+    # key's latest emitted state — with availableNow this is the final state
+    prof = spark.table(name)
+    w_latest = prof.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "total_value", "last_ts"), "n_events").alias("s")
+    )
+    return w_latest.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.total_value", 6).alias("total_value"),
+        F.col("s.last_ts").alias("last_ts"),
+    )
 
 
 @register(

@@ -315,6 +315,54 @@ def t7_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t8_format_number",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev,
+             SUM(CAST(l_quantity AS DECIMAL(28,4))) AS qty
+      FROM lineitem GROUP BY l_returnflag
+    ), r AS (
+      -- DuckDB truncates on decimal downscale; Spark rounds HALF_UP.
+      -- +half-ulp before the truncating cast = HALF_UP for positive values.
+      SELECT l_returnflag,
+             CAST(rev + CAST(0.005 AS DECIMAL(28,4)) AS DECIMAL(38,2)) AS rev2,
+             CAST(qty + CAST(0.05 AS DECIMAL(28,4)) AS DECIMAL(38,1)) AS qty1
+      FROM s
+    )
+    SELECT l_returnflag,
+           format('{:,}', CAST(trunc(rev2) AS BIGINT)) || '.' ||
+             lpad(CAST(CAST((rev2 - trunc(rev2)) * 100 AS BIGINT) AS VARCHAR), 2, '0')
+             AS revenue_fmt,
+           format('{:,}', CAST(trunc(qty1) AS BIGINT)) || '.' ||
+             CAST(CAST((qty1 - trunc(qty1)) * 10 AS BIGINT) AS VARCHAR)
+             AS quantity_fmt
+    FROM r
+    """,
+    survey_ref="§2.4 T8 (reference viz/src/components/Dashboard.jsx:37-43 "
+    "Intl.NumberFormat thousands-separator + toFixed(1), moved engine-side "
+    "as a formatted derived view)",
+)
+def t8_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presentation formatting as a derived view: thousands-separated revenue
+    (2 dp) and quantity (1 dp), the engine-side analog of the reference
+    dashboard's Intl.NumberFormat / toFixed(1). Values are carried as exact
+    DECIMAL through the aggregation so formatting never rounds — both engines
+    format the identical exact number (tie-rounding modes can't diverge).
+    Pure post-aggregation row expressions; adds nothing to the shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev"),
+        F.sum(dec("l_quantity")).alias("qty"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.format_number(F.col("rev").cast("decimal(38,2)"), 2).alias("revenue_fmt"),
+        F.format_number(F.col("qty").cast("decimal(38,1)"), 1).alias("quantity_fmt"),
+    )
+
+
+@register(
     "t9_derived_burden",
     oracle="""
     SELECT c_custkey,
