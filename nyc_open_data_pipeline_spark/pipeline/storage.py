@@ -6,8 +6,9 @@ storage.py) on partitioned parquet:
 - K1 DDL-from-schema (:73-183)  -> TableSchema-driven writes, indexes become
   partition columns (partition pruning replaces index scans, SURVEY §4)
 - K2 append insert  (:185-228)  -> mode('append')
-- K3 upsert/MERGE   (:230-297)  -> anti-join + unionByName + atomic swap
-  (``INSERT ... ON CONFLICT DO UPDATE`` semantics: incoming rows win)
+- K3 upsert/MERGE   (:230-297)  -> partition-pruned anti-join + dynamic
+  partition overwrite (``INSERT ... ON CONFLICT DO UPDATE`` semantics:
+  incoming rows win); full atomic-swap rewrite only for unpartitioned tables
 - K4 metadata upsert (:51-71,299-334) -> tiny _dataset_metadata table
 - K5 parquet export  (:336-382) -> snappy parquet (native)
 
@@ -58,8 +59,18 @@ class ParquetStorage:
     def upsert(self, spark: SparkSession, df: DataFrame, schema: TableSchema) -> int:
         """K3 MERGE: keep existing rows whose keys don't collide (anti-join),
         union the incoming batch (incoming wins — ``DO UPDATE SET ... =
-        excluded.*``), atomically swap the table directory. Falls back to
-        append when no unique_keys configured (reference ingest_data.py:136-150).
+        excluded.*``). Falls back to append when no unique_keys configured
+        (reference ingest_data.py:136-150).
+
+        Partitioned tables take the pruned path: only partitions containing
+        incoming rows are read, merged, and rewritten (dynamic partition
+        overwrite) — a 1-row upsert into a 100 TB table touches one
+        partition, not the table. Contract: partition values must be stable
+        per unique key (a key may not move between partitions), the same
+        contract Hive-style dynamic-overwrite MERGEs carry; the reference's
+        Postgres ON CONFLICT has no partitions so the question doesn't arise
+        there. Unpartitioned tables fall back to the full anti-join +
+        atomic-swap rewrite.
 
         Idempotent: re-upserting the same batch is a no-op by construction.
         Returns the resulting row count.
@@ -67,17 +78,71 @@ class ParquetStorage:
         keys = schema.unique_keys
         incoming = conform(df, schema)
         if not keys or not self.exists(schema.table_name):
-            # de-dup the incoming batch itself on keys (keep arbitrary-but-
-            # deterministic first by all-column ordering) before first write
             if keys:
-                incoming = incoming.dropDuplicates(keys)
+                incoming = dedup_first(incoming, keys)
             self._atomic_write(incoming, schema)
             return self._count(spark, schema.table_name)
 
+        incoming = dedup_first(incoming, keys)
+        parts = [c for c in schema.partition_by if c in incoming.columns]
+        if parts:
+            n = self._upsert_pruned(spark, incoming, schema, keys, parts)
+        else:
+            existing = spark.read.parquet(self.path(schema.table_name))
+            survivors = existing.join(
+                incoming.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            merged = survivors.unionByName(incoming, allowMissingColumns=True)
+            self._atomic_write(merged, schema)
+            n = self._count(spark, schema.table_name)
+        return n
+
+    def _upsert_pruned(
+        self,
+        spark: SparkSession,
+        incoming: DataFrame,
+        schema: TableSchema,
+        keys: list[str],
+        parts: list[str],
+    ) -> int:
+        """Partition-pruned MERGE: read only the partitions the incoming
+        batch touches (Catalyst prunes the scan to those directories), merge,
+        and dynamically overwrite exactly those partitions. Untouched
+        partitions' files are never read or rewritten."""
+        # the touched-partition list is tiny (one tuple per partition) — a
+        # driver-side scalar like the reference's batch bookkeeping
+        touched = incoming.select(*parts).distinct().collect()
+        pred = None
+        for row in touched:
+            clause = None
+            for p in parts:
+                c = F.col(p).eqNullSafe(F.lit(row[p]))
+                clause = c if clause is None else clause & c
+            pred = clause if pred is None else pred | clause
+
         existing = spark.read.parquet(self.path(schema.table_name))
-        survivors = existing.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
-        merged = survivors.unionByName(incoming.dropDuplicates(keys), allowMissingColumns=True)
-        self._atomic_write(merged, schema)
+        pruned = existing.filter(pred) if pred is not None else existing.limit(0)
+        survivors = pruned.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = survivors.unionByName(incoming, allowMissingColumns=True)
+
+        # Spark rejects overwriting a path that appears in the read plan, so
+        # stage the merged slice (bounded by the touched partitions, not the
+        # table) and re-read it for the dynamic overwrite.
+        final = self.path(schema.table_name)
+        stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(stage)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                spark.read.parquet(stage)
+                .write.mode("overwrite")
+                .partitionBy(*parts)
+                .parquet(final)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            shutil.rmtree(stage, ignore_errors=True)
         return self._count(spark, schema.table_name)
 
     def _atomic_write(self, df: DataFrame, schema: TableSchema) -> None:
@@ -128,6 +193,21 @@ class ParquetStorage:
 
     def read_metadata(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path(self.META_TABLE))
+
+
+def dedup_first(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic per-key dedup of an incoming batch: keep the row that is
+    minimal under all-non-key-column ordering (struct comparison is
+    lexicographic by field position). Unlike ``dropDuplicates``, the survivor
+    does not depend on partitioning or scheduling — re-running the same batch
+    always keeps the same row."""
+    others = [c for c in df.columns if c not in keys]
+    if not others:
+        return df.dropDuplicates(keys)
+    packed = df.groupBy(*keys).agg(F.min(F.struct(*others)).alias("__row"))
+    return packed.select(
+        *[F.col(f"__row.{c}").alias(c) if c in others else F.col(c) for c in df.columns]
+    )
 
 
 def conform(df: DataFrame, schema: TableSchema) -> DataFrame:

@@ -115,6 +115,64 @@ def test_storage_upsert_idempotent(spark, tmp_path):
     assert rows == {1: "a", 2: "B2", 3: "c"}
 
 
+def test_storage_upsert_partition_pruned(spark, tmp_path):
+    """K3 at scale: an upsert touching one partition must not read or rewrite
+    any other partition's files (VERDICT r1 'What's wrong' #1)."""
+    import os
+
+    storage = ParquetStorage(str(tmp_path))
+    schema = TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("year", "integer"),
+            ColumnSpec("v", "string"),
+        ],
+        unique_keys=["k"],
+        partition_by=["year"],
+    )
+    base = spark.createDataFrame(
+        [(1, 2023, "a"), (2, 2023, "b"), (3, 2024, "c"), (4, 2024, "d")],
+        ["k", "year", "v"],
+    )
+    assert storage.upsert(spark, base, schema) == 4
+
+    def files_of(part: str) -> dict[str, float]:
+        d = os.path.join(storage.path("t"), part)
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_2023 = files_of("year=2023")
+    # update one 2024 row + insert a new 2024 row: only year=2024 is rewritten
+    batch = spark.createDataFrame([(3, 2024, "C2"), (5, 2024, "e")], ["k", "year", "v"])
+    assert storage.upsert(spark, batch, schema) == 5
+    assert files_of("year=2023") == before_2023  # same files, same mtimes
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(storage.path("t")).collect()}
+    assert rows == {1: "a", 2: "b", 3: "C2", 4: "d", 5: "e"}
+    # idempotence holds on the pruned path too
+    assert storage.upsert(spark, batch, schema) == 5
+
+
+def test_storage_upsert_dedup_deterministic(spark, tmp_path):
+    """Incoming-batch dedup keeps the min row under all-column ordering —
+    partition/scheduling independent (ADVICE r1)."""
+    storage = ParquetStorage(str(tmp_path))
+    schema = TableSchema(
+        table_name="t",
+        columns=[ColumnSpec("k", "integer", primary_key=True), ColumnSpec("v", "string")],
+        unique_keys=["k"],
+    )
+    dup = spark.createDataFrame(
+        [(1, "z"), (1, "a"), (1, "m")], ["k", "v"]
+    ).repartition(3)
+    storage.upsert(spark, dup, schema)
+    rows = spark.read.parquet(storage.path("t")).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "a"
+
+
 def test_storage_append_and_metadata(spark, tmp_path):
     storage = ParquetStorage(str(tmp_path))
     schema = TableSchema(table_name="logs", columns=[ColumnSpec("x", "integer")])
