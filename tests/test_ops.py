@@ -142,6 +142,43 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert left_salted.filter("okey = -1 AND o_orderpriority IS NULL").count() == 1
 
 
+def test_hybrid_salted_join_adversarial_skew(spark):
+    """80% of the big side shares ONE key: the hybrid must detect it, salt
+    only that key, and still reproduce the plain join exactly — including
+    NULL-key and unmatched-left rows."""
+    from nyc_open_data_pipeline_spark.operators.skew import hot_keys, hybrid_salted_join
+
+    rows = [(7, float(i)) for i in range(4000)]  # hot key
+    rows += [(i % 50, float(i)) for i in range(1000)]  # cold tail
+    rows += [(None, -1.0), (999, -2.0)]  # NULL key + unmatched key
+    big = spark.createDataFrame(rows, "k int, v double").repartition(8)
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(60)], "k int, name string"
+    )
+
+    assert hot_keys(big, ["k"], min_share=0.01)[0] == (7,)
+
+    from collections import Counter
+
+    for how in ("inner", "left"):
+        plain = big.join(small, ["k"], how)
+        hybrid = hybrid_salted_join(big, small, ["k"], how=how, salt=4, min_share=0.01)
+        assert Counter(map(tuple, plain.collect())) == Counter(map(tuple, hybrid.collect()))
+
+
+def test_hybrid_salted_join_no_hot_keys_is_plain(spark):
+    """Uniform keys -> empty hot set -> the returned plan is the plain join
+    (no union, no salt explode)."""
+    from nyc_open_data_pipeline_spark.operators.skew import hybrid_salted_join
+
+    big = spark.createDataFrame([(i, float(i)) for i in range(1000)], "k int, v double")
+    small = spark.createDataFrame([(i, f"d{i}") for i in range(1000)], "k int, name string")
+    out = hybrid_salted_join(big, small, ["k"], min_share=0.01)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan and "explode" not in plan
+    assert out.count() == 1000
+
+
 def test_skew_count_distinct(spark, sf_dir):
     from nyc_open_data_pipeline_spark.operators.skew import skew_count_distinct
 
