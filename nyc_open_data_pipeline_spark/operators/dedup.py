@@ -182,14 +182,25 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     precomputed_shingles: DataFrame | None = None,
     precomputed_hashes: DataFrame | None = None,
+    bucket_cap: int | None = 1000,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
     bands x rows layout (rows = num_hashes // bands); a pair is a candidate
     if any band's row-slice matches exactly. Shuffle is on (band, band_key) —
-    bucket sizes are tiny for non-duplicate corpora, so the per-bucket
-    self-join never blows up; a popular-bucket cap would be added for
-    adversarial corpora at 100 TB.
+    bucket sizes are tiny for non-duplicate corpora; ``bucket_cap`` bounds
+    the adversarial case (a degenerate corpus where millions of identical
+    docs share a band key would otherwise make the within-bucket self-join
+    quadratic). A bucket keeps its ``bucket_cap`` lowest ids (deterministic,
+    oracle-reproducible via the same ROW_NUMBER construction); overflow rows
+    are dropped from candidate generation, and the drop count is recorded as
+    an observed metric ``lsh_rows_over_cap`` (pass an ``Observation`` to read
+    it after the action; with the default string-name form it lands in the
+    query-execution metrics / Spark UI) — bounded, but never silent.
+    Exact-duplicate recall is unaffected: the capped bucket's survivors still
+    pair with each other, and downstream exact-dedup (d1) catches identical
+    text regardless.
     Returns (id_a, id_b) with id_a < id_b, distinct.
     """
     rows = num_hashes // bands
@@ -213,6 +224,21 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_key"),
     )
+    if bucket_cap is not None:
+        # row_number (not a full sort of the corpus): one task per bucket,
+        # O(B log B) for the oversized bucket instead of O(B^2) join output
+        w = Window.partitionBy("band", "band_key").orderBy("id")
+        ranked = banded.withColumn("__rn", F.row_number().over(w))
+        over = (F.col("__rn") > bucket_cap).cast("long")
+        if observation is not None:
+            ranked = ranked.observe(
+                observation, F.sum(over).alias("lsh_rows_over_cap")
+            )
+        else:
+            ranked = ranked.observe(
+                "lsh_bucket_cap", F.sum(over).alias("lsh_rows_over_cap")
+            )
+        banded = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
     left = banded.alias("l")
     right = banded.alias("r")
     return (

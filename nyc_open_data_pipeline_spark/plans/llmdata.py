@@ -36,6 +36,28 @@ P = DD.MINHASH_P
 PERMS = DD._perm_params(16)
 NBANDS, NROWS = 4, 4
 
+# Adversarial-corpus bounds: an LSH band-bucket / sign-LSH bucket keeps its
+# CAP lowest ids; overflow is dropped from candidate generation (counted via
+# observed metrics, never silent — operators/dedup.py minhash_lsh_pairs).
+# Mirrored EXACTLY in the DuckDB oracles via the same ROW_NUMBER filter, so
+# parity holds even when the cap binds.
+LSH_BUCKET_CAP = 1000
+EMB_BUCKET_CAP = 2000
+
+# Shared persisted intermediates, keyed by (application, sf_dir) — repeated
+# query invocations in one session reuse the same cache entry instead of
+# stacking a new persist per call (ADVICE r1: unbounded CacheManager growth).
+_HV_CACHE: dict = {}
+
+
+def _shared_hv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hv = _HV_CACHE.get(key)
+    if hv is None:
+        hv = DD.shingle_hash_sets(t(spark, sf_dir, "documents")).persist()
+        _HV_CACHE[key] = hv
+    return hv
+
 
 # ---------------------------------------------------------------------------
 # Dedup family
@@ -145,9 +167,14 @@ def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(NBANDS)
       )}
     ),
+    capped AS (
+      SELECT doc_id, band, band_key FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+              <= {LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM bands l JOIN bands r
+      FROM capped l JOIN capped r
         ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
     )
     SELECT c.id_a, c.id_b,
@@ -155,7 +182,8 @@ def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv))) AS jaccard
     FROM cand c JOIN hvl a ON c.id_a = a.doc_id JOIN hvl b ON c.id_b = b.doc_id
     """,
-    survey_ref="extension: MinHash-LSH banding + exact n-gram Jaccard verify",
+    survey_ref="extension: MinHash-LSH banding + exact n-gram Jaccard verify "
+    "(bucket-capped for adversarial corpora; cap mirrored in the oracle)",
 )
 def d4_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via 4-band LSH, verified with exact shingle
@@ -164,10 +192,13 @@ def d4_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shared intermediate is the HASHED shingle set (one md5 pass;
     long arrays): MinHash permutes it, and the Jaccard verify intersects it
-    — persisted once for the three consuming branches."""
+    — persisted once per (session, sf_dir) for all consuming branches."""
     docs = t(spark, sf_dir, "documents")
-    hv = DD.shingle_hash_sets(docs).persist()
-    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv)
+    hv = _shared_hv(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
     scored = DD.jaccard_pairs_hashed(hv, pairs)
     return scored.select("id_a", "id_b", "jaccard")
 
@@ -424,9 +455,14 @@ def tx4_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(NBANDS)
       )}
     ),
+    capped AS (
+      SELECT doc_id, band, band_key FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+              <= {LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM bands l JOIN bands r
+      FROM capped l JOIN capped r
         ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
     ),
     scored AS (
@@ -456,8 +492,11 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster. Iterative (driver-controlled loop) yet still exactly
     oracle-verified via the transitive-closure recursive CTE."""
     docs = t(spark, sf_dir, "documents")
-    hv = DD.shingle_hash_sets(docs).persist()
-    cand = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv)
+    hv = _shared_hv(spark, sf_dir)
+    cand = DD.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
     edges = DD.jaccard_pairs_hashed(hv, cand).filter(F.col("jaccard") >= 0.5)
     nodes = docs.select(F.col("doc_id").alias("id"))
     return DD.dedup_clusters(nodes, edges).select(
@@ -484,6 +523,8 @@ def _sql_bucket4() -> str:
     oracle=f"""
     WITH b AS (
       SELECT vec_id, {SQL_VEC} AS v, {_sql_bucket4()} AS bucket FROM embeddings
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+              <= {EMB_BUCKET_CAP}
     ),
     n AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM b)
     SELECT l.vec_id AS id_a, r.vec_id AS id_b,
@@ -497,14 +538,28 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: 4-bit sign-LSH blocks the corpus into
     16 buckets; exact cosine only within a bucket (sub-quadratic — at 100 TB
     the bucket join shuffles on the bucket id, and more hyperplane bits keep
-    bucket sizes bounded). Threshold 0.3 fits the synthetic corpus, whose max
-    pairwise cosine is ~0.51; production near-dup would use ~0.95."""
+    bucket sizes bounded; EMB_BUCKET_CAP bounds a degenerate bucket — capped
+    rows are counted via an observed metric, and the oracle mirrors the cap).
+    Threshold 0.3 fits the synthetic corpus, whose max pairwise cosine is
+    ~0.51; production near-dup would use ~0.95."""
     e = t(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
         F.col("embedding").alias("v"),
         VEC.norm(F.col("embedding")).alias("nrm"),
         VEC.hyperplane_bucket(F.col("embedding"), _PLANES4).alias("bucket"),
+    )
+    wcap = Window.partitionBy("bucket").orderBy("vec_id")
+    b = (
+        b.withColumn("__rn", F.row_number().over(wcap))
+        .observe(
+            "emb_bucket_cap",
+            F.sum((F.col("__rn") > EMB_BUCKET_CAP).cast("long")).alias(
+                "emb_rows_over_cap"
+            ),
+        )
+        .filter(F.col("__rn") <= EMB_BUCKET_CAP)
+        .drop("__rn")
     )
     l, r = b.alias("l"), b.alias("r")
     cos = F.round(

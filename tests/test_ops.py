@@ -117,6 +117,42 @@ def test_frame_sample_plan(spark, sf_dir):
     assert all(r["frame_idx"] % 10 == 0 for r in frames)
 
 
+def test_lsh_bucket_cap_adversarial(spark):
+    """5k identical docs: every band-bucket degenerates to one 5k-member
+    bucket. The cap must bound candidate pairs at C(cap,2) per band (not
+    C(5000,2) ~ 12.5M) and account for every dropped row via the observed
+    metric."""
+    from pyspark.sql import Observation
+
+    from nyc_open_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.range(5000).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("the same adversarial document text repeated verbatim").alias("text"),
+    )
+    obs = Observation("lsh_cap_test")
+    pairs = minhash_lsh_pairs(docs, bands=4, bucket_cap=50, observation=obs)
+    n = pairs.count()
+    # every band keeps ids 0..49 -> identical pair sets across bands -> distinct
+    assert n == 50 * 49 // 2
+    # 4 bands x (5000 - 50) rows over cap
+    assert obs.get["lsh_rows_over_cap"] == 4 * 4950
+
+
+def test_lsh_bucket_cap_no_effect_below_cap(spark):
+    """A normal small corpus is untouched by the cap (same pairs with and
+    without it)."""
+    from nyc_open_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared boilerplate prefix text") for i in range(40)],
+        "doc_id int, text string",
+    )
+    with_cap = set(map(tuple, minhash_lsh_pairs(docs, bucket_cap=1000).collect()))
+    no_cap = set(map(tuple, minhash_lsh_pairs(docs, bucket_cap=None).collect()))
+    assert with_cap == no_cap
+
+
 # ---------------------------------------------------------------------------
 # skew operators
 # ---------------------------------------------------------------------------
