@@ -861,9 +861,10 @@ def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.7 (distribution-rank analytics: ntile / percent_rank / cume_dist)",
 )
 def w5_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution ranks over a global ordering. A single-partition window
-    is the one legitimately serial window shape — at 100 TB replace with
-    approx quantiles or range-partitioned two-pass ranking."""
+    """Distribution ranks over a global ordering, serial window form — kept
+    as the readable reference implementation and w6's cross-check; the
+    production path is w6_distributed_ranks (two-pass range-partitioned,
+    no single-partition stage)."""
     c = t(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
@@ -871,6 +872,35 @@ def w5_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "w6_distributed_ranks",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    survey_ref="§2.7 production path for w5 (two-pass range-partitioned "
+    "distribution ranks — no single-partition global sort; the serial window "
+    "IS the oracle, proving the distributed plan byte-equal)",
+)
+def w6_distributed_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe ntile/percent_rank/cume_dist: range-partition on the order
+    key, per-partition sort + local row_number, driver-side prefix-sum of
+    partition counts as offsets (operators/ranks.py). Output is identical to
+    w5's serial window (the oracle) for this total ordering, but the plan
+    contains no Exchange SinglePartition — each of the P range slices sorts
+    in its own task, which is what survives 100 TB."""
+    from nyc_open_data_pipeline_spark.operators.ranks import distribution_ranks
+
+    c = t(spark, sf_dir, "customer")
+    return distribution_ranks(c, ["c_acctbal", "c_custkey"], k=4).select(
+        "c_custkey", "quartile", "pct_rank", "cume"
     )
 
 

@@ -49,6 +49,20 @@ def test_d3_minhash_is_narrow(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
 
 
+def test_w6_has_no_single_partition_stage(spark, sf_dir):
+    """w6 is the production form of w5: distribution ranks with every
+    exchange keeping cluster parallelism. w5's serial window (the oracle
+    cross-check) is exactly what w6 must NOT contain."""
+    assert "SinglePartition" in plan_of(spark, sf_dir, "w5_ntile_percent_rank")
+    assert "SinglePartition" not in plan_of(spark, sf_dir, "w6_distributed_ranks")
+
+
+def test_w6_matches_w5_exactly(spark, sf_dir):
+    w5 = QUERIES["w5_ntile_percent_rank"].fn(spark, sf_dir)
+    w6 = QUERIES["w6_distributed_ranks"].fn(spark, sf_dir)
+    assert sorted(map(tuple, w5.collect())) == sorted(map(tuple, w6.collect()))
+
+
 def test_no_python_udf_in_relational_core(spark, sf_dir):
     """The relational/dedup/text hot paths stay JVM-side (geo queries use
     dimension-table UDFs by design; everything else must not)."""
