@@ -34,6 +34,21 @@ class IngestResult:
     validation: P.ValidationReport | None = None
 
 
+def _raw_schema(cfg: DatasetConfig):
+    """Raw-feed schema for the API connectors: ``raw_schema_ddl`` from the
+    dataset config when declared (raw column names usually differ from the
+    transformed schema's — rename maps live in the transformer), else the
+    dataset schema itself (for feeds already shaped like the table)."""
+    ddl = cfg.raw.get("raw_schema_ddl")
+    if ddl:
+        return ddl
+    if cfg.schema is not None:
+        return cfg.schema.to_struct_type()
+    raise ValueError(
+        f"{cfg.entry.key}: API sources need raw_schema_ddl or a dataset schema"
+    )
+
+
 def fetch(spark: SparkSession, cfg: DatasetConfig, filters: dict | None = None,
           cache_dir: str = "data/raw", force: bool = False) -> DataFrame:
     """Connector dispatch (SURVEY §3.1 step 3). Schema-first: every connector
@@ -44,7 +59,7 @@ def fetch(spark: SparkSession, cfg: DatasetConfig, filters: dict | None = None,
     if st == "socrata":
         reader = (
             spark.read.format("socrata")
-            .schema(cfg.raw.get("raw_schema_ddl"))
+            .schema(_raw_schema(cfg))
             .option("url", api.get("url", "https://data.cityofnewyork.us"))
             .option("dataset_id", cfg.entry.dataset_id)
             .option("page_size", int(api.get("limit", 1000)))
@@ -60,7 +75,7 @@ def fetch(spark: SparkSession, cfg: DatasetConfig, filters: dict | None = None,
         var_list = ",".join(variables) if isinstance(variables, dict) else variables
         reader = (
             spark.read.format("census_api")
-            .schema(cfg.raw.get("raw_schema_ddl"))
+            .schema(_raw_schema(cfg))
             .option("url", api.get("url", "https://api.census.gov/data"))
             .option("year", str(api.get("year", 2023)))
             .option("dataset", api.get("dataset", "acs/acs5"))
@@ -68,6 +83,8 @@ def fetch(spark: SparkSession, cfg: DatasetConfig, filters: dict | None = None,
             .option("geo_level", api.get("geo_level", "zip code tabulation area"))
             .option("chunk_size", int(api.get("chunk_size", 50)))
         )
+        if api.get("geo_field"):
+            reader = reader.option("geo_field", api["geo_field"])
         if api.get("geo_ids"):
             reader = reader.option("geo_ids", ",".join(api["geo_ids"]))
         return reader.load()

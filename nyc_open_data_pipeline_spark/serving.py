@@ -25,8 +25,10 @@ EMPTY = '{"type":"FeatureCollection","features":[]}'
 
 
 def _doc(df: DataFrame, geom_col: str, props: list[str], sort_key: str) -> str:
+    # single Spark job: the collected row already distinguishes the empty
+    # input (aggregating zero rows yields no row / a NULL document)
     rows = feature_collection(df, geom_col, props, sort_key).collect()
-    if not rows or rows[0]["document"] is None or df.isEmpty():
+    if not rows or rows[0]["document"] is None:
         return EMPTY  # empty fallback (routes.py:95-97)
     return rows[0]["document"]
 

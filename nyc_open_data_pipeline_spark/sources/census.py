@@ -21,8 +21,9 @@ import urllib.parse
 from collections.abc import Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import DoubleType, FloatType, IntegerType, LongType, StructType
+from pyspark.sql.types import StructType
 
+from nyc_open_data_pipeline_spark.sources.http import coercing_caster as _caster
 from nyc_open_data_pipeline_spark.sources.http import request_json
 
 
@@ -44,6 +45,11 @@ class CensusReader(DataSourceReader):
         self.chunk_size = int(options.get("chunk_size", 50))
         self.api_key = options.get("api_key")
         self.timeout = float(options.get("timeout", 30))
+        # schema field that receives the geography column: the live API names
+        # that header after geo_level ('zip code tabulation area'), which no
+        # sane schema uses as a field name (the reference renames it to
+        # zip_code, census_fetcher.py:118-123)
+        self.geo_field = options.get("geo_field")
 
     def partitions(self) -> Sequence[GeoChunk]:
         if not self.geo_ids:
@@ -71,19 +77,21 @@ class CensusReader(DataSourceReader):
         header, *rows = payload  # first row is the header (:136-139)
         idx = {h: i for i, h in enumerate(header)}
         names = [f.name for f in self.schema_.fields]
+        # alias the geo_level-named header onto the schema's geography field:
+        # explicitly via the geo_field option, else auto-bind when exactly one
+        # schema field is absent from the response header
+        if self.geo_level in idx:
+            if self.geo_field and self.geo_field not in idx:
+                idx[self.geo_field] = idx[self.geo_level]
+            else:
+                unbound = [n for n in names if n not in idx]
+                if len(unbound) == 1:
+                    idx[unbound[0]] = idx[self.geo_level]
         casts = [_caster(f.dataType) for f in self.schema_.fields]
         for row in rows:
             yield tuple(
                 c(row[idx[n]]) if n in idx else None for n, c in zip(names, casts)
             )
-
-
-def _caster(dt):
-    if isinstance(dt, (IntegerType, LongType)):
-        return lambda v: int(v) if v not in (None, "") else None
-    if isinstance(dt, (DoubleType, FloatType)):
-        return lambda v: float(v) if v not in (None, "") else None
-    return lambda v: None if v is None else str(v)
 
 
 class CensusDataSource(DataSource):

@@ -22,6 +22,36 @@ class HttpError(RuntimeError):
     pass
 
 
+def coercing_caster(dt):
+    """Cell caster for API payloads: malformed numerics coerce to NULL (the
+    engine's errors='coerce' policy, reference pd.to_numeric) instead of
+    raising and killing the executor task. Integers route through float so
+    '12.0' lands as 12, matching pandas."""
+    from pyspark.sql.types import DoubleType, FloatType, IntegerType, LongType
+
+    if isinstance(dt, (IntegerType, LongType)):
+        def cast_int(v):
+            if v in (None, ""):
+                return None
+            try:
+                return int(float(v))
+            except (ValueError, TypeError):
+                return None
+
+        return cast_int
+    if isinstance(dt, (DoubleType, FloatType)):
+        def cast_float(v):
+            if v in (None, ""):
+                return None
+            try:
+                return float(v)
+            except (ValueError, TypeError):
+                return None
+
+        return cast_float
+    return lambda v: None if v is None else str(v)
+
+
 def request_json(
     url: str,
     body: dict | None = None,

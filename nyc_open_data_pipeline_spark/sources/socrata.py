@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import NumericType, StructType
 
+from nyc_open_data_pipeline_spark.sources.http import coercing_caster as _caster
 from nyc_open_data_pipeline_spark.sources.http import request_json
 
 
@@ -121,19 +122,6 @@ class SocrataReader(DataSourceReader):
             page += 1
 
 
-def _caster(dt):
-    from pyspark.sql.types import (
-        DoubleType,
-        FloatType,
-        IntegerType,
-        LongType,
-    )
-
-    if isinstance(dt, (IntegerType, LongType)):
-        return lambda v: int(v) if v not in (None, "") else None
-    if isinstance(dt, (DoubleType, FloatType)):
-        return lambda v: float(v) if v not in (None, "") else None
-    return lambda v: None if v is None else str(v)
 
 
 class SocrataDataSource(DataSource):

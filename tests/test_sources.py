@@ -148,6 +148,104 @@ def test_census_chunked_partitions(spark, server):
     assert {r["B17001_002E"] for r in rows} == {2 * (10001 + i) for i in range(7)}
 
 
+def test_census_geo_header_alias(spark, server):
+    """The live API names the geography header after geo_level ('zip code
+    tabulation area'); it must land in the schema's geo field — explicitly
+    via geo_field, and by auto-binding when it's the only unbound field
+    (ADVICE r1: pre-fix, every zip_code came back NULL)."""
+    register_data_sources(spark)
+    zips = [f"{10001 + i}" for i in range(4)]
+    base = (
+        spark.read.format("census_api")
+        .schema("B17001_002E int, B17001_001E int, zcta string")
+        .option("url", server)
+        .option("year", "2023")
+        .option("dataset", "acs/acs5")
+        .option("variables", "B17001_002E,B17001_001E")
+        .option("geo_ids", ",".join(zips))
+    )
+    for extra in ({}, {"geo_field": "zcta"}):
+        df = base
+        for k, v in extra.items():
+            df = df.option(k, v)
+        got = {r["zcta"] for r in df.load().collect()}
+        assert got == set(zips), f"geo alias failed with options {extra}"
+
+
+def test_coercing_caster_bad_cells_to_null():
+    """Malformed API numerics coerce to NULL instead of killing the task
+    (reference pd.to_numeric errors='coerce'); '12.0' still lands in an int
+    column as 12 (ADVICE r1)."""
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    from nyc_open_data_pipeline_spark.sources.http import coercing_caster
+
+    to_int = coercing_caster(IntegerType())
+    assert to_int("12") == 12 and to_int("12.0") == 12
+    assert to_int("N/A") is None and to_int("") is None and to_int(None) is None
+    to_float = coercing_caster(DoubleType())
+    assert to_float("1.5") == 1.5
+    assert to_float("n/a") is None and to_float(None) is None
+
+
+def test_fetch_dispatch_api_sources(spark, server):
+    """ingest.fetch() dispatch for the API-backed source types, including the
+    raw_schema_ddl path and the dataset-schema fallback (ADVICE r1: the
+    .schema(None) TypeError made `ingest --dataset all` fail pre-fetch)."""
+    from nyc_open_data_pipeline_spark.config import DatasetConfig, DatasetEntry
+    from nyc_open_data_pipeline_spark.pipeline.ingest import fetch
+    from nyc_open_data_pipeline_spark.pipeline.schema import ColumnSpec, TableSchema
+
+    register_data_sources(spark)
+    soc_entry = DatasetEntry(
+        key="food_supply_gap", name="t", source_type="socrata",
+        dataset_id="abcd-1234", table_name="t",
+        transformer="datasets.food_supply_gap.transformer.FoodSupplyGapTransformer",
+    )
+    # declared raw_schema_ddl
+    cfg = DatasetConfig(
+        entry=soc_entry, api={"url": server},
+        raw={"raw_schema_ddl": "nta_code string, year int, gap double"},
+    )
+    assert fetch(spark, cfg).count() == len(ROWS)
+    # fallback: no raw_schema_ddl -> dataset schema
+    cfg_fb = DatasetConfig(
+        entry=soc_entry, api={"url": server},
+        schema=TableSchema(
+            table_name="t",
+            columns=[ColumnSpec("nta_code", "string"), ColumnSpec("year", "integer"),
+                     ColumnSpec("gap", "double")],
+        ),
+    )
+    assert fetch(spark, cfg_fb).count() == len(ROWS)
+
+    cen_entry = DatasetEntry(
+        key="census_acs", name="c", source_type="census_api",
+        dataset_id="acs", table_name="c",
+        transformer="datasets.census_acs.transformer.CensusAcsTransformer",
+    )
+    cen_cfg = DatasetConfig(
+        entry=cen_entry,
+        api={"url": server, "variables": "B17001_002E,B17001_001E",
+             "geo_ids": ["10001", "10002"], "geo_field": "zcta"},
+        raw={"raw_schema_ddl": "B17001_002E int, B17001_001E int, zcta string"},
+    )
+    rows = fetch(spark, cen_cfg).collect()
+    assert {r["zcta"] for r in rows} == {"10001", "10002"}
+
+
+def test_real_dataset_configs_have_raw_schemas():
+    """Every API-backed dataset config resolves a raw schema (the CLI's
+    `ingest --dataset all` path no longer dies on .schema(None))."""
+    from nyc_open_data_pipeline_spark.config import load_dataset_config
+    from nyc_open_data_pipeline_spark.pipeline.ingest import _raw_schema
+
+    for key in ("food_supply_gap", "ntas_2020", "census_acs"):
+        cfg = load_dataset_config("datasets/registry.yaml", key)
+        raw = _raw_schema(cfg)
+        assert raw, key
+
+
 def test_build_soql_quoting():
     from pyspark.sql.types import StructType
 
