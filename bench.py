@@ -40,9 +40,13 @@ HEADLINE = [
     "d4_lsh_jaccard_pairs",
     "d5_simhash",
     "d6_embedding_neardup",
+    "d7_dedup_clusters",
     "s1_cosine_topk",
     "s3_lsh_bucket_stats",
     "s4_ivf_ann",
+    "s5_cosine_topk_gemm",
+    "w6_distributed_ranks",
+    "t8_format_number",
     "mm2_decode_features",
     "tx1_token_stats",
     "tx2_quality_score",

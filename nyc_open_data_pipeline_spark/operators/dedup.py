@@ -231,14 +231,26 @@ def minhash_lsh_pairs(
         ranked = banded.withColumn("__rn", F.row_number().over(w))
         over = (F.col("__rn") > bucket_cap).cast("long")
         if observation is not None:
+            # metrics-reading mode: keep the CollectMetrics node inside an
+            # ordinary action's subtree (a checkpoint materialization would
+            # not fire the observation listener), at the cost of both join
+            # sides recomputing the banding pipeline
             ranked = ranked.observe(
                 observation, F.sum(over).alias("lsh_rows_over_cap")
             )
+            banded = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
         else:
             ranked = ranked.observe(
                 "lsh_bucket_cap", F.sum(over).alias("lsh_rows_over_cap")
             )
-        banded = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
+            # truncate lineage before the self-join: otherwise BOTH join
+            # sides re-execute the shingle->minhash->band->window pipeline
+            # (lazy local checkpoint materializes once on first use)
+            banded = (
+                ranked.filter(F.col("__rn") <= bucket_cap)
+                .drop("__rn")
+                .localCheckpoint(eager=False)
+            )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -303,6 +315,8 @@ def dedup_clusters(
 
     ``nodes``: one column ``id``; ``pairs``: columns ``id_a``, ``id_b``.
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -310,29 +324,26 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    for i in range(max_iters):
         msgs = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "lbl")
             .groupBy("id")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # convergence count rides the SAME job as the label materialization
+        # (observed metric filled by the eager checkpoint) — one Spark job
+        # per round, not two
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             labels.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-            )
+            .withColumn("new_lbl", F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")))
+            .observe(obs, F.sum((F.col("new_lbl") < F.col("lbl")).cast("long")).alias("changed"))
+            .select("id", F.col("new_lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 

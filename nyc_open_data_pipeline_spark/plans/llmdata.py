@@ -281,6 +281,48 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s5_cosine_topk_gemm",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    p AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS score
+      FROM n q, n b
+      WHERE q.vec_id < 5 AND b.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk,
+           round(score, 6) AS cos_sim
+    FROM p
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5
+    """,
+    survey_ref="extension: brute-force cosine top-k, Arrow/NumPy GEMM path "
+    "(mapInPandas; the production ANN scan — same oracle as s1, proving the "
+    "vectorized path equals the JVM expression path)",
+)
+def s5_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s1's query through the scale path: queries broadcast as a NumPy
+    matrix, one BLAS GEMM per Arrow batch (functions/vectors.py
+    cosine_topk_pandas), per-batch partial top-k bounding the shuffle to
+    Q*k rows per partition. Rounded to 6 dp: BLAS accumulation order differs
+    from the sequential fold at the ulp level."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    ]
+    topk = VEC.cosine_topk_pandas(e, queries, k=5)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.round("score", 6).alias("cos_sim"),
+    )
+
+
 _PLANES = VEC.hyperplanes(64, 8)
 
 
@@ -504,12 +546,12 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PLANES4 = VEC.hyperplanes(64, 4)
+_PLANES6 = VEC.hyperplanes(64, 6)
 
 
-def _sql_bucket4() -> str:
+def _sql_bucket6() -> str:
     terms = []
-    for i, p in enumerate(_PLANES4):
+    for i, p in enumerate(_PLANES6):
         arr = "[" + ", ".join(str(x) for x in p) + "]"
         terms.append(
             f"CASE WHEN list_dot_product({SQL_VEC}, {arr}) > 0 "
@@ -522,7 +564,7 @@ def _sql_bucket4() -> str:
     "d6_embedding_neardup",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, {SQL_VEC} AS v, {_sql_bucket4()} AS bucket FROM embeddings
+      SELECT vec_id, {SQL_VEC} AS v, {_sql_bucket6()} AS bucket FROM embeddings
       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
               <= {EMB_BUCKET_CAP}
     ),
@@ -535,8 +577,8 @@ def _sql_bucket4() -> str:
     survey_ref="extension: embedding-cosine near-dup (sign-LSH blocked pairwise)",
 )
 def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: 4-bit sign-LSH blocks the corpus into
-    16 buckets; exact cosine only within a bucket (sub-quadratic — at 100 TB
+    """Embedding near-duplicate pairs: 6-bit sign-LSH blocks the corpus into
+    64 buckets; exact cosine only within a bucket (sub-quadratic — at 100 TB
     the bucket join shuffles on the bucket id, and more hyperplane bits keep
     bucket sizes bounded; EMB_BUCKET_CAP bounds a degenerate bucket — capped
     rows are counted via an observed metric, and the oracle mirrors the cap).
@@ -547,7 +589,7 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").alias("v"),
         VEC.norm(F.col("embedding")).alias("nrm"),
-        VEC.hyperplane_bucket(F.col("embedding"), _PLANES4).alias("bucket"),
+        VEC.hyperplane_bucket(F.col("embedding"), _PLANES6).alias("bucket"),
     )
     wcap = Window.partitionBy("bucket").orderBy("vec_id")
     b = (
@@ -560,6 +602,9 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__rn") <= EMB_BUCKET_CAP)
         .drop("__rn")
+        # materialize once: both self-join sides would otherwise re-run the
+        # bucket window (lazy local checkpoint, computed on first use)
+        .localCheckpoint(eager=False)
     )
     l, r = b.alias("l"), b.alias("r")
     cos = F.round(
