@@ -185,6 +185,110 @@ def st2_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st4_stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum("e.value", "total_value")}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    survey_ref="§2.13 Structured Streaming stream-static join (stream events x "
+    "broadcast customer dim -> running agg; the streaming form of J1/J2 — "
+    "dimension enrichment during ingestion). Oracle is the batch join SQL.",
+)
+def st4_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static equi-join: each micro-batch joins against the static
+    customer dimension (re-read per batch, broadcast — at 100 TB the static
+    side is a slowly-changing dim the stream enriches on the fly), then a
+    complete-mode running aggregate by market segment."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.functions import broadcast
+
+    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+
+    d = tempfile.mkdtemp(prefix="st4_events_")
+    t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = (
+        events_stream(spark, path=d)
+        .join(broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+    name = f"st4_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name, mode="complete")
+    return spark.table(name)
+
+
+@register(
+    "st5_stream_late_data",
+    oracle=f"""
+    WITH wm1 AS (
+      SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events WHERE event_id % 3 = 0
+    ),
+    wmf AS (
+      SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events
+    ),
+    kept AS (
+      SELECT ts, value FROM events
+      WHERE event_id % 3 <> 2
+         OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT wm FROM wm1)
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM kept
+    GROUP BY 1
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT wm FROM wmf)
+    """,
+    survey_ref="§2.13 Structured Streaming watermark semantics: late events "
+    "(whose window the watermark already closed) are DROPPED, and only "
+    "watermark-closed windows are emitted (append mode). The oracle "
+    "reconstructs both effects in SQL from the deterministic three-batch "
+    "replay (batch k = event_id %% 3 == k).",
+)
+def st5_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling, made deterministic: events replay as three
+    micro-batches (event_id mod 3). Spark 4 follows the two-watermark model
+    (SPARK-40925): batch N's input is filtered by batch N-1's watermark and
+    state is evicted by batch N's — verified empirically, so the drop rule
+    here is 'batch 2 rows whose window end <= max(batch-0 ts) - 2h' (batch 1
+    is filtered by the epoch watermark: nothing drops). The filter compares
+    the WINDOW END, not the raw event time (a row older than the watermark
+    whose window is still open is kept). Bounded state is the point: without
+    the watermark, window state grows forever at 100 TB/day. Append mode
+    emits exactly the windows the final watermark closed; the oracle
+    reproduces both the drop set and the emit set."""
+    import tempfile
+    import uuid
+
+    from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    d = tempfile.mkdtemp(prefix="st5_events_")
+    ev = t(spark, sf_dir, "events")
+    write_stream_chunks(
+        [ev.filter(F.col("event_id") % 3 == k) for k in range(3)],
+        d,
+    )
+    stream = events_stream(spark, path=d, maxFilesPerTrigger=1)
+    name = f"st5_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        tumbling_counts(stream, window="1 hour", watermark="2 hours"),
+        name,
+        mode="append",
+    )
+    return spark.table(name)
+
+
+@register(
     "e4_json_extract",
     oracle="""
     SELECT event_id,

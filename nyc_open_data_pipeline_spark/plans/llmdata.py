@@ -824,6 +824,49 @@ def d9_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "st3_stream_incremental_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, md5({SQL_NORM}) AS content_hash FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id, content_hash
+    FROM hashed GROUP BY content_hash
+    """,
+    survey_ref="§2.13 Structured Streaming x dedup extension: d8's corpus "
+    "anti-join run continuously via foreachBatch with a hash-state store "
+    "(streaming/dedup.py). Oracle = keep-first-by-id exact dedup: because the "
+    "replayed micro-batches are doc_id-ordered ranges, the first batch that "
+    "contains a hash contains its global minimum doc_id, so the streaming "
+    "survivors equal the batch keep-first answer exactly.",
+)
+def st3_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus ingestion with exact dedup: the documents table is
+    replayed as 4 doc_id-ordered micro-batches (maxFilesPerTrigger=1);
+    each batch collapses within-batch duplicates, anti-joins the accumulated
+    corpus hash state, and appends survivors — the production flow for a
+    100 TB corpus that grows daily (state table = one narrow bucketed hash
+    column; see streaming/dedup.py module docstring)."""
+    import os
+    import tempfile
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import run_incremental_dedup
+    from nyc_open_data_pipeline_spark.streaming.replay import ordered_range_chunks
+
+    root = tempfile.mkdtemp(prefix="st3_")
+    stream_dir = os.path.join(root, "in")
+    out_dir, state_dir = os.path.join(root, "out"), os.path.join(root, "state")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ordered_range_chunks(docs, "doc_id", stream_dir, n_chunks=4)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    run_incremental_dedup(spark, stream, out_dir, state_dir)
+    return spark.read.schema("doc_id long, content_hash string").parquet(out_dir)
+
+
 # Shared redaction patterns (same regex dialect in Java and RE2)
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"

@@ -72,6 +72,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new or materially changed this round — re-prove under the driver
     "t8_format_number",
     "st2_stateful_profiles",
+    "st3_stream_incremental_dedup",
+    "st4_stream_static_join",
+    "st5_stream_late_data",
     "s5_cosine_topk_gemm",
     "w6_distributed_ranks",
     "d4_lsh_jaccard_pairs",

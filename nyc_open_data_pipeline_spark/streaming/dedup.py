@@ -1,0 +1,82 @@
+"""Streaming incremental deduplication (foreachBatch + hash-state store).
+
+The batch flow is ``plans/llmdata.d8_incremental_dedup`` (new batch
+left_anti-joined against the corpus's content-hash set); this module runs
+the same anti-join per micro-batch inside ``foreachBatch``, appending
+survivors to the output table and their hashes to the state table. That is
+the production shape for continuous corpus ingestion at 100 TB:
+
+- the state table holds ONE narrow column (content_hash) — parquet-append
+  per batch, compacted/bucketed by hash out-of-band so the anti-join never
+  reshuffles the corpus side;
+- within-batch duplicates collapse first (groupBy hash, keep min id) so the
+  anti-join's left side is already distinct;
+- ``foreachBatch`` gives exactly-once-per-batch semantics with the stream's
+  checkpoint (batch_id-keyed idempotence is the documented upgrade for
+  rerun safety; parquet append is at-least-once here and sufficient for a
+  demonstration sink).
+
+No counterpart in the reference (batch CLI only — SURVEY §2.13); this
+extends d8 the way st1/st2 extend e1/a-family.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_open_data_pipeline_spark.operators.dedup import normalized_text
+
+HASH_SCHEMA = "content_hash string"
+
+
+def hashed_docs(df: DataFrame) -> DataFrame:
+    """(doc_id, content_hash) with the engine-wide normalization (d1/d8)."""
+    return df.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("content_hash")
+    )
+
+
+def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
+    """foreachBatch function: per micro-batch, collapse within-batch dupes
+    (keep the smallest doc_id per hash), drop hashes already in the corpus
+    state, then append survivors + their hashes."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = (
+            hashed_docs(batch_df)
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        state_files = [f for f in os.listdir(state_dir) if f.endswith(".parquet")]
+        if state_files:
+            seen = sess.read.schema(HASH_SCHEMA).parquet(state_dir)
+            batch = batch.join(seen, "content_hash", "left_anti")
+        survivors = batch.select("doc_id", "content_hash").localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(out_dir)
+        survivors.select("content_hash").write.mode("append").parquet(state_dir)
+
+    return process
+
+
+def run_incremental_dedup(
+    spark: SparkSession, stream: DataFrame, out_dir: str, state_dir: str
+) -> None:
+    """Drain all currently-available input through the dedup sink."""
+    q = (
+        stream.writeStream.foreachBatch(incremental_dedup_sink(spark, out_dir, state_dir))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+# re-export: ordered replay fixture lives in streaming/replay.py
+from nyc_open_data_pipeline_spark.streaming.replay import (  # noqa: E402,F401
+    ordered_range_chunks,
+)
