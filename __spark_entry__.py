@@ -20,10 +20,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (pricing summary over lineitem) on sf0.001."""
+    """Flagship query on sf0.001: the end-to-end training-data cleanroom
+    (quality gate -> exact dedup -> MinHash-LSH near-dup drop -> hash split,
+    one Catalyst plan — ``c1_cleanroom_pipeline``)."""
     from nyc_open_data_pipeline_spark.plans import all_queries
 
-    return all_queries()["q1_pricing_summary"].fn(spark, SF0001)
+    return all_queries()["c1_cleanroom_pipeline"].fn(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

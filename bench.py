@@ -41,6 +41,7 @@ HEADLINE = [
     "d5_simhash",
     "d6_embedding_neardup",
     "d7_dedup_clusters",
+    "c1_cleanroom_pipeline",
     "s1_cosine_topk",
     "s3_lsh_bucket_stats",
     "s4_ivf_ann",

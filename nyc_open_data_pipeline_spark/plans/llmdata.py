@@ -114,13 +114,14 @@ def _sql_shingles(tk: str = SQL_TOKENS, n: int = 3) -> str:
     )
 
 
-def _sql_minhash_sigs() -> str:
-    """CTE text computing per-doc MinHash signature columns mh_0..mh_15."""
+def _sql_minhash_sigs(src: str = "documents") -> str:
+    """CTE text computing per-doc MinHash signature columns mh_0..mh_15
+    over ``src`` (any relation with doc_id + text columns)."""
     mins = ",\n           ".join(
         f"MIN(((h % {P}) * {a} + {b}) % {P}) AS mh_{i}" for i, (a, b) in enumerate(PERMS)
     )
     return f"""
-    toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM {src}),
     sh AS (SELECT doc_id, {_sql_shingles('tk')} AS sh FROM toks),
     hvl AS (
       SELECT doc_id, list_distinct(list_transform(sh, s -> {sql_hash64('s')})) AS hv
@@ -1012,4 +1013,123 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_payload(d)
     return MM.frame_sample_plan(media, every_n=10).select(
         "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@register(
+    "c1_cleanroom_pipeline",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({SQL_TOKENS}) AS DOUBLE) AS n,
+             CAST(len(list_filter({SQL_TOKENS},
+                  x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+               AS sw,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+               AS np,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nc
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             least(n / 50.0, 1.0)
+               * (0.5 + 0.5 * least(CASE WHEN n > 0 THEN sw / n ELSE 0 END * 5.0, 1.0))
+               * (CASE WHEN np / nc > 0.2 THEN 0.5 ELSE 1.0 END) AS quality
+      FROM s
+    ),
+    pass1 AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+      WHERE q.quality >= 0.5
+    ),
+    hashed AS (
+      SELECT doc_id, lang, text, md5({SQL_NORM}) AS h FROM pass1
+    ),
+    pass2 AS (
+      SELECT doc_id, lang, text FROM hashed
+      QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+    ),
+    {_sql_minhash_sigs("pass2")},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * NROWS + r}" for r in range(NROWS))
+        + ") AS band_key FROM sigs"
+        for b in range(NBANDS)
+      )}
+    ),
+    capped AS (
+      SELECT doc_id, band, band_key FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+              <= {LSH_BUCKET_CAP}
+    ),
+    dropped AS (
+      SELECT DISTINCT r.doc_id
+      FROM capped l JOIN capped r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    pass3 AS (
+      SELECT p.doc_id, p.lang, p.text FROM pass2 p
+      LEFT JOIN dropped x ON p.doc_id = x.doc_id
+      WHERE x.doc_id IS NULL
+    )
+    SELECT CASE WHEN {sql_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                WHEN {sql_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS total_tokens
+    FROM pass3
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension FLAGSHIP: end-to-end training-data cleanroom — "
+    "quality filter (tx2) -> exact dedup keep-first (d1/o3) -> MinHash-LSH "
+    "near-dup drop (d3/d4) -> deterministic hash split (d9), composed as ONE "
+    "declarative plan with a full cross-engine oracle.",
+)
+def c1_cleanroom_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flagship composition — what a 100 TB pretraining-corpus
+    build actually runs, end to end, as one Catalyst plan:
+
+    1. quality gate   keep quality >= 0.5 (tx2's scorer; narrow, no shuffle)
+    2. exact dedup    keep the lowest doc_id per normalized-text md5
+                      (one skew-free hash shuffle)
+    3. near-dup drop  banded MinHash-LSH (d4's operator, bucket-capped):
+                      a doc is dropped iff a surviving lower-id doc shares a
+                      band bucket — sub-quadratic, shuffles on band key
+    4. split + stats  deterministic hash split (d9) with per-(split, lang)
+                      doc and token counts
+
+    Each stage shrinks the data before the next (filter -> dedup -> pairwise
+    -> agg), so the expensive LSH stage sees only quality-filtered distinct
+    docs. Every stage reuses the operator that backs its standalone query,
+    and the oracle replays the identical pipeline in DuckDB."""
+    docs = t(spark, sf_dir, "documents")
+    pass1 = docs.select("doc_id", "lang", "text").filter(
+        TXT.quality_score(F.col("text")) >= 0.5
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    pass2 = (
+        pass1.withColumn("h", F.md5(DD.normalized_text(F.col("text"))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    hv = _shared_hv(spark, sf_dir).join(
+        pass2.select(F.col("doc_id").alias("id")), "id", "semi"
+    )
+    pairs = DD.minhash_lsh_pairs(
+        pass2, num_hashes=16, bands=NBANDS, precomputed_hashes=hv,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    pass3 = pass2.join(dropped, "doc_id", "left_anti")
+    bucket = DD._hash64(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        pass3.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TXT.token_count(F.col("text"))).alias("total_tokens"),
+        )
     )

@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st3_stream_incremental_dedup",
     "st4_stream_static_join",
     "st5_stream_late_data",
+    "c1_cleanroom_pipeline",
     "s5_cosine_topk_gemm",
     "w6_distributed_ranks",
     "d4_lsh_jaccard_pairs",
