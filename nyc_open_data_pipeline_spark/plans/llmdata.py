@@ -59,6 +59,26 @@ def _shared_hv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hv
 
 
+def _shared_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, jaccard) over the whole corpus — LSH banding + exact
+    Jaccard verify, computed once per (session, sf_dir). d4 returns it
+    directly and d7 filters it to >= 0.5 edges; sharing it means the
+    expensive band-bucket self-join runs once for the whole dedup family
+    (same cache policy as _shared_hv)."""
+    key = ("scored_pairs", spark.sparkContext.applicationId, sf_dir)
+    scored = _HV_CACHE.get(key)
+    if scored is None:
+        docs = t(spark, sf_dir, "documents")
+        hv = _shared_hv(spark, sf_dir)
+        cand = DD.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv,
+            bucket_cap=LSH_BUCKET_CAP,
+        )
+        scored = DD.jaccard_pairs_hashed(hv, cand).persist()
+        _HV_CACHE[key] = scored
+    return scored
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -193,15 +213,9 @@ def d4_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shared intermediate is the HASHED shingle set (one md5 pass;
     long arrays): MinHash permutes it, and the Jaccard verify intersects it
-    — persisted once per (session, sf_dir) for all consuming branches."""
-    docs = t(spark, sf_dir, "documents")
-    hv = _shared_hv(spark, sf_dir)
-    pairs = DD.minhash_lsh_pairs(
-        docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv,
-        bucket_cap=LSH_BUCKET_CAP,
-    )
-    scored = DD.jaccard_pairs_hashed(hv, pairs)
-    return scored.select("id_a", "id_b", "jaccard")
+    — persisted once per (session, sf_dir) for all consuming branches, as is
+    the scored-pairs output itself (d7 reuses it as its edge set)."""
+    return _shared_scored_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
 
 
 @register(
@@ -535,12 +549,7 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster. Iterative (driver-controlled loop) yet still exactly
     oracle-verified via the transitive-closure recursive CTE."""
     docs = t(spark, sf_dir, "documents")
-    hv = _shared_hv(spark, sf_dir)
-    cand = DD.minhash_lsh_pairs(
-        docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv,
-        bucket_cap=LSH_BUCKET_CAP,
-    )
-    edges = DD.jaccard_pairs_hashed(hv, cand).filter(F.col("jaccard") >= 0.5)
+    edges = _shared_scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
     nodes = docs.select(F.col("doc_id").alias("id"))
     return DD.dedup_clusters(nodes, edges).select(
         F.col("id").alias("doc_id"), "cluster_id"
@@ -1049,7 +1058,7 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, text FROM hashed
       QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
     ),
-    {_sql_minhash_sigs("pass2")},
+    {_sql_minhash_sigs()},
     bands AS (
       {" UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('_', "
@@ -1063,10 +1072,22 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
               <= {LSH_BUCKET_CAP}
     ),
-    dropped AS (
-      SELECT DISTINCT r.doc_id
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM capped l JOIN capped r
         ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN hvl a ON c.id_a = a.doc_id JOIN hvl b ON c.id_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+              / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv))) >= 0.5
+    ),
+    dropped AS (
+      SELECT DISTINCT e.id_b AS doc_id
+      FROM edges e
+      JOIN pass2 pa ON e.id_a = pa.doc_id
+      JOIN pass2 pb ON e.id_b = pb.doc_id
     ),
     pass3 AS (
       SELECT p.doc_id, p.lang, p.text FROM pass2 p
@@ -1094,16 +1115,20 @@ def c1_cleanroom_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. quality gate   keep quality >= 0.5 (tx2's scorer; narrow, no shuffle)
     2. exact dedup    keep the lowest doc_id per normalized-text md5
                       (one skew-free hash shuffle)
-    3. near-dup drop  banded MinHash-LSH (d4's operator, bucket-capped):
-                      a doc is dropped iff a surviving lower-id doc shares a
-                      band bucket — sub-quadratic, shuffles on band key
+    3. near-dup drop  verified MinHash-LSH edges (jaccard >= 0.5, d4/d7's
+                      SHARED corpus-wide scored-pairs intermediate): a doc
+                      is dropped iff a verified near-dup edge connects it to
+                      a surviving lower-id doc — sub-quadratic, and the
+                      band-bucket self-join is computed ONCE per session for
+                      the whole dedup family (band keys are per-doc, so
+                      survivor-pair candidates == global candidates with
+                      both endpoints surviving)
     4. split + stats  deterministic hash split (d9) with per-(split, lang)
                       doc and token counts
 
-    Each stage shrinks the data before the next (filter -> dedup -> pairwise
-    -> agg), so the expensive LSH stage sees only quality-filtered distinct
-    docs. Every stage reuses the operator that backs its standalone query,
-    and the oracle replays the identical pipeline in DuckDB."""
+    Each stage shrinks the data before the next (filter -> dedup -> edges
+    -> agg). Every stage reuses the operator that backs its standalone
+    query, and the oracle replays the identical pipeline in DuckDB."""
     docs = t(spark, sf_dir, "documents")
     pass1 = docs.select("doc_id", "lang", "text").filter(
         TXT.quality_score(F.col("text")) >= 0.5
@@ -1115,14 +1140,14 @@ def c1_cleanroom_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", "text")
     )
-    hv = _shared_hv(spark, sf_dir).join(
-        pass2.select(F.col("doc_id").alias("id")), "id", "semi"
+    surv = pass2.select("doc_id")
+    edges = _shared_scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    dropped = (
+        edges.join(surv.withColumnRenamed("doc_id", "id_a"), "id_a", "semi")
+        .join(surv.withColumnRenamed("doc_id", "id_b"), "id_b", "semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
     )
-    pairs = DD.minhash_lsh_pairs(
-        pass2, num_hashes=16, bands=NBANDS, precomputed_hashes=hv,
-        bucket_cap=LSH_BUCKET_CAP,
-    )
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     pass3 = pass2.join(dropped, "doc_id", "left_anti")
     bucket = DD._hash64(F.col("doc_id").cast("string")) % 100
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
