@@ -46,6 +46,8 @@ HEADLINE = [
     "s3_lsh_bucket_stats",
     "s4_ivf_ann",
     "s5_cosine_topk_gemm",
+    "s6_kmeans",
+    "sk1_kmv_distinct",
     "w6_distributed_ranks",
     "t8_format_number",
     "mm2_decode_features",

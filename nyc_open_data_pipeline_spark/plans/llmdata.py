@@ -1158,3 +1158,166 @@ def c1_cleanroom_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(TXT.token_count(F.col("text"))).alias("total_tokens"),
         )
     )
+
+
+_TWO60 = float(1 << 60)
+
+
+@register(
+    "sk1_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT CAST({sql_hash64(SQL_NORM)} AS DOUBLE) / {1 << 60}.0 AS u
+      FROM documents
+    ),
+    k AS (SELECT u FROM h ORDER BY u LIMIT 64),
+    a AS (SELECT COUNT(*) AS kc, MAX(u) AS kth FROM k),
+    x AS (SELECT COUNT(*) AS n_exact FROM h)
+    SELECT CAST(a.kc AS BIGINT) AS k,
+           (a.kc - 1) / a.kth AS est_distinct,
+           x.n_exact
+    FROM a, x
+    """,
+    survey_ref="extension: PORTABLE distinct-count sketch (KMV / bottom-k). "
+    "Unlike HLL (engine-specific registers), the k-minimum-values estimator "
+    "is a pure function of the md5-derived hashes, so the sketch AND its "
+    "estimate reproduce bit-for-bit across engines — a mergeable sketch with "
+    "a hash-exact oracle.",
+)
+def sk1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct estimate of normalized document texts:
+    map each distinct hash to u in [0,1), keep the k=64 smallest, estimate
+    (k-1)/u_k. The k-smallest scan plans as TakeOrderedAndProject (per-
+    partition partial top-k, tiny merge) — at 100 TB each executor ships 64
+    doubles, and sketches from different corpora MERGE by union+re-top-k
+    (the property HLL needs register math for, here it's just min). The
+    exact count column exists to demonstrate estimator accuracy; production
+    drops it."""
+    d = t(spark, sf_dir, "documents")
+    u = DD._hash64(DD.normalized_text(F.col("text"))).cast("double") / F.lit(_TWO60)
+    h = d.select(u.alias("u")).distinct()
+    kdf = h.orderBy("u").limit(64)
+    a = kdf.agg(F.count("*").alias("kc"), F.max("u").alias("kth"))
+    x = h.agg(F.count("*").alias("n_exact"))
+    return a.crossJoin(x).select(
+        F.col("kc").cast("long").alias("k"),
+        ((F.col("kc") - F.lit(1)) / F.col("kth")).alias("est_distinct"),
+        "n_exact",
+    )
+
+
+_KM_DIM = 64
+_KM_K = 8
+
+
+def _sql_kmeans_assign(cents: str, out: str) -> str:
+    """Assignment CTE: nearest centroid by squared L2 (same left-fold dot
+    construction both engines), ties to the lowest cid."""
+    diff = f"list_transform(generate_series(1, {_KM_DIM}), i -> e.v[i] - c.cv[i])"
+    return f"""
+    {out} AS (
+      SELECT e.vec_id, e.v, c.cid
+      FROM e_norm e, {cents} c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_dot_product({diff}, {diff}), c.cid) = 1
+    )"""
+
+
+def _sql_kmeans_update(assigned: str, out: str) -> str:
+    """Centroid-update CTE: per-dimension decimal-exact mean (associative,
+    order-independent — both engines round the same exact decimal)."""
+    return f"""
+    {out} AS (
+      SELECT cid, list(m ORDER BY pos) AS cv
+      FROM (
+        SELECT a.cid, p.pos,
+               CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM {assigned} a, (SELECT unnest(generate_series(1, {_KM_DIM})) AS pos) p
+        GROUP BY a.cid, p.pos
+      ) GROUP BY cid
+    )"""
+
+
+@register(
+    "s6_kmeans",
+    oracle=f"""
+    WITH e_norm AS (
+      SELECT vec_id, {SQL_VEC} AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e_norm WHERE vec_id < {_KM_K}
+    ),
+    {_sql_kmeans_assign("c0", "a1")},
+    {_sql_kmeans_update("a1", "c1")},
+    {_sql_kmeans_assign("c1", "a2")}
+    SELECT a.cid AS cluster_id,
+           COUNT(*) AS n_members,
+           round(sqrt(list_dot_product(c.cv, c.cv)), 6) AS centroid_norm
+    FROM a2 a JOIN c1 c ON a.cid = c.cid
+    GROUP BY a.cid, c.cv
+    """,
+    survey_ref="extension: k-means (Lloyd) over the embedding corpus — the "
+    "iterative-ML pattern on Spark (broadcast centroids -> narrow assign -> "
+    "one shuffle per round), deterministic init (first K vectors) and "
+    "decimal-exact centroid means so TWO unrolled iterations verify "
+    "hash-exact cross-engine. Feeds s4's IVF cells at scale.",
+)
+def s6_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations, K=8, deterministic: centroids init to the first
+    K vectors, assignment = argmin squared-L2 (ties to lowest cid; the
+    distance is the same left-fold both engines), update = per-dimension
+    DECIMAL(38,12) mean (order-independent, so the reduce can combine
+    map-side partials at 100 TB without changing a bit).
+
+    Scale shape: centroids are K*dim literals broadcast in the plan; the
+    assignment stage is narrow (no shuffle); the update is one groupBy
+    (cid, dim) shuffle of K*dim*partitions partial rows. The driver-side
+    loop collects only K*dim doubles per round — same job topology as d7's
+    label propagation, the canonical iterative-Spark shape."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def assign(cents: list) -> DataFrame:
+        structs = []
+        for cid, cv in cents:
+            carr = F.array(*[F.lit(x) for x in cv])
+            diff = F.zip_with(F.col("v"), carr, lambda x, y: x - y)
+            structs.append(
+                F.struct(VEC.dot(diff, diff).alias("d"), F.lit(cid).alias("c"))
+            )
+        return e.withColumn("cid", F.array_min(F.array(*structs))["c"])
+
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < _KM_K).collect()
+    ]
+    a1 = assign(cents)
+    from nyc_open_data_pipeline_spark.plans.common import dec
+
+    mrows = (
+        a1.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg((F.sum(dec("val", 38, 12)).cast("double") / F.count("*")).alias("m"))
+        .collect()
+    )
+    by_cid: dict = {}
+    for r in mrows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+    c1 = [(cid, [d[p] for p in sorted(d)]) for cid, d in sorted(by_cid.items())]
+    a2 = assign(c1)
+    cdf = spark.createDataFrame(
+        [(cid, cv) for cid, cv in c1], "cid int, cv array<double>"
+    )
+    cnorm = cdf.select(
+        "cid", F.round(F.sqrt(VEC.dot(F.col("cv"), F.col("cv"))), 6).alias("centroid_norm")
+    )
+    return (
+        a2.groupBy("cid")
+        .agg(F.count("*").alias("n_members"))
+        .join(cnorm, "cid")
+        .select(
+            F.col("cid").cast("long").alias("cluster_id"), "n_members", "centroid_norm"
+        )
+    )

@@ -76,6 +76,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st4_stream_static_join",
     "st5_stream_late_data",
     "c1_cleanroom_pipeline",
+    "sk1_kmv_distinct",
+    "s6_kmeans",
     "s5_cosine_topk_gemm",
     "w6_distributed_ranks",
     "d4_lsh_jaccard_pairs",
