@@ -32,6 +32,8 @@ HEADLINE = [
     "o3_dedup_keep_last",
     "o5_top_k",
     "r1_melt_unpivot",
+    "as1_asof_join",
+    "rj1_range_join",
     "e1_tumbling_window",
     "e3_session_window",
     "d1_exact_dedup",

@@ -9,7 +9,7 @@ watermarked streaming variants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_open_data_pipeline_spark.plans.common import dec, dsum, sql_dsum, t
@@ -322,6 +322,119 @@ def e6_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     parsed = F.from_json("props", "k bigint")
     return ev.select("event_id", parsed.getField("k").alias("prop_k"))
+
+
+@register(
+    "as1_asof_join",
+    oracle="""
+    SELECT a.event_id, a.ts, b.event_id AS ref_event_id, b.value AS ref_value,
+           epoch(a.ts) - epoch(b.ts) AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id
+     AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+    QUALIFY row_number() OVER (PARTITION BY a.event_id
+                               ORDER BY b.ts DESC, b.event_id DESC) = 1
+    """,
+    survey_ref="extension: AS-OF join (operator Spark lacks natively — "
+    "driver steering names it). Each purchase matched to the same user's "
+    "most recent strictly-prior click. Oracle is the independent "
+    "inequality-join + row_number formulation.",
+)
+def as1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join the scalable way: union both sides tagged, ONE shuffle on
+    (user_id), per-partition sort by (ts, event_id), and a running
+    last-non-null window carries each reference row forward to the probe
+    rows that follow it (rowsBetween(-inf, -1) makes 'strictly prior'
+    exact, with event_id as the total-order tiebreak). No inequality join,
+    no per-probe scan — at 100 TB this is a sort-merge pass, the same shape
+    kdb/QuestDB use. The reference side rides along as NULL-padded columns,
+    so the window is a single pass."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "click")
+    tagged = b.select(
+        "user_id", "ts", "event_id", "value", F.lit(0).alias("__side")
+    ).unionByName(
+        a.select("user_id", "ts", "event_id", "value", F.lit(1).alias("__side"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_ref = F.col("__side") == 0
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "__side",
+        F.last(F.when(is_ref, F.col("event_id")), ignorenulls=True).over(w).alias("ref_event_id"),
+        F.last(F.when(is_ref, F.col("value")), ignorenulls=True).over(w).alias("ref_value"),
+        F.last(F.when(is_ref, F.col("ts")), ignorenulls=True).over(w).alias("__ref_ts"),
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        "event_id",
+        "ts",
+        "ref_event_id",
+        "ref_value",
+        (F.col("ts").cast("double") - F.col("__ref_ts").cast("double")).alias(
+            "gap_seconds"
+        ),
+    )
+
+
+_RJ_BIN_SECONDS = 4 * 3600
+
+
+@register(
+    "rj1_range_join",
+    oracle=f"""
+    SELECT a.event_id AS anchor_id,
+           COUNT(*) AS n_events,
+           {sql_dsum("e.value", "total_value")}
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    JOIN events e
+      ON a.user_id = e.user_id
+     AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 4 HOUR
+    GROUP BY 1
+    """,
+    survey_ref="extension: RANGE join (driver steering names it). Per-purchase "
+    "activity window: all same-user events within [ts, ts+4h). Oracle is the "
+    "plain inequality join; the Spark plan is the binned equi-join rewrite.",
+)
+def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without the O(n*m) inequality join: bin both sides into
+    4h epochs (bin width == window length, so an anchor's window spans at
+    most 2 bins), explode each anchor to its 2 candidate bins, equi-join on
+    (user_id, bin), then apply the exact range filter. Catalyst gets a hash
+    join on (user_id, bin) — one shuffle, no BroadcastNestedLoopJoin — and
+    each matching event appears under exactly one bin (its own), so no
+    dedup pass is needed. This is the standard interval-binning rewrite
+    Spark lacks as a built-in (DuckDB/kdb ship it natively)."""
+    ev = t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+    )
+    abin = F.floor(F.unix_timestamp("a_ts") / _RJ_BIN_SECONDS)
+    anchors = anchors.withColumn(
+        "bin", F.explode(F.array(abin.cast("long"), (abin + 1).cast("long")))
+    )
+    evb = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.floor(F.unix_timestamp("ts") / _RJ_BIN_SECONDS).cast("long").alias("bin"),
+    )
+    j = anchors.join(evb, ["user_id", "bin"]).filter(
+        (F.col("ts") >= F.col("a_ts"))
+        & (F.col("ts") < F.col("a_ts") + F.expr("INTERVAL 4 HOURS"))
+    )
+    return j.groupBy("anchor_id").agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
+    )
 
 
 @register(

@@ -78,6 +78,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "c1_cleanroom_pipeline",
     "sk1_kmv_distinct",
     "s6_kmeans",
+    "as1_asof_join",
+    "rj1_range_join",
     "s5_cosine_topk_gemm",
     "w6_distributed_ranks",
     "d4_lsh_jaccard_pairs",
