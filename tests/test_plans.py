@@ -76,3 +76,21 @@ def test_no_python_udf_in_relational_core(spark, sf_dir):
     ]:
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_as1_asof_is_one_pass_no_join(spark, sf_dir):
+    """The AS-OF join must plan as union -> one shuffle -> one window pass:
+    no join operator of any kind (the naive formulation degenerates to
+    BroadcastNestedLoopJoin, which is the 100 TB failure mode)."""
+    plan = plan_of(spark, sf_dir, "as1_asof_join")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1  # all three carried columns share one pass
+
+
+def test_rj1_range_join_is_equi_join(spark, sf_dir):
+    """The range join must plan as a hash equi-join on (user_id, bin) with
+    the interval predicate as a post-filter - never a nested-loop join."""
+    plan = plan_of(spark, sf_dir, "rj1_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # broadcast at test scale, shuffled-hash at 100 TB
