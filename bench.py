@@ -56,6 +56,8 @@ HEADLINE = [
     "tx1_token_stats",
     "tx2_quality_score",
     "tx3_language_id",
+    "tx8_top_terms_df",
+    "ctm1_contamination",
 ]
 
 

@@ -1321,3 +1321,194 @@ def s6_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").cast("long").alias("cluster_id"), "n_members", "centroid_norm"
         )
     )
+
+
+_SQL_SPLIT = (
+    f"CASE WHEN {sql_hash64('CAST(doc_id AS VARCHAR)')} % 100 < 80 THEN 'train' "
+    f"WHEN {sql_hash64('CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 'val' "
+    f"ELSE 'test' END"
+)
+
+
+@register(
+    "ctm1_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_sql_shingles('tk')} AS sh FROM toks),
+    hvl AS (
+      SELECT doc_id, list_distinct(list_transform(sh, s -> {sql_hash64('s')})) AS hv
+      FROM sh
+    ),
+    split AS (SELECT doc_id, {_SQL_SPLIT} AS split FROM documents),
+    test_sh AS (
+      SELECT h.doc_id, unnest(h.hv) AS sh
+      FROM hvl h JOIN split s ON h.doc_id = s.doc_id AND s.split = 'test'
+    ),
+    train_sh AS (
+      SELECT DISTINCT unnest(h.hv) AS sh
+      FROM hvl h JOIN split s ON h.doc_id = s.doc_id AND s.split = 'train'
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_contaminated
+      FROM test_sh t JOIN train_sh x ON t.sh = x.sh
+      GROUP BY t.doc_id
+    )
+    SELECT h.doc_id,
+           CAST(len(h.hv) AS BIGINT) AS n_shingles,
+           CAST(coalesce(i.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(i.n_contaminated, 0) AS DOUBLE)
+             / greatest(len(h.hv), 1) AS contamination
+    FROM hvl h
+    JOIN split s ON h.doc_id = s.doc_id AND s.split = 'test'
+    LEFT JOIN hits i ON h.doc_id = i.doc_id
+    """,
+    survey_ref="extension: eval-set DECONTAMINATION — per test-split document, "
+    "the fraction of its 3-gram shingles that appear anywhere in the train "
+    "split. The step every pretraining pipeline runs before shipping an eval "
+    "set; composes d9's split with the shared shingle-hash intermediate.",
+)
+def ctm1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram overlap: explode test docs' hashed shingles, semi
+    set-join against the DISTINCT train shingle corpus, count hits per test
+    doc. Scale shape: the join shuffles on the shingle hash (uniform by
+    construction — md5-derived), the train side is pre-distinct'ed so the
+    probe is |distinct shingles| not |occurrences|, and no row ever carries
+    text — only 64-bit hashes. At 100 TB the train shingle set is a bucketed
+    table reused across eval builds."""
+    hv = _shared_hv(spark, sf_dir)
+    bucket = DD._hash64(F.col("id").cast("string")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    tagged = hv.withColumn("split", split)
+    test_docs = tagged.filter(F.col("split") == "test")
+    train_sh = (
+        tagged.filter(F.col("split") == "train")
+        .select(F.explode("hv").alias("sh"))
+        .distinct()
+    )
+    test_sh = test_docs.select("id", F.explode("hv").alias("sh"))
+    hits = (
+        test_sh.join(train_sh, "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        test_docs.join(hits, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.size("hv").cast("long").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.greatest(F.size("hv"), F.lit(1))
+            ).alias("contamination"),
+        )
+    )
+
+
+_SMP_K = 20
+
+
+@register(
+    "smp1_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {sql_hash64("concat('smp1:', CAST(doc_id AS VARCHAR))")}, doc_id
+             ) AS BIGINT) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, lang, rnk FROM ranked WHERE rnk <= {_SMP_K}
+    """,
+    survey_ref="extension: DETERMINISTIC stratified sampling — k docs per "
+    "language stratum ordered by a salted content-stable hash (an eval/holdout "
+    "builder that every engine, run, and cluster reproduces identically; "
+    "RNG-based sample() cannot promise that).",
+)
+def smp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ordered top-k per stratum, computed scale-safely in two phases:
+    phase 1 takes the top-k within each (stratum, input partition) — a
+    window over (lang, partition_id), never a single-task global stratum
+    sort; phase 2 re-ranks the <= k*P survivors per stratum. The global
+    top-k is always a subset of the per-partition top-k union, so the
+    output is exact and partitioning-independent — at 100 TB a dominant
+    stratum (one lang = 90% of the corpus) still never lands in one task."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = DD._hash64(F.concat(F.lit("smp1:"), F.col("doc_id").cast("string")))
+    staged = d.select("doc_id", "lang", u.alias("u"), F.spark_partition_id().alias("pid"))
+    w_local = Window.partitionBy("lang", "pid").orderBy("u", "doc_id")
+    survivors = (
+        staged.withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= _SMP_K)
+        .drop("__lrn", "pid")
+    )
+    w_global = Window.partitionBy("lang").orderBy("u", "doc_id")
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rnk") <= _SMP_K)
+        .select("doc_id", "lang", "rnk")
+    )
+
+
+_TX8_K = 10
+
+
+@register(
+    "tx8_top_terms_df",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(list_distinct({SQL_TOKENS})) AS term
+      FROM documents
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY source, term),
+    scored AS (
+      SELECT tf.source, tf.term, tf.cnt, df.df,
+             CAST(tf.cnt AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+               AS score
+      FROM tf JOIN df ON tf.term = df.term, n
+    )
+    SELECT source, term, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df,
+           score,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, term) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY score DESC, term)
+            <= {_TX8_K}
+    """,
+    survey_ref="extension: characteristic terms per source — tf x inverse "
+    "document frequency (log-free rational score so both engines compute "
+    "identical doubles), top-k per source. The corpus-profiling step of "
+    "source-mix curation.",
+)
+def tx8_top_terms_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms: document-frequency-normalized term
+    score (cnt * N / df — no transcendental log, so the score is the same
+    IEEE double in both engines) and top-10 per source. Plan: one explode of
+    distinct per-doc terms, two partial-agg groupBys (term df, source-term
+    tf), a join on term, and a bounded per-source window. At 100 TB the df
+    table is the big one — it shuffles on term (uniform), and the window
+    sees only per-source aggregates, never raw rows."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("term"),
+    )
+    df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    scored = tf.join(df_tbl, "term").select(
+        "source", "term", "cnt", "df",
+        (
+            F.col("cnt").cast("double") * F.lit(float(n_docs)) / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TX8_K)
+        .select("source", "term", F.col("cnt").cast("long").alias("cnt"),
+                F.col("df").cast("long").alias("df"), "score", "rnk")
+    )

@@ -80,6 +80,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "s6_kmeans",
     "as1_asof_join",
     "rj1_range_join",
+    "ctm1_contamination",
+    "smp1_stratified_sample",
+    "tx8_top_terms_df",
     "s5_cosine_topk_gemm",
     "w6_distributed_ranks",
     "d4_lsh_jaccard_pairs",
