@@ -348,37 +348,24 @@ def as1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows that follow it (rowsBetween(-inf, -1) makes 'strictly prior'
     exact, with event_id as the total-order tiebreak). No inequality join,
     no per-probe scan — at 100 TB this is a sort-merge pass, the same shape
-    kdb/QuestDB use. The reference side rides along as NULL-padded columns,
-    so the window is a single pass."""
+    kdb/QuestDB use. The reference side rides along as a NULL-padded struct,
+    so the window is a single pass (operators/temporal.py::asof_join)."""
+    from nyc_open_data_pipeline_spark.operators.temporal import asof_join
+
     ev = t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase")
-    b = ev.filter(F.col("event_type") == "click")
-    tagged = b.select(
-        "user_id", "ts", "event_id", "value", F.lit(0).alias("__side")
-    ).unionByName(
-        a.select("user_id", "ts", "event_id", "value", F.lit(1).alias("__side"))
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
     )
-    is_ref = F.col("__side") == 0
-    carried = tagged.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "__side",
-        F.last(F.when(is_ref, F.col("event_id")), ignorenulls=True).over(w).alias("ref_event_id"),
-        F.last(F.when(is_ref, F.col("value")), ignorenulls=True).over(w).alias("ref_value"),
-        F.last(F.when(is_ref, F.col("ts")), ignorenulls=True).over(w).alias("__ref_ts"),
-    )
-    return carried.filter(F.col("__side") == 1).select(
+    m = asof_join(a, b, key="user_id", time="ts", tiebreak="event_id")
+    return m.select(
         "event_id",
         "ts",
-        "ref_event_id",
-        "ref_value",
-        (F.col("ts").cast("double") - F.col("__ref_ts").cast("double")).alias(
+        F.col("__asof.event_id").alias("ref_event_id"),
+        F.col("__asof.value").alias("ref_value"),
+        (F.col("ts").cast("double") - F.col("__asof.ts").cast("double")).alias(
             "gap_seconds"
         ),
     )
@@ -411,26 +398,20 @@ def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on (user_id, bin) — one shuffle, no BroadcastNestedLoopJoin — and
     each matching event appears under exactly one bin (its own), so no
     dedup pass is needed. This is the standard interval-binning rewrite
-    Spark lacks as a built-in (DuckDB/kdb ship it natively)."""
+    Spark lacks as a built-in (DuckDB/kdb ship it natively;
+    operators/temporal.py::range_join_binned)."""
+    from nyc_open_data_pipeline_spark.operators.temporal import range_join_binned
+
     ev = t(spark, sf_dir, "events")
     anchors = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("anchor_id"),
         "user_id",
         F.col("ts").alias("a_ts"),
     )
-    abin = F.floor(F.unix_timestamp("a_ts") / _RJ_BIN_SECONDS)
-    anchors = anchors.withColumn(
-        "bin", F.explode(F.array(abin.cast("long"), (abin + 1).cast("long")))
-    )
-    evb = ev.select(
-        "user_id",
-        "ts",
-        "value",
-        F.floor(F.unix_timestamp("ts") / _RJ_BIN_SECONDS).cast("long").alias("bin"),
-    )
-    j = anchors.join(evb, ["user_id", "bin"]).filter(
-        (F.col("ts") >= F.col("a_ts"))
-        & (F.col("ts") < F.col("a_ts") + F.expr("INTERVAL 4 HOURS"))
+    evb = ev.select("user_id", "ts", "value")
+    j = range_join_binned(
+        anchors, evb, key="user_id", probe_time="a_ts", event_time="ts",
+        window_seconds=_RJ_BIN_SECONDS,
     )
     return j.groupBy("anchor_id").agg(
         F.count("*").alias("n_events"), dsum("value", "total_value")

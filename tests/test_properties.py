@@ -141,3 +141,82 @@ def test_upsert_idempotent(spark, tmp_path_factory, batch):
     storage.upsert(spark, df, schema)
     twice = sorted(map(tuple, spark.read.parquet(storage.path("prop_table")).collect()))
     assert once == twice == sorted(dedup.items())
+
+
+asof_keys = st.integers(min_value=0, max_value=2)
+asof_times = st.integers(min_value=0, max_value=1000)
+
+
+@given(
+    left=st.lists(st.tuples(asof_keys, asof_times), min_size=1, max_size=15, unique=True),
+    right=st.lists(st.tuples(asof_keys, asof_times, values), min_size=0, max_size=15,
+                   unique_by=lambda r: (r[0], r[1])),
+)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join == pandas merge_asof(allow_exact_matches=False, by=key) on
+    inputs with unique (key, time) — the strict-predecessor semantics."""
+    from nyc_open_data_pipeline_spark.operators.temporal import asof_join
+
+    # keep (key, time) unique ACROSS sides so strictness is unambiguous
+    lset = set(left)
+    right = [r for r in right if (r[0], r[1]) not in lset]
+
+    # eid is the shared tiebreak column: globally unique across both sides
+    ldf = spark.createDataFrame(
+        [(k, t_, i) for i, (k, t_) in enumerate(left)], "k long, t long, eid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t_, v, 1000 + i) for i, (k, t_, v) in enumerate(right)],
+        "k long, t long, v long, eid long",
+    )
+    got = {
+        r["eid"]: (r["__asof"]["t"], r["__asof"]["v"]) if r["__asof"] else None
+        for r in asof_join(ldf, rdf, key="k", time="t", tiebreak="eid").collect()
+    }
+
+    lp = pd.DataFrame([(k, t_, i) for i, (k, t_) in enumerate(left)],
+                      columns=["k", "t", "eid"]).sort_values("t")
+    rp = pd.DataFrame([(k, t_, v) for k, t_, v in right],
+                      columns=["k", "t", "v"], dtype="int64").sort_values("t")
+    rp = rp.assign(t_r=rp["t"])  # merge_asof drops the right on-column
+    merged = pd.merge_asof(lp, rp, on="t", by="k", allow_exact_matches=False)
+    for row in merged.itertuples(index=False):
+        want = None if pd.isna(row.v) else (int(row.t_r), int(row.v))
+        assert got[row.eid] == want, (row.eid, got[row.eid], want)
+
+
+@given(
+    probes=st.lists(st.tuples(asof_keys, asof_times), min_size=1, max_size=10,
+                    unique_by=lambda r: r[1]),
+    events=st.lists(st.tuples(asof_keys, asof_times, values), min_size=0, max_size=20),
+)
+@SETTINGS
+def test_range_join_matches_brute_force(spark, probes, events):
+    """range_join_binned == the O(n*m) definition: same-key events with
+    event_time in [probe_time, probe_time + W)."""
+    import datetime as dt
+
+    from nyc_open_data_pipeline_spark.operators.temporal import range_join_binned
+
+    W = 60
+    TS = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    pdf = spark.createDataFrame(
+        [(k, TS(t_), i) for i, (k, t_) in enumerate(probes)],
+        "k long, pt timestamp, pid long",
+    )
+    edf = spark.createDataFrame(
+        [(k, TS(t_), v) for k, t_, v in events], "k long, et timestamp, v long"
+    )
+    got = sorted(
+        (r["pid"], r["et"], r["v"])
+        for r in range_join_binned(pdf, edf, key="k", probe_time="pt",
+                                   event_time="et", window_seconds=W).collect()
+    )
+    want = sorted(
+        (pid, TS(et), v)
+        for pid, (pk, pt) in enumerate(probes)
+        for (ek, et, v) in events
+        if ek == pk and pt <= et < pt + W
+    )
+    assert got == want
