@@ -1129,6 +1129,21 @@ def c1_cleanroom_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage shrinks the data before the next (filter -> dedup -> edges
     -> agg). Every stage reuses the operator that backs its standalone
     query, and the oracle replays the identical pipeline in DuckDB."""
+    return (
+        cleanroom_docs(spark, sf_dir)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TXT.token_count(F.col("text"))).alias("total_tokens"),
+        )
+    )
+
+
+def cleanroom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleanroom's per-document output (doc_id, lang, text, split):
+    quality-gated, exact-deduped, near-dup-dropped survivors with their
+    deterministic split. c1 aggregates this; ``write_cleanroom`` writes it
+    partitioned by split — the table a training run actually reads."""
     docs = t(spark, sf_dir, "documents")
     pass1 = docs.select("doc_id", "lang", "text").filter(
         TXT.quality_score(F.col("text")) >= 0.5
@@ -1151,13 +1166,16 @@ def c1_cleanroom_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass3 = pass2.join(dropped, "doc_id", "left_anti")
     bucket = DD._hash64(F.col("doc_id").cast("string")) % 100
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    return (
-        pass3.groupBy(split.alias("split"), "lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(TXT.token_count(F.col("text"))).alias("total_tokens"),
-        )
-    )
+    return pass3.select("doc_id", "lang", "text", split.alias("split"))
+
+
+def write_cleanroom(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Materialize the cleanroom corpus partitioned by split (d9's design:
+    the split column IS the output partition key, so each split is a
+    contiguous set of files a trainer lists directly — no filter scan)."""
+    cleanroom_docs(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(out_path)
 
 
 _TWO60 = float(1 << 60)

@@ -76,7 +76,3 @@ def run_incremental_dedup(
     q.awaitTermination(180)
 
 
-# re-export: ordered replay fixture lives in streaming/replay.py
-from nyc_open_data_pipeline_spark.streaming.replay import (  # noqa: E402,F401
-    ordered_range_chunks,
-)

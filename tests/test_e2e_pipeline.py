@@ -170,3 +170,31 @@ def test_upsert_reingest_is_stable(spark, warehouse):
     ingest_dataset(spark, load_dataset_config(REGISTRY, "census_acs"), warehouse, raw_df=acs_raw)
     after = spark.read.parquet(warehouse.path("census_acs_poverty")).count()
     assert before == after == 3
+
+
+def test_write_cleanroom_partitioned_by_split(spark, sf_dir, tmp_path):
+    """The cleanroom writer must produce split=train/val/test partition
+    directories whose union round-trips exactly (partition pruning then
+    lets a trainer read one split without scanning the others)."""
+    import os
+
+    from nyc_open_data_pipeline_spark.plans.llmdata import (
+        cleanroom_docs,
+        write_cleanroom,
+    )
+
+    out = str(tmp_path / "cleanroom")
+    write_cleanroom(spark, sf_dir, out)
+    parts = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    want_docs = cleanroom_docs(spark, sf_dir)
+    want_splits = sorted(
+        r["split"] for r in want_docs.select("split").distinct().collect()
+    )
+    assert parts == [f"split={s}" for s in want_splits]
+    back = spark.read.parquet(out)
+    assert back.count() == want_docs.count()
+    # reading ONE split must touch only that partition's files (pruning)
+    train = spark.read.parquet(out).filter("split = 'train'")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+    assert train.count() == want_docs.filter("split = 'train'").count()
