@@ -58,6 +58,7 @@ HEADLINE = [
     "tx3_language_id",
     "tx8_top_terms_df",
     "ctm1_contamination",
+    "seq1_pack_sequences",
 ]
 
 

@@ -1530,3 +1530,58 @@ def tx8_top_terms_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", F.col("cnt").cast("long").alias("cnt"),
                 F.col("df").cast("long").alias("df"), "score", "rnk")
     )
+
+
+_SEQ_LEN = 2048
+
+
+@register(
+    "seq1_pack_sequences",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, lang, {_SQL_SPLIT} AS split,
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM n
+    )
+    SELECT doc_id, split, lang, n_tokens,
+           CAST(floor((cum - n_tokens) / {_SEQ_LEN}.0) AS BIGINT) AS first_seq,
+           CAST(floor((cum - 1) / {_SEQ_LEN}.0) AS BIGINT) AS last_seq
+    FROM c
+    """,
+    survey_ref="extension: SEQUENCE PACKING for training-batch prep — each doc "
+    "mapped to its span of fixed-length (2048-token) concatenated sequences "
+    "per (split, lang) stream, deterministic doc_id order. The window cumsum "
+    "is the oracle; the Spark plan is the two-pass range-partitioned running "
+    "sum (operators/packing.py) with no single-partition stage.",
+)
+def seq1_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenation packing: documents stream per (split, lang)
+    in doc_id order; doc i occupies token interval [cum-n, cum), so its
+    sequence span is [floor((cum-n)/L), floor((cum-1)/L)] — docs crossing a
+    boundary continue in the next sequence. The running sum is computed the
+    scale-safe way (range-partition + per-slice offsets, like w6's ranks):
+    a 100 TB stratum never lands in one task, yet the result is byte-equal
+    to the serial window the oracle runs."""
+    from nyc_open_data_pipeline_spark.operators.packing import with_group_running_sum
+
+    d = t(spark, sf_dir, "documents")
+    bucket = DD._hash64(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    n = d.select(
+        "doc_id", "lang", split.alias("split"),
+        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    c = with_group_running_sum(
+        n, group_cols=["split", "lang"], order_cols=["doc_id"], value_col="n_tokens",
+        out_col="cum",
+    )
+    return c.select(
+        "doc_id", "split", "lang", "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / float(_SEQ_LEN)).cast("long").alias("first_seq"),
+        F.floor((F.col("cum") - 1) / float(_SEQ_LEN)).cast("long").alias("last_seq"),
+    )

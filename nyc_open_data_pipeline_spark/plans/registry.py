@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ctm1_contamination",
     "smp1_stratified_sample",
     "tx8_top_terms_df",
+    "seq1_pack_sequences",
     "s5_cosine_topk_gemm",
     "w6_distributed_ranks",
     "d4_lsh_jaccard_pairs",

@@ -94,3 +94,11 @@ def test_rj1_range_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan  # broadcast at test scale, shuffled-hash at 100 TB
+
+
+def test_seq1_has_no_single_partition_stage(spark, sf_dir):
+    """Sequence packing's running sum must be the two-pass range-partitioned
+    form - a serial Window.orderBy would show Exchange SinglePartition."""
+    plan = plan_of(spark, sf_dir, "seq1_pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
