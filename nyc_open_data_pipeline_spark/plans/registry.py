@@ -88,9 +88,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "w6_distributed_ranks",
     "d4_lsh_jaccard_pairs",
     "d7_dedup_clusters",
+    "d6_embedding_neardup",
+    # unchanged since round 1 (already driver-green there) — lowest priority
     "s2_lsh_buckets",
     "s3_lsh_bucket_stats",
-    "d6_embedding_neardup",
     "s4_ivf_ann",
     "q1_pricing_summary",
 )
