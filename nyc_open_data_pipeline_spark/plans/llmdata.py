@@ -1314,16 +1314,19 @@ def s6_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = assign(cents)
     from nyc_open_data_pipeline_spark.plans.common import dec
 
-    mrows = (
-        a1.select("cid", F.posexplode("v").alias("pos", "val"))
-        .groupBy("cid", "pos")
-        .agg((F.sum(dec("val", 38, 12)).cast("double") / F.count("*")).alias("m"))
-        .collect()
-    )
-    by_cid: dict = {}
-    for r in mrows:
-        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
-    c1 = [(cid, [d[p] for p in sorted(d)]) for cid, d in sorted(by_cid.items())]
+    # per-dimension decimal means WITHOUT exploding rows x dims: 64 indexed
+    # sums partial-aggregate map-side, shuffling K rows of 64 decimals
+    mrow = a1.groupBy("cid").agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(dec(F.col("v")[i], 38, 12)).cast("double").alias(f"s{i}")
+            for i in range(_KM_DIM)
+        ],
+    ).collect()
+    c1 = [
+        (r["cid"], [r[f"s{i}"] / r["__n"] for i in range(_KM_DIM)])
+        for r in sorted(mrow, key=lambda r: r["cid"])
+    ]
     a2 = assign(c1)
     cdf = spark.createDataFrame(
         [(cid, cv) for cid, cv in c1], "cid int, cv array<double>"

@@ -198,3 +198,23 @@ def test_write_cleanroom_partitioned_by_split(spark, sf_dir, tmp_path):
     plan = train._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(split" in plan
     assert train.count() == want_docs.filter("split = 'train'").count()
+
+
+def test_jsonl_roundtrip_cleanroom(spark, sf_dir, tmp_path):
+    """Cleanroom corpus round-trips through partitioned gzip JSONL (the
+    LLM-tooling interchange format) with identical rows."""
+    from nyc_open_data_pipeline_spark.plans.llmdata import cleanroom_docs
+    from nyc_open_data_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    out = str(tmp_path / "corpus_jsonl")
+    docs = cleanroom_docs(spark, sf_dir)
+    write_jsonl(docs, out, partition_by=["split"])
+    back = read_jsonl(spark, out, "doc_id long, lang string, text string")
+    # partition column comes back from the directory structure
+    assert set(back.columns) == {"doc_id", "lang", "text", "split"}
+    want = sorted((r["doc_id"], r["split"]) for r in docs.collect())
+    got = sorted((r["doc_id"], r["split"]) for r in back.collect())
+    assert got == want
+    import glob
+
+    assert glob.glob(f"{out}/split=*/*.json.gz"), "expected gzipped JSONL part files"
