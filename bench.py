@@ -57,6 +57,8 @@ HEADLINE = [
     "tx2_quality_score",
     "tx3_language_id",
     "tx8_top_terms_df",
+    "tx9_repetition_stats",
+    "mix2_cap_sample",
     "ctm1_contamination",
     "seq1_pack_sequences",
 ]

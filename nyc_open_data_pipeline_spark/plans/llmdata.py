@@ -1588,3 +1588,242 @@ def seq1_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum") - F.col("n_tokens")) / float(_SEQ_LEN)).cast("long").alias("first_seq"),
         F.floor((F.col("cum") - 1) / float(_SEQ_LEN)).cast("long").alias("last_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filters and source-mix capping
+# ---------------------------------------------------------------------------
+
+# Gopher-style repetition thresholds (Rae et al. 2021 appendix A, public
+# paper): documents dominated by a few tokens or by repeated n-grams are
+# boilerplate or spam, not prose. Tuned so both keep branches occur on the
+# synthetic corpus.
+_TX9_MIN_TTR = 0.4        # distinct-token / token ratio floor
+_TX9_MAX_TOP_FRAC = 0.12  # most-frequent-token occurrence share ceiling
+_TX9_MAX_DUP2 = 0.1       # share of bigram occurrences in repeated bigrams
+
+
+def _run_length_agg(arr, emit_max: bool):
+    """Run-length scan over a SORTED string array, entirely inside one JVM
+    higher-order ``aggregate`` — per-document frequency stats with ZERO
+    shuffle and no explode (the explode+groupBy(doc_id) form shuffles
+    |tokens| rows; this shuffles none).
+
+    emit_max=True  -> the longest run length (= max occurrence count).
+    emit_max=False -> total elements in runs of length >= 2 (= occurrences
+                      belonging to duplicated values).
+    """
+    init = F.struct(
+        F.lit(" ").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("out")
+    )
+
+    def merge(acc, x):
+        same = x == acc["prev"]
+        run = F.when(same, acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        if emit_max:
+            out = F.greatest(acc["out"], run)
+        else:
+            inc = (
+                F.when(~same, F.lit(0))
+                .when(acc["run"] == F.lit(1), F.lit(2))
+                .otherwise(F.lit(1))
+            )
+            out = acc["out"] + inc
+        return F.struct(x.alias("prev"), run.alias("run"), out.alias("out"))
+
+    return F.aggregate(arr, init, merge, lambda acc: acc["out"])
+
+
+@register(
+    "tx9_repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      GROUP BY doc_id, tok
+    ),
+    tok_stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(MAX(c) AS BIGINT) AS max_c
+      FROM tok_counts GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS g
+      FROM toks WHERE len(tk) >= 2
+    ),
+    gram_counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    gram_stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+      FROM gram_counts GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_types,
+           CAST(s.n_types AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS type_token_ratio,
+           CAST(s.max_c AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS top_token_frac,
+           CAST(coalesce(g.dup_occ, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(g.n_grams, 0), 1) AS DOUBLE) AS dup_bigram_frac,
+           CAST(CASE WHEN CAST(s.n_types AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) >= {_TX9_MIN_TTR}
+                      AND CAST(s.max_c AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) <= {_TX9_MAX_TOP_FRAC}
+                      AND CAST(coalesce(g.dup_occ, 0) AS DOUBLE)
+                          / CAST(greatest(coalesce(g.n_grams, 0), 1) AS DOUBLE) <= {_TX9_MAX_DUP2}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM tok_stats s LEFT JOIN gram_stats g ON s.doc_id = g.doc_id
+    """,
+    survey_ref="extension: Gopher-style REPETITION quality filters (Rae et al. "
+    "2021) — type-token ratio, top-token share, duplicated-bigram share, and "
+    "the keep decision. The standard pretraining boilerplate/spam gate.",
+)
+def tx9_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals computed as run-length scans over the
+    SORTED token / bigram arrays — JVM higher-order ``aggregate`` only, so
+    the whole query is one narrow scan-project stage: no explode, no shuffle,
+    no Python. The oracle computes the same stats the relational way
+    (unnest + GROUP BY doc_id) and must agree value-for-value. At 100 TB the
+    filter runs at scan speed and composes with c1's cleanroom flow."""
+    d = t(spark, sf_dir, "documents")
+    tk = TXT.tokens(F.col("text"))
+    staged = d.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + F.lit(1))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+    )
+    stats = staged.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_types"),
+        _run_length_agg(F.array_sort("tk"), emit_max=True).alias("__max_c"),
+        F.size("grams").cast("long").alias("__n_grams"),
+        _run_length_agg(F.array_sort("grams"), emit_max=False).alias("__dup_occ"),
+    )
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+    top = F.col("__max_c").cast("double") / F.col("n_tokens").cast("double")
+    dup2 = F.col("__dup_occ").cast("double") / F.greatest(
+        F.col("__n_grams"), F.lit(1)
+    ).cast("double")
+    return stats.select(
+        "doc_id", "n_tokens", "n_types",
+        ttr.alias("type_token_ratio"),
+        top.alias("top_token_frac"),
+        dup2.alias("dup_bigram_frac"),
+        (
+            (ttr >= _TX9_MIN_TTR) & (top <= _TX9_MAX_TOP_FRAC) & (dup2 <= _TX9_MAX_DUP2)
+        ).cast("long").alias("keep"),
+    )
+
+
+# Per-source token budget for mix capping: between the sf0.01 per-source
+# totals (1.1k-1.6k tokens), so some sources cap and some pass whole; at
+# larger SF every source caps — both branches stay exercised.
+_MIX_CAP_TOKENS = 1300
+_MIX_MOD = 1_000_000
+
+
+def _mix_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source -> (n_docs, n_tokens, sample_rate, sample_threshold): the
+    deterministic downsampling rate that caps each source's token
+    contribution at _MIX_CAP_TOKENS. Pure rational arithmetic + floor, so
+    every engine derives the identical threshold integer."""
+    d = t(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(_MIX_CAP_TOKENS)) / F.col("n_tokens").cast("double")
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        rate.alias("sample_rate"),
+        F.floor(rate * _MIX_MOD).cast("long").alias("sample_threshold"),
+    )
+
+
+_MIX_TOK_SQL = f"CAST(len({SQL_TOKENS}) AS BIGINT)"
+_MIX_THR_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_MIX_TOK_SQL} AS n_tokens FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY source
+    ),
+    thr AS (
+      SELECT source, n_docs, n_tokens,
+             least(1.0, {_MIX_CAP_TOKENS}.0 / CAST(n_tokens AS DOUBLE)) AS sample_rate,
+             CAST(floor(least(1.0, {_MIX_CAP_TOKENS}.0 / CAST(n_tokens AS DOUBLE))
+                        * {_MIX_MOD}) AS BIGINT) AS sample_threshold
+      FROM agg
+    )
+"""
+
+
+@register(
+    "mix1_source_weights",
+    oracle=_MIX_THR_SQL + "SELECT * FROM thr",
+    survey_ref="extension: SOURCE-MIX curation — per-source token budgets and "
+    "the deterministic sampling rate/threshold that caps any one source's "
+    "contribution (the domain-weighting step of pretraining mix design).",
+)
+def mix1_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mix table: token totals and the capped sampling threshold.
+    One partial-aggregated groupBy over ~|sources| keys; the output is a
+    dimension table small enough to broadcast into the sampling pass."""
+    return _mix_thresholds(spark, sf_dir)
+
+
+@register(
+    "mix2_cap_sample",
+    oracle=_MIX_THR_SQL + f""",
+    kept AS (
+      SELECT t.source, t.n_tokens
+      FROM tok t JOIN thr ON t.source = thr.source
+      WHERE {sql_hash64("concat('mix:', CAST(t.doc_id AS VARCHAR))")} % {_MIX_MOD}
+            < thr.sample_threshold
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+    FROM kept GROUP BY source
+    """,
+    survey_ref="extension: apply the mix cap — deterministic hash-gate "
+    "downsampling to the per-source thresholds (broadcast the rate table, "
+    "filter at scan speed; no RNG, so every run/engine keeps the same docs).",
+)
+def mix2_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the mix plan: broadcast-join the per-source threshold table,
+    keep a document iff its salted content-stable hash falls under the
+    source's threshold, and re-aggregate the achieved mix. At 100 TB this is
+    a scan + broadcast hash join + one small shuffle on source — the rate
+    table is K rows and the filter never materializes dropped docs."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TXT.token_count(F.col("text")).alias("n_tokens")
+    )
+    thr = F.broadcast(
+        _mix_thresholds(spark, sf_dir).select("source", "sample_threshold")
+    )
+    gate = DD._hash64(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ) % _MIX_MOD
+    return (
+        d.join(thr, "source")
+        .filter(gate < F.col("sample_threshold"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+        )
+    )

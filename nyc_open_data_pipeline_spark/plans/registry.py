@@ -70,6 +70,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "r2_pivot",
     "t10_date_arithmetic",
     # new or materially changed this round — re-prove under the driver
+    "tx9_repetition_stats",
+    "mix1_source_weights",
+    "mix2_cap_sample",
     "t8_format_number",
     "st2_stateful_profiles",
     "st3_stream_incremental_dedup",

@@ -102,3 +102,21 @@ def test_seq1_has_no_single_partition_stage(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "seq1_pack_sequences")
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_tx9_repetition_is_narrow_no_explode(spark, sf_dir):
+    """Repetition stats must stay a scan-project pipeline: the run-length
+    aggregates run inside JVM higher-order functions, never via
+    explode+groupBy (which would shuffle |tokens| rows) or Python."""
+    plan = plan_of(spark, sf_dir, "tx9_repetition_stats")
+    assert "Generate" not in plan        # no explode
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # only the local single-row-group loader repartition may exchange
+    assert plan.count("Exchange") <= 1
+
+
+def test_mix2_broadcasts_the_rate_table(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "mix2_cap_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
