@@ -61,6 +61,11 @@ HEADLINE = [
     "mix2_cap_sample",
     "ctm1_contamination",
     "seq1_pack_sequences",
+    "f1_funnel",
+    "f2_retention_cohorts",
+    "f3_event_transitions",
+    "tx10_token_surprisal",
+    "tx11_char_entropy",
 ]
 
 

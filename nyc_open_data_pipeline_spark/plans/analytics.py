@@ -1,0 +1,169 @@
+"""Behavioral analytics over the ``events`` table: funnel, retention,
+transition matrix.
+
+The reference serves aggregated per-area documents (reference
+``src/api/routes.py:10-141``); these queries add the standard event-analytics
+surface every warehouse engine ships — ordered-step funnels, cohort
+retention, and Markov transition counts — expressed as plain DataFrame
+joins/windows so Catalyst plans them as exchanges on ``user_id`` that AQE
+can coalesce. All outputs are integer-exact (counts and day offsets), so the
+DuckDB oracles must match value-for-value with no float tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_open_data_pipeline_spark.plans.common import t
+from nyc_open_data_pipeline_spark.plans.registry import register
+
+# Ordered funnel steps over the synthetic product events. Each step must
+# happen strictly AFTER the user's earliest completion of the previous step
+# (the standard "ordered funnel" semantics, not mere set membership).
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "f1_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_no, 'view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    """,
+    survey_ref="extension: ordered-step funnel (view -> click -> purchase), "
+    "strictly-after semantics per step — the standard product-analytics "
+    "query the reference's serving layer has no counterpart for.",
+)
+def f1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users reaching step k did step k strictly after their
+    earliest completion of step k-1. Each stage is a filter + partial-agg
+    groupBy(user_id) followed by a join back on user_id — every exchange in
+    the chain hashes the SAME key, so Catalyst reuses the partitioning
+    instead of reshuffling, and each stage's input shrinks monotonically
+    (funnel property). At 100 TB the per-step state is one row per
+    surviving user, never the raw event log."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(step: str, prev: DataFrame | None, prev_t: str, out_t: str) -> DataFrame:
+        s = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    s1 = first_after("view", None, "", "t1")
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+
+    def level(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("step_no"),
+            F.lit(name).alias("step"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+
+    return (
+        level(1, "view", s1)
+        .unionAll(level(2, "click", s2))
+        .unionAll(level(3, "purchase", s3))
+    )
+
+
+@register(
+    "f2_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           date_diff('day', f.cohort_day, a.active_day) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: cohort retention — users grouped by first-seen "
+    "day, activity counted per day offset (the classic retention triangle).",
+)
+def f2_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: cohort = first active day, one row per
+    (cohort_day, day_offset) with the distinct-user count. Both the
+    first-seen aggregate and the distinct-activity set partition on
+    user_id — one exchange feeds both sides of the join, then a small
+    reaggregation on ~|days|^2/2 cells. At 100 TB the join operands are
+    |users| and |users x active-days| rows (already deduplicated), not raw
+    events."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("active_day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "f3_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: per-user event-transition (Markov) matrix via "
+    "lag() — the sequence-analysis primitive behind session-flow reports.",
+)
+def f3_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition matrix: consecutive event pairs per user (ties broken by
+    event_id so the sequence — and therefore the counts — is deterministic),
+    reduced to |event_type|^2 cells. One hash exchange on user_id for the
+    window sort, then a partial-agg groupBy over 25 cells; the window state
+    is one preceding row (lag-1), so executors stream it without
+    materializing a user's history."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )

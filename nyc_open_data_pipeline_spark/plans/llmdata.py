@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from nyc_open_data_pipeline_spark.functions import text as TXT
 from nyc_open_data_pipeline_spark.functions import vectors as VEC
 from nyc_open_data_pipeline_spark.operators import dedup as DD
-from nyc_open_data_pipeline_spark.plans.common import t
+from nyc_open_data_pipeline_spark.plans.common import dec, t
 from nyc_open_data_pipeline_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1825,5 +1825,195 @@ def mix2_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_docs_kept"),
             F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality signals: unigram surprisal + character entropy
+# ---------------------------------------------------------------------------
+
+
+def _pround(col, scale: int = 6):
+    """Portable 6-decimal round: floor(x*1e6 + 0.5)/1e6, the SAME IEEE op
+    sequence in Spark and DuckDB (see _SQL_PROUND) — native round() differs
+    between the engines at half-boundaries (Spark rounds the exact binary
+    expansion via BigDecimal HALF_UP; DuckDB rounds in floating point), which
+    flipped one document's last digit at sf0.1."""
+    m = F.lit(float(10 ** scale))
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def _sql_pround(expr: str, scale: int = 6) -> str:
+    m = float(10 ** scale)
+    return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
+def _run_counts(arr):
+    """(value, count) pairs of the runs in a SORTED string array, O(n) with
+    pure JVM array expressions (no explode of every occurrence, no O(n^2)
+    append-fold): run starts are the positions where the value changes; run
+    lengths are the gaps between consecutive starts."""
+    n = F.size(arr)
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(arr, i) != F.element_at(arr, i - F.lit(1)),
+        ),
+    )
+    nexts = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + F.lit(1)),
+    )
+    pairs = F.zip_with(
+        starts,
+        nexts,
+        lambda s, e: F.struct(
+            F.element_at(arr, s).alias("v"), (e - s).cast("long").alias("c")
+        ),
+    )
+    return F.when(n >= 1, pairs).otherwise(
+        F.array().cast("array<struct<v:string,c:bigint>>")
+    )
+
+
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, c_doc): per-document distinct-token occurrence counts.
+    The run-length pairs are computed inside the scan stage, so the explode
+    emits |types-per-doc| rows, not |tokens| — on natural text that is the
+    classic ~40-60% Heaps-law reduction before the first shuffle."""
+    d = t(spark, sf_dir, "documents")
+    runs = _run_counts(F.array_sort(TXT.tokens(F.col("text"))))
+    return d.select("doc_id", F.explode(runs).alias("r")).select(
+        "doc_id", F.col("r.v").alias("tok"), F.col("r.c").alias("c_doc")
+    )
+
+
+_SQL_DOC_TOK = f"""
+    doc_tok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c_doc
+      FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    )
+"""
+
+
+@register(
+    "tx10_token_surprisal",
+    oracle=f"""
+    WITH {_SQL_DOC_TOK},
+    vocab AS (SELECT tok, CAST(SUM(c_doc) AS BIGINT) AS c FROM doc_tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+    lp AS (
+      SELECT tok, {_sql_pround('log2(CAST(c AS DOUBLE) / n)')} AS logp FROM vocab, tot
+    ),
+    per AS (
+      SELECT d.doc_id,
+             CAST(SUM(CAST(d.c_doc * lp.logp AS DECIMAL(28,10))) AS DOUBLE) AS s,
+             CAST(SUM(d.c_doc) AS BIGINT) AS n_tokens
+      FROM doc_tok d JOIN lp ON d.tok = lp.tok GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {_sql_pround('-s / n_tokens')} AS avg_surprisal_bits
+    FROM per
+    """,
+    survey_ref="extension: unigram-LM surprisal (perplexity proxy) — the "
+    "corpus-statistics quality gate (CCNet/Wikipedia-LM filtering uses the "
+    "same signal with a trained LM); docs whose tokens are uniformly rare "
+    "or uniformly boilerplate stand out at the distribution tails.",
+)
+def tx10_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (bits/token) under the corpus's
+    own unigram model: -(1/n) * sum_t c_doc(t) * log2(c(t)/N).
+
+    Plan: the per-doc (token, count) pairs feed BOTH the vocabulary
+    aggregation and the per-doc reduction, so the corpus is tokenized once;
+    the vocab join shuffles |types| rows per doc, not |tokens|. The total-N
+    scalar rides in via a 1-row cross join (a literal after Catalyst's
+    subquery reuse). Determinism: per-token logp is rounded to 6 decimals,
+    the per-doc sum runs through exact DECIMAL (order-independent), and the
+    final division is a single IEEE op — both engines agree bit-for-bit.
+    At 100 TB the vocab table is Heaps-law sublinear (~100M types), well
+    inside a shuffle join; the per-doc reduction re-uses the doc_id
+    partitioning Catalyst already has from the explode side."""
+    doc_tok = _doc_token_counts(spark, sf_dir)
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c_doc").cast("long").alias("c"))
+    total = vocab.agg(F.sum("c").cast("long").alias("n"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        _pround(F.log2(F.col("c").cast("double") / F.col("n"))).alias("logp"),
+    )
+    per = doc_tok.join(lp, "tok").groupBy("doc_id").agg(
+        F.sum(dec(F.col("c_doc") * F.col("logp"), 28, 10)).cast("double").alias("s"),
+        F.sum("c_doc").cast("long").alias("n_tokens"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        _pround(-F.col("s") / F.col("n_tokens")).alias("avg_surprisal_bits"),
+    )
+
+
+@register(
+    "tx11_char_entropy",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n_chars,
+             unnest(list_transform(generate_series(1, length(text)),
+                                   i -> text[i])) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, any_value(n_chars) AS n_chars, ch,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    per AS (
+      SELECT doc_id, any_value(n_chars) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_char_types,
+             CAST(SUM(CAST({_sql_pround('c * log2(CAST(c AS DOUBLE))')}
+                           AS DECIMAL(28,10))) AS DOUBLE) AS s
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_char_types,
+           {_sql_pround('log2(CAST(n_chars AS DOUBLE)) - s / n_chars')}
+             AS char_entropy_bits
+    FROM per
+    """,
+    survey_ref="extension: character-level Shannon entropy — the gibberish/"
+    "binary-spill detector (low entropy = repeated filler, high entropy = "
+    "random bytes); standard pretraining quality signal.",
+)
+def tx11_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy H = log2(N) - (1/N) sum_c c*log2(c),
+    computed ENTIRELY inside the scan stage: sort the char array, take O(n)
+    run-length counts (`_run_counts`), and fold the c*log2(c) terms into an
+    exact DECIMAL accumulator with a JVM higher-order aggregate — no
+    explode, no shuffle, no Python. Each term is rounded to 6 decimals
+    before accumulation so the sequential fold here and the hash-aggregate
+    SUM in the oracle add the same exact decimals (order-independent). At
+    100 TB this runs at scan speed alongside the other tx* signals."""
+    d = t(spark, sf_dir, "documents")
+    runs = _run_counts(F.array_sort(F.split(F.col("text"), "")))
+    zero = F.lit(0).cast("decimal(28,10)")
+    s = F.aggregate(
+        F.col("__runs"),
+        zero,
+        lambda acc, r: (
+            acc
+            + _pround(r["c"] * F.log2(r["c"].cast("double"))).cast("decimal(28,10)")
+        ).cast("decimal(28,10)"),
+    )
+    n = F.length("text").cast("long")
+    return (
+        d.select("doc_id", "text", runs.alias("__runs"))
+        .select(
+            "doc_id",
+            n.alias("n_chars"),
+            F.size("__runs").cast("long").alias("n_char_types"),
+            _pround(
+                F.log2(n.cast("double")) - s.cast("double") / n
+            ).alias("char_entropy_bits"),
         )
     )

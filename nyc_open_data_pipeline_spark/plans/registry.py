@@ -70,6 +70,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "r2_pivot",
     "t10_date_arithmetic",
     # new or materially changed this round — re-prove under the driver
+    "f1_funnel",
+    "f2_retention_cohorts",
+    "f3_event_transitions",
+    "tx10_token_surprisal",
+    "tx11_char_entropy",
     "tx9_repetition_stats",
     "mix1_source_weights",
     "mix2_cap_sample",
@@ -117,6 +122,7 @@ def register(
 def all_queries() -> dict[str, QuerySpec]:
     """Import every plan module (side effect: registration) and return all."""
     from nyc_open_data_pipeline_spark.plans import (  # noqa: F401
+        analytics,
         events,
         geo,
         llmdata,
