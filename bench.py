@@ -61,6 +61,7 @@ HEADLINE = [
     "mix2_cap_sample",
     "ctm1_contamination",
     "seq1_pack_sequences",
+    "d10_editdist_verify",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",

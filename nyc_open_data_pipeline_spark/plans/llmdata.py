@@ -2017,3 +2017,101 @@ def tx11_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_entropy_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of near-dup candidates
+# ---------------------------------------------------------------------------
+
+# Verify only plausible candidates (the LSH pairs already Jaccard-scored) and
+# bound the quadratic levenshtein kernel by truncating to a fixed prefix —
+# the standard fuzzy-dedup verify step (candidates are sub-quadratic by
+# construction; the kernel cost per pair is capped at _ED_PREFIX^2).
+_ED_MIN_JACCARD = 0.3
+_ED_PREFIX = 400
+
+_SQL_ED_PAIRS = f"""
+    {_sql_minhash_sigs()},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * NROWS + r}" for r in range(NROWS))
+        + ") AS band_key FROM sigs"
+        for b in range(NBANDS)
+      )}
+    ),
+    capped AS (
+      SELECT doc_id, band, band_key FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+              <= {LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM capped l JOIN capped r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+               / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv)))
+               AS jaccard
+      FROM cand c JOIN hvl a ON c.id_a = a.doc_id JOIN hvl b ON c.id_b = b.doc_id
+    )
+"""
+
+
+@register(
+    "d10_editdist_verify",
+    oracle=f"""
+    WITH {_SQL_ED_PAIRS},
+    strong AS (SELECT * FROM pairs WHERE jaccard >= {_ED_MIN_JACCARD}),
+    txt AS (SELECT doc_id, substr({SQL_NORM}, 1, {_ED_PREFIX}) AS nt FROM documents)
+    SELECT s.id_a, s.id_b, s.jaccard,
+           CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS edit_distance,
+           1.0 - levenshtein(ta.nt, tb.nt)
+                   / CAST(greatest(length(ta.nt), length(tb.nt)) AS DOUBLE)
+             AS edit_sim
+    FROM strong s JOIN txt ta ON s.id_a = ta.doc_id
+                  JOIN txt tb ON s.id_b = tb.doc_id
+    """,
+    survey_ref="extension: edit-distance (Levenshtein) verification of LSH "
+    "near-dup candidates — the character-level second opinion fuzzy-dedup "
+    "pipelines run on Jaccard-flagged pairs before dropping documents.",
+)
+def d10_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verify pass: for every LSH candidate pair with
+    Jaccard >= 0.3, compute the Levenshtein distance between the two
+    normalized texts (truncated to a 400-char prefix, bounding the O(L^2)
+    kernel) and the derived similarity 1 - d/max_len.
+
+    Plan shape: the pair list is the SHARED persisted scored-pairs
+    intermediate (computed once per session for d4/d7/c1/d10); two hash
+    joins hydrate the truncated texts; `levenshtein` is a JVM built-in, so
+    the kernel stays inside whole-stage codegen. At 100 TB the verify cost
+    is |candidate pairs| * _ED_PREFIX^2 character ops — candidates are
+    sub-quadratic via banding and bucket caps, and the truncation makes the
+    per-pair cost a constant."""
+    pairs = _shared_scored_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= _ED_MIN_JACCARD
+    )
+    txt = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(DD.normalized_text(F.col("text")), 1, _ED_PREFIX).alias("nt"),
+    )
+    ta = txt.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("nt_a"))
+    tb = txt.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("nt_b"))
+    lev = F.levenshtein("nt_a", "nt_b")
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            lev.cast("long").alias("edit_distance"),
+            (
+                F.lit(1.0)
+                - lev / F.greatest(F.length("nt_a"), F.length("nt_b")).cast("double")
+            ).alias("edit_sim"),
+        )
+    )

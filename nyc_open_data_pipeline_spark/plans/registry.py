@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "r2_pivot",
     "t10_date_arithmetic",
     # new or materially changed this round — re-prove under the driver
+    "d10_editdist_verify",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",
