@@ -440,3 +440,79 @@ def e5_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
     )
+
+
+@register(
+    "st6_stream_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_no, 'view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    """,
+    survey_ref="§2.13 custom stateful streaming operator #2: ordered funnel "
+    "as an applyInPandasWithState state machine — late/out-of-order step "
+    "events handled by retaining step timestamps in state; oracle is the "
+    "batch funnel SQL (stream==batch equivalence as a hard check).",
+)
+def st6_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel: events replayed as 3 micro-batches split by
+    event_id mod 3 — each user's step events are scattered ACROSS batches
+    and arrive out of ts-order, so the state machine (not replay luck) must
+    reconstruct the strictly-after chain. Final per-user state is reduced to
+    the same (step_no, step, n_users) table the batch funnel produces; the
+    oracle is f1_funnel's SQL verbatim. At scale the state per user is the
+    funnel-relevant timestamps only, and the per-batch work is one
+    groupBy(user_id) state update — Kafka replaces the file replay
+    unchanged."""
+    import tempfile
+    import uuid
+
+    from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
+    from nyc_open_data_pipeline_spark.streaming.stateful import funnel_stream
+    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+
+    d = tempfile.mkdtemp(prefix="st6_events_")
+    ev = t(spark, sf_dir, "events")
+    write_stream_chunks(
+        [ev.filter(F.col("event_id") % 3 == k) for k in range(3)], d
+    )
+    stream = events_stream(spark, path=d, maxFilesPerTrigger=1)
+    name = f"st6_{uuid.uuid4().hex[:8]}"
+    run_to_memory(funnel_stream(stream), name, mode="update")
+    # update-mode memory sink: one row per (user, batch that touched it);
+    # n_seen is monotone, so max_by picks each user's final state.
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max_by("reached", "n_seen").alias("reached"))
+    )
+    steps = [(1, "view"), (2, "click"), (3, "purchase")]
+    out = None
+    for no, step in steps:
+        lvl = final.filter(F.col("reached") >= no).agg(
+            F.lit(no).alias("step_no"),
+            F.lit(step).alias("step"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        out = lvl if out is None else out.unionAll(lvl)
+    return out

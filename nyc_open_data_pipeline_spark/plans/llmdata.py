@@ -2115,3 +2115,77 @@ def d10_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Long-document chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+_CHUNK_LEN = 128   # tokens per chunk
+_CHUNK_STRIDE = 112  # chunk starts every STRIDE tokens -> LEN-STRIDE overlap
+
+
+@register(
+    "seq2_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk, CAST(len({SQL_TOKENS}) AS BIGINT) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0,
+               CAST(greatest(ceil((n - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0), 0) AS BIGINT)))
+               AS chunk_id,
+             tk
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}, n) AS BIGINT) AS end_tok,
+           array_to_string(
+             list_slice(tk, chunk_id * {_CHUNK_STRIDE} + 1,
+                        least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}, n)),
+             ' ') AS chunk_text
+    FROM chunks
+    """,
+    survey_ref="extension: LONG-DOCUMENT CHUNKING — fixed 128-token windows "
+    "with 16-token overlap (stride 112), the standard context-window "
+    "preprocessing step (seq1 packs short docs; seq2 splits long ones).",
+)
+def seq2_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker: doc with n tokens yields
+    1 + max(0, ceil((n-L)/S)) chunks; chunk k covers tokens
+    [k*S+1, min(k*S+L, n)] — consecutive chunks overlap by L-S tokens so no
+    context is lost at boundaries, and the last chunk is never empty.
+
+    Plan: tokenize once per doc, explode only the chunk INDEX (a few ints
+    per doc), and slice the token array per index — all JVM expressions in
+    the scan stage; the explode is a narrow row-generator, no shuffle at
+    all. At 100 TB the output is written partitioned by split/source
+    downstream; chunk_text re-materializes only the window, so peak memory
+    per row is one doc's token array."""
+    d = t(spark, sf_dir, "documents")
+    tk = TXT.tokens(F.col("text"))
+    staged = d.select("doc_id", tk.alias("tk"), F.size(tk).cast("long").alias("n"))
+    last_chunk = F.greatest(
+        F.ceil((F.col("n") - F.lit(_CHUNK_LEN)) / F.lit(float(_CHUNK_STRIDE))),
+        F.lit(0),
+    ).cast("long")
+    start = F.col("chunk_id") * _CHUNK_STRIDE + 1
+    end = F.least(F.col("chunk_id") * _CHUNK_STRIDE + _CHUNK_LEN, F.col("n"))
+    return (
+        staged.select(
+            "doc_id", "tk", "n",
+            F.explode(F.sequence(F.lit(0).cast("long"), last_chunk)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            start.cast("long").alias("start_tok"),
+            end.cast("long").alias("end_tok"),
+            F.array_join(
+                F.slice(F.col("tk"), start.cast("int"), (end - start + 1).cast("int")),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

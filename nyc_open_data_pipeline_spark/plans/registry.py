@@ -71,6 +71,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "t10_date_arithmetic",
     # new or materially changed this round — re-prove under the driver
     "d10_editdist_verify",
+    "st6_stream_funnel",
+    "seq2_chunk_documents",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",

@@ -11,6 +11,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
@@ -40,6 +41,81 @@ def user_profile_stream(stream: DataFrame) -> DataFrame:
             _update_user_profile,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ordered funnel (st6) — custom state machine per user
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_OUTPUT_SCHEMA = "user_id long, reached int, n_seen long"
+FUNNEL_STATE_SCHEMA = (
+    "views array<bigint>, clicks array<bigint>, purchases array<bigint>, n_seen long"
+)
+
+
+def _funnel_reached(views: list, clicks: list, purchases: list) -> int:
+    """Furthest ordered-funnel step from the retained step-event timestamps —
+    the same strictly-after semantics as the batch funnel (plans/analytics.py
+    f1_funnel): each step's earliest occurrence strictly after the previous
+    step's chosen time."""
+    if not views:
+        return 0
+    t1 = min(views)
+    t2 = min((c for c in clicks if c > t1), default=None)
+    if t2 is None:
+        return 1
+    t3 = min((p for p in purchases if p > t2), default=None)
+    return 2 if t3 is None else 3
+
+
+def _update_funnel(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    views, clicks, purchases, n_seen = (
+        (list(state.get[0]), list(state.get[1]), list(state.get[2]), state.get[3])
+        if state.exists
+        else ([], [], [], 0)
+    )
+    buckets = {"view": views, "click": clicks, "purchase": purchases}
+    for pdf in pdf_iter:
+        n_seen += len(pdf)
+        ts_us = pdf["ts"].astype("int64")
+        for et, t in zip(pdf["event_type"], ts_us):
+            b = buckets.get(et)
+            if b is not None:
+                b.append(int(t))
+    state.update((views, clicks, purchases, n_seen))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "reached": [_funnel_reached(views, clicks, purchases)],
+            "n_seen": [n_seen],
+        }
+    )
+
+
+def funnel_stream(stream: DataFrame) -> DataFrame:
+    """Per-user ordered-funnel progress maintained across micro-batches.
+
+    Late/out-of-order step events are handled CORRECTLY (an earlier 'view'
+    arriving late can only unlock more of the funnel, never invalidate a
+    valid chain — `reached` is monotone under inserts), because the state
+    retains the step-event timestamps themselves, not just the chosen chain.
+    State is bounded by the user's STEP-event count (funnel-relevant types
+    only, not the full event log); a production deployment adds an event-time
+    TTL via GroupStateTimeout once the funnel's observation window closes."""
+    return (
+        stream.select("user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin(list(FUNNEL_STEPS)))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -152,3 +152,51 @@ def test_stateful_user_profile(spark, sf_dir, stream_dir):
         g = got[row["user_id"]]
         assert g["n_events"] == row["n"]
         assert g["last_ts"] == row["last_ts"]
+
+
+def test_funnel_state_machine_handles_late_view(spark, tmp_path):
+    """A 'view' that arrives in a LATER micro-batch than the click/purchase
+    it unlocks must still complete the funnel — the state machine retains
+    step timestamps, so reached is recomputed, not greedily latched."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
+    from nyc_open_data_pipeline_spark.streaming.stateful import funnel_stream
+    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+
+    rows = [
+        # user 1: click+purchase arrive in batch 0, the UNLOCKING view in batch 1
+        (10, "2024-01-01 01:00:00", 1, "click", 0.0, "{}", 0),
+        (11, "2024-01-01 02:00:00", 1, "purchase", 0.0, "{}", 0),
+        (12, "2024-01-01 00:30:00", 1, "view", 0.0, "{}", 1),
+        # user 2: view only -> reached 1
+        (20, "2024-01-01 00:00:00", 2, "view", 0.0, "{}", 0),
+        # user 3: purchase BEFORE click (never valid) -> reached 2
+        (30, "2024-01-01 00:00:00", 3, "view", 0.0, "{}", 0),
+        (31, "2024-01-01 02:00:00", 3, "click", 0.0, "{}", 1),
+        (32, "2024-01-01 01:00:00", 3, "purchase", 0.0, "{}", 1),
+    ]
+    df = spark.createDataFrame(
+        [(e, datetime.fromisoformat(ts), u, t, v, p, b) for e, ts, u, t, v, p, b in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string, batch int",
+    )
+    d = str(tmp_path / "funnel_stream")
+    write_stream_chunks(
+        [df.filter(F.col("batch") == k).drop("batch") for k in range(2)], d
+    )
+    name = "funnel_oor_test"
+    run_to_memory(
+        funnel_stream(events_stream(spark, path=d, maxFilesPerTrigger=1)),
+        name,
+        mode="update",
+    )
+    final = {
+        r["user_id"]: r["reached"]
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max_by("reached", "n_seen").alias("reached"))
+        .collect()
+    }
+    assert final == {1: 3, 2: 1, 3: 2}
