@@ -1855,13 +1855,17 @@ def _run_counts(arr):
     append-fold): run starts are the positions where the value changes; run
     lengths are the gaps between consecutive starts."""
     n = F.size(arr)
-    starts = F.concat(
-        F.array(F.lit(1)),
+    # Guard n < 2: F.sequence(2, 1) generates a DESCENDING [2, 1] (Spark
+    # sequences auto-step -1), which would probe index 0 — caught by the
+    # hypothesis property test on single-element arrays.
+    changes = F.when(
+        n >= 2,
         F.filter(
             F.sequence(F.lit(2), n),
             lambda i: F.element_at(arr, i) != F.element_at(arr, i - F.lit(1)),
         ),
-    )
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), changes)
     nexts = F.concat(
         F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
         F.array(n + F.lit(1)),

@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "d10_editdist_verify",
     "st6_stream_funnel",
     "seq2_chunk_documents",
+    "a10_grouping_sets",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",

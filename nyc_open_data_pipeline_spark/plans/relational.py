@@ -1130,3 +1130,33 @@ def r2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_quantity", 28, 4)).cast("double"))
     )
     return pivoted.withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+
+
+@register(
+    "a10_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    survey_ref="§2.6 (engine surface: explicit GROUPING SETS — the general "
+    "form a7's rollup and a8's cube specialize; one pass, no self-union)",
+)
+def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets ((flag), (status), ()): Spark's SQL front door
+    plans one Expand + single aggregate — the same shape as rollup/cube, vs
+    the naive 3-scan UNION ALL a user would hand-write. At 100 TB that is
+    one shuffle of |groups| x 3 partial rows instead of three full scans."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__a10_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM __a10_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -220,3 +220,52 @@ def test_range_join_matches_brute_force(spark, probes, events):
         if ek == pk and pt <= et < pt + W
     )
     assert got == want
+
+
+@given(vals=st.lists(st.sampled_from("abcde"), min_size=0, max_size=40))
+@SETTINGS
+def test_run_counts_matches_counter(spark, vals):
+    """_run_counts over a sorted array == collections.Counter (the O(n)
+    array-expression run-length must agree with the obvious reference)."""
+    from collections import Counter
+
+    from nyc_open_data_pipeline_spark.plans.llmdata import _run_counts
+
+    df = spark.createDataFrame([(vals,)], "arr array<string>")
+    (row,) = df.select(_run_counts(F.array_sort(F.col("arr"))).alias("r")).collect()
+    got = {p["v"]: p["c"] for p in row["r"]}
+    assert got == dict(Counter(vals))
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["view", "click", "purchase"]),
+                  st.integers(min_value=0, max_value=20)),
+        min_size=0,
+        max_size=15,
+    )
+)
+@SETTINGS
+def test_funnel_reached_matches_brute_force(spark, events):
+    """The streaming funnel's state reduction == brute-force search over all
+    (view, click, purchase) chains with strictly increasing timestamps."""
+    from nyc_open_data_pipeline_spark.streaming.stateful import _funnel_reached
+
+    views = [t for e, t in events if e == "view"]
+    clicks = [t for e, t in events if e == "click"]
+    purchases = [t for e, t in events if e == "purchase"]
+
+    brute = 0
+    if views:
+        brute = 1
+        if any(c > min(views) for c in clicks):
+            brute = 2
+            # greedy-earliest is optimal for chain extension, but verify by search
+            for v in views:
+                for c in clicks:
+                    if c > v and any(p > c for p in purchases):
+                        brute = 3
+    # greedy t1=min(views) dominates: any chain from a later view is also a
+    # chain from the earliest view? NO — only t2 choices grow; earliest t2
+    # then maximizes t3 options. The state machine uses greedy; brute must agree.
+    assert _funnel_reached(views, clicks, purchases) == brute
