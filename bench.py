@@ -65,6 +65,8 @@ HEADLINE = [
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",
+    "f4_session_paths",
+    "seq2_chunk_documents",
     "tx10_token_surprisal",
     "tx11_char_entropy",
 ]

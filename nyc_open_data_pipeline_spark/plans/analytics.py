@@ -167,3 +167,83 @@ def f3_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_transitions"))
     )
+
+
+_SESSION_GAP_MIN = 30
+_TOP_PATHS = 20
+
+
+@register(
+    "f4_session_paths",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_TOP_PATHS}
+    """,
+    survey_ref="extension: session-path analysis — gaps-and-islands "
+    "sessionization (30-min inactivity gap) + ordered event-type paths + "
+    "top-k path frequencies; the navigation-flow report built on e3's "
+    "session semantics.",
+)
+def f4_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: sessions cut at 30-min inactivity gaps (lag +
+    running flag-sum — the gaps-and-islands idiom), each session reduced to
+    its '>'-joined event-type sequence, then a path-frequency top-k.
+
+    Plan: one exchange on user_id serves BOTH windows (lag and running sum
+    share the same partitioning and ordering), the per-session reduce
+    reuses it, and the final top-k is a TakeOrdered over |distinct paths|
+    partial aggregates. Ties broken by path text so the limit is
+    deterministic cross-engine. At 100 TB nothing materializes a user's
+    history beyond the window frame."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        <= _SESSION_GAP_MIN * 60
+    )
+    marked = ev.withColumn(
+        "new_sess", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    )
+    sess = marked.withColumn(
+        "session_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_TOP_PATHS)
+    )

@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st6_stream_funnel",
     "seq2_chunk_documents",
     "a10_grouping_sets",
+    "f4_session_paths",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",
