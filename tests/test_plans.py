@@ -120,3 +120,38 @@ def test_mix2_broadcasts_the_rate_table(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "mix2_cap_sample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark, tmp_path):
+    """With runtime bloom filters on (session default from Spark 3.5), a
+    selective dim filter joined sort-merge into a fact injects a
+    BloomFilterMightContain probe on the fact scan — the runtime
+    semi-join-reduction that cuts fact shuffle volume at 100 TB. Thresholds
+    are lowered here because local fixtures are far below the production
+    creation/application size gates."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+        spark.range(100_000).selectExpr("id", "id % 1000 AS k").write.parquet(fact_p)
+        spark.range(1000).selectExpr("id AS k", "id % 7 AS attr").write.parquet(dim_p)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter("attr = 3")
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan
+        # and the join still answers correctly
+        assert j.count() == fact.join(dim.hint("broadcast"), "k").count()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
