@@ -76,9 +76,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_semantic_confs(spark)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in _nanos_timestamp_cols(path):
-        # integer div: double division would lose precision above 2^53 ns
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # Convert only when Spark actually surfaced the column as a long:
+        # nanosAsLong applies to TIMESTAMP(NANOS) annotations, but pyarrow
+        # also reports ns for INT96 timestamps (Spark's own writer default),
+        # which Spark reads as proper timestamps — converting those would
+        # fail on re-written (e.g. engine-exported) events tables.
+        if dtypes.get(c) == "bigint":
+            # integer div: double division would lose precision above 2^53 ns
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if name in _EXPRESSION_HEAVY and os.path.isfile(path):
         # footer-only row-group probe (cheaper than df.rdd.getNumPartitions(),
         # which pays a py4j DataFrame->RDD conversion per call)

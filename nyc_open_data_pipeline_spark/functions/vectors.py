@@ -89,10 +89,14 @@ def cosine_topk_pandas(
     """
     import numpy as np
 
+    spark = embeddings.sparkSession
+    if not queries:  # empty query set: no scores by definition
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rnk int"
+        )
     qids = [q[0] for q in queries]
     qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
-    spark = embeddings.sparkSession
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

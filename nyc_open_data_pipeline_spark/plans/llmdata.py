@@ -1311,6 +1311,11 @@ def s6_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], list(r["v"]))
         for r in e.filter(F.col("vec_id") < _KM_K).collect()
     ]
+    if not cents:  # empty corpus: no clusters (array() of zero struct
+        # candidates would not even analyze)
+        return spark.createDataFrame(
+            [], "cid long, n_members bigint, centroid_norm double"
+        ).select(F.col("cid").alias("cluster_id"), "n_members", "centroid_norm")
     a1 = assign(cents)
     from nyc_open_data_pipeline_spark.plans.common import dec
 

@@ -46,7 +46,10 @@ def ordered_range_chunks(
     lo, hi = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).collect()[0]
-    span = (hi - lo + 1) if hi is not None else 1
+    if hi is None:  # empty input: keep the replay shape (n empty batches)
+        write_stream_chunks([df.limit(0) for _ in range(n_chunks)], stream_dir)
+        return
+    span = hi - lo + 1
     bounds = [lo + (span * i) // n_chunks for i in range(n_chunks + 1)]
     write_stream_chunks(
         [
