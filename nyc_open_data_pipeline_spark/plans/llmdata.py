@@ -2222,3 +2222,94 @@ def seq2_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF index vs exact top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s7_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+    assign AS (
+      SELECT a.vec_id, a.v, a.nrm, c.cid,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm) DESC, c.cid
+             ) AS rn
+      FROM n a, c
+    ),
+    cell AS (SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, c.cid AS cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.cv) / (q.qnrm_dummy * c.cnrm) DESC, c.cid
+             ) AS rn
+      FROM (SELECT vec_id, v, nrm, nrm AS qnrm_dummy FROM n) q, c
+      WHERE q.vec_id < 3
+    ),
+    pr AS (SELECT query_id, qv, qnrm, cell FROM probes WHERE rn <= 2),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               list_dot_product(p.qv, m.v) / (p.qnrm * m.nrm) AS score
+        FROM pr p JOIN cell m USING (cell)
+        WHERE m.vec_id <> p.query_id
+      )
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) <= 5
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS score
+        FROM n q, n b WHERE q.vec_id < 3 AND b.vec_id <> q.vec_id
+      )
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) <= 5
+    ),
+    m AS (
+      SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM approx a JOIN exact x
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+      GROUP BY a.query_id
+    )
+    SELECT q.query_id, coalesce(m.n_overlap, 0) AS n_overlap,
+           coalesce(m.n_overlap, 0) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN m USING (query_id)
+    """,
+    survey_ref="extension: ANN EVALUATION — recall@5 of the IVF index (s4) "
+    "against the exact top-k (s1), per query; the measurement loop every "
+    "vector-index deployment runs before trusting the approximate path.",
+)
+def s7_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 per query: |IVF top-5 ∩ exact top-5| / 5, composed from the
+    two registered pipelines (s4's probe plan, s1's brute-force baseline)
+    restricted to the common query set. Everything is reused DataFrame
+    plans — the join on (query_id, neighbor_id) and the 0-overlap left join
+    are the only new operators; counts are integer-exact so recall is a
+    single exact division. At 100 TB this runs on a sampled query set, the
+    same shape."""
+    kq = 3  # s4's query set (vec_id < 3) is the common subset
+    approx = s4_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = (
+        s1_cosine_topk(spark, sf_dir)
+        .filter(F.col("query_id") < kq)
+        .select("query_id", "neighbor_id")
+    )
+    m = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(m, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+    )

@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "seq2_chunk_documents",
     "a10_grouping_sets",
     "f4_session_paths",
+    "s7_ann_recall",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",
