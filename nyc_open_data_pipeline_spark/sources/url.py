@@ -42,9 +42,11 @@ def read_local(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    if ext == ".json":
+    if ext == ".json" or ext == ".jsonl":
         return reader.json(path)
     if ext == ".parquet":
         return reader.parquet(path)
+    if ext == ".orc":
+        return reader.orc(path)
     # csv default + fallback (reference url_fetcher.py:58-69)
     return reader.option("header", "true").csv(path)

@@ -9,6 +9,7 @@ Socrata SODA3 POST /api/v3/views/{id}/query.json with page envelope
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -271,3 +272,16 @@ def test_read_local_dispatch(spark, tmp_path):
     js = tmp_path / "d.json"
     js.write_text('{"a": 1}\n{"a": 2}\n')
     assert read_local(spark, str(js)).count() == 2
+    # columnar formats round-trip through the same dispatch
+    orc_dir = str(tmp_path / "d_orc")
+    spark.range(3).coalesce(1).selectExpr("id AS a").write.orc(orc_dir)
+    orc_file = next(
+        os.path.join(orc_dir, f) for f in os.listdir(orc_dir) if f.endswith(".orc")
+    )
+    assert read_local(spark, orc_file).count() == 3
+    pq_dir = str(tmp_path / "d_pq")
+    spark.range(4).coalesce(1).selectExpr("id AS a").write.parquet(pq_dir)
+    pq_file = next(
+        os.path.join(pq_dir, f) for f in os.listdir(pq_dir) if f.endswith(".parquet")
+    )
+    assert read_local(spark, pq_file).count() == 4
