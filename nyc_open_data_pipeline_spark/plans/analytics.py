@@ -247,3 +247,70 @@ def f4_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_TOP_PATHS)
     )
+
+
+_WAU_DAYS = 7
+
+
+@register(
+    "f5_active_users",
+    oracle=f"""
+    WITH activity AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM activity),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM activity GROUP BY day
+    ),
+    contrib AS (
+      SELECT a.user_id, a.day + CAST(x.x AS INTEGER) AS day
+      FROM activity a, (SELECT unnest(generate_series(0, {_WAU_DAYS - 1})) AS x) x
+    ),
+    wau AS (
+      SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM contrib c WHERE c.day IN (SELECT day FROM days)
+      GROUP BY c.day
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau,
+           d.dau / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    survey_ref="extension: DAU/WAU/stickiness — rolling 7-day distinct "
+    "actives computed by CONTRIBUTION EXPANSION (each active day feeds the "
+    "7 windows it belongs to), not an inequality self-join.",
+)
+def f5_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users and the DAU/WAU stickiness ratio.
+
+    The rolling-distinct is the part that goes wrong at scale: a naive
+    `a.day BETWEEN d.day-6 AND d.day` join plans as a nested loop. Instead
+    each (user, day) row is exploded to the 7 window-end days it
+    contributes to (map-side, x7), then a single hash aggregate counts
+    distinct users per window end — the same interval-to-equi-join rewrite
+    rj1 uses, here with the window as the bin. Output days are restricted
+    to observed days via a broadcast semi join on the tiny day spine."""
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    activity = ev.distinct()
+    days = activity.select("day").distinct()
+    dau = activity.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = activity.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_WAU_DAYS - 1))).alias("x"),
+        F.col("day").alias("day0"),
+    ).select("user_id", F.expr("date_add(day0, x)").alias("day"))
+    wau = (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+    )

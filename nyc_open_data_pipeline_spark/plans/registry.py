@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "a10_grouping_sets",
     "f4_session_paths",
     "s7_ann_recall",
+    "f5_active_users",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",
