@@ -2313,3 +2313,92 @@ def s7_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
         (F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+@register(
+    "c2_quality_representatives",
+    oracle=f"""
+    WITH RECURSIVE
+    {_sql_minhash_sigs()},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * NROWS + r}" for r in range(NROWS))
+        + ") AS band_key FROM sigs"
+        for b in range(NBANDS)
+      )}
+    ),
+    capped AS (
+      SELECT doc_id, band, band_key FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+              <= {LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM capped l JOIN capped r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN hvl a ON c.id_a = a.doc_id JOIN hvl b ON c.id_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+              / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv))) >= 0.5
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM scored
+      UNION SELECT id_b, id_a FROM scored
+    ),
+    walk(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.id
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id),
+    q AS (
+      SELECT doc_id,
+             least(CAST(len({SQL_TOKENS}) AS DOUBLE) / 50.0, 1.0)
+               * (0.5 + 0.5 * least(CASE WHEN len({SQL_TOKENS}) > 0
+                    THEN CAST(len(list_filter({SQL_TOKENS},
+                         x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                         / len({SQL_TOKENS}) ELSE 0 END * 5.0, 1.0))
+               * (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                            / CAST(greatest(length(text), 1) AS DOUBLE) > 0.2
+                       THEN 0.5 ELSE 1.0 END) AS quality
+      FROM documents
+    )
+    SELECT c.cluster_id, c.doc_id AS rep_doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members,
+           q.quality AS best_quality
+    FROM clusters c JOIN q ON c.doc_id = q.doc_id
+    QUALIFY row_number() OVER (PARTITION BY c.cluster_id
+                               ORDER BY q.quality DESC, c.doc_id) = 1
+    """,
+    survey_ref="extension: BEST-OF-CLUSTER representative selection — near-dup "
+    "clusters (d7) keep their highest-QUALITY member (tx2 score, ties to the "
+    "lowest doc_id), the production variant of c1's keep-min-id policy.",
+)
+def c2_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: d7's connected components x tx2's quality score, reduced
+    with one row_number window per cluster (quality DESC, doc_id ASC) so the
+    kept document is the best one, deterministically. The cluster table and
+    the score table both derive from shared session-cached intermediates;
+    the final window shuffles |docs| rows once on cluster_id. At 100 TB this
+    replaces c1's min-id survivor rule without touching the dedup plumbing."""
+    clusters = d7_dedup_clusters(spark, sf_dir)
+    quality = tx2_quality_score(spark, sf_dir)
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("n_members", F.count("*").over(wc).cast("long"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("quality").alias("best_quality"),
+        )
+    )

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "f4_session_paths",
     "s7_ann_recall",
     "f5_active_users",
+    "c2_quality_representatives",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",
