@@ -71,6 +71,20 @@ HEADLINE = [
     "tx11_char_entropy",
 ]
 
+# The r1 headline set — kept for the cross-round-comparable core30 subtotal.
+CORE30 = {
+    "q1_pricing_summary", "j1_left_join_dim", "j2_inner_join_broadcast",
+    "j4_scalar_subquery_latest", "j8_salted_join", "a2_latest_per_key",
+    "a5_summary_stats", "a6_count_distinct", "a8_cube", "w1_ranking",
+    "w2_running_sum", "w4_range_frame", "o3_dedup_keep_last", "o5_top_k",
+    "r1_melt_unpivot", "e1_tumbling_window", "e3_session_window",
+    "d1_exact_dedup", "d2_fingerprints", "d3_minhash_signatures",
+    "d4_lsh_jaccard_pairs", "d5_simhash", "d6_embedding_neardup",
+    "s1_cosine_topk", "s3_lsh_bucket_stats", "s4_ivf_ann",
+    "mm2_decode_features", "tx1_token_stats", "tx2_quality_score",
+    "tx3_language_id",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,6 +122,10 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
+    # Stable cross-round subtotal: the 30 queries BENCH_r01 timed. The
+    # headline list grows every round, so the grand total is not comparable
+    # across rounds — core30 is.
+    core30 = sum(v for k, v in timings.items() if k in CORE30)
 
     print(
         json.dumps(
@@ -115,6 +133,7 @@ def main() -> None:
                 "metric": f"total wall-clock of {len(timings)} headline queries",
                 "value": round(total, 3),
                 "unit": "sec",
+                "core30_sec": round(core30, 3),
                 "queries": timings,
                 "sf": float(sf),
             }
