@@ -2402,3 +2402,102 @@ def c2_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("best_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom-filter membership (sketch family, with sk1's KMV)
+# ---------------------------------------------------------------------------
+_BLOOM_M = 65536  # bits
+_BLOOM_K = 3      # hash functions
+_BLOOM_PROBE_MOD = 5  # doc_id % 5 == 0 -> probe batch, else corpus
+
+
+def _bloom_positions(col):
+    """k md5-derived bit positions for a normalized text — the same affine
+    trick as the MinHash perms: independent hashes via distinct salts."""
+    return F.array(
+        *[
+            DD._hash64(F.concat(F.lit(f"bloom{i}:"), col)) % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+_SQL_BLOOM_POS = ", ".join(
+    "{h} % {m} AS p{i}".format(
+        h=sql_hash64("concat('bloom{i}:', {norm})".format(i=i, norm=SQL_NORM)),
+        m=_BLOOM_M,
+        i=i,
+    )
+    for i in range(_BLOOM_K)
+)
+
+
+@register(
+    "sk2_bloom_membership",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, md5({SQL_NORM}) AS h, {_SQL_BLOOM_POS} FROM documents
+    ),
+    corpus AS (SELECT * FROM pos WHERE doc_id % {_BLOOM_PROBE_MOD} <> 0),
+    probe AS (SELECT * FROM pos WHERE doc_id % {_BLOOM_PROBE_MOD} = 0),
+    bits AS (
+      SELECT DISTINCT p FROM (
+        {" UNION ALL ".join(f"SELECT p{i} AS p FROM corpus" for i in range(_BLOOM_K))}
+      )
+    ),
+    probed AS (
+      SELECT pr.doc_id, pr.h,
+             CAST(CASE WHEN {" AND ".join(f"p{i} IN (SELECT p FROM bits)" for i in range(_BLOOM_K))}
+                  THEN 1 ELSE 0 END AS BIGINT) AS maybe_member
+      FROM probe pr
+    ),
+    exact AS (SELECT DISTINCT h FROM corpus)
+    SELECT p.doc_id, p.maybe_member,
+           CAST(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_member,
+           CAST(CASE WHEN p.maybe_member = 1 AND e.h IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS false_positive
+    FROM probed p LEFT JOIN exact e ON p.h = e.h
+    """,
+    survey_ref="extension: PORTABLE Bloom-filter membership — md5-derived bit "
+    "positions, so the sketch AND every probe verdict reproduce bit-for-bit "
+    "cross-engine; the approximate-membership primitive that lets incremental "
+    "dedup (d8) skip the full corpus hash join for definite-new documents, "
+    "with exact false-positive accounting against the true hash set.",
+)
+def sk2_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership probe: corpus docs set k=3 md5-derived bits in an
+    m=65536-bit filter; each probe doc is maybe-present iff ALL its k bits
+    are set. Expressed relationally (bit set = distinct-position table,
+    probes semi-join it) so the SAME math runs in DuckDB: no engine bloom
+    internals, no register formats. At 100 TB the bit table is at most m
+    rows — broadcast — and probes never shuffle; the false_positive column
+    (joined against the exact hash set) measures the m/k trade-off the
+    deployment tunes. The production fast path short-circuits d8's anti-join
+    for probes with maybe_member = 0."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(DD.normalized_text(F.col("text"))).alias("h"),
+        _bloom_positions(DD.normalized_text(F.col("text"))).alias("pos"),
+    )
+    corpus = d.filter(F.col("doc_id") % _BLOOM_PROBE_MOD != 0)
+    probe = d.filter(F.col("doc_id") % _BLOOM_PROBE_MOD == 0)
+    bits = corpus.select(F.explode("pos").alias("p")).distinct()
+    probed = (
+        probe.select("doc_id", "h", F.explode("pos").alias("p"))
+        .join(F.broadcast(bits.withColumn("__set", F.lit(1))), "p", "left")
+        .groupBy("doc_id", "h")
+        .agg((F.min(F.coalesce(F.col("__set"), F.lit(0))) == 1).alias("__maybe"))
+    )
+    exact = corpus.select("h").distinct().withColumn("__in", F.lit(1))
+    return (
+        probed.join(exact, "h", "left")
+        .select(
+            "doc_id",
+            F.col("__maybe").cast("long").alias("maybe_member"),
+            F.coalesce(F.col("__in"), F.lit(0)).cast("long").alias("is_member"),
+            (F.col("__maybe") & F.col("__in").isNull()).cast("long").alias(
+                "false_positive"
+            ),
+        )
+    )

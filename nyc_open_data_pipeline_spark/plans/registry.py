@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "s7_ann_recall",
     "f5_active_users",
     "c2_quality_representatives",
+    "sk2_bloom_membership",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",
