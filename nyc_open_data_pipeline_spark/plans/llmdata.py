@@ -1518,10 +1518,16 @@ def tx8_top_terms_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the big one — it shuffles on term (uniform), and the window
     sees only per-source aggregates, never raw rows."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source",
-        F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("term"),
-    )
+    key = ("tx8_toks", spark.sparkContext.applicationId, sf_dir)
+    toks = _HV_CACHE.get(key)
+    if toks is None:
+        # persisted: BOTH aggregations below consume it, and re-tokenizing
+        # the corpus per consumer doubles the dominant stage
+        toks = d.select(
+            "doc_id", "source",
+            F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("term"),
+        ).persist()
+        _HV_CACHE[key] = toks
     df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
     tf = toks.groupBy("source", "term").agg(F.count("*").alias("cnt"))
