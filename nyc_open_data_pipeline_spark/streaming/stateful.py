@@ -120,3 +120,53 @@ def funnel_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time TTL'd state (bounded-state pattern)
+# ---------------------------------------------------------------------------
+
+TTL_OUTPUT_SCHEMA = "user_id long, n_events long, last_ts timestamp"
+TTL_STATE_SCHEMA = "n long, last_ts timestamp"
+
+
+def profile_stream_with_ttl(stream: DataFrame, ttl_ms: int = 60 * 60 * 1000) -> DataFrame:
+    """Per-user running event count whose state EXPIRES ``ttl_ms`` of event
+    time after the user's last activity — the bounded-state discipline every
+    100 TB/day stateful deployment needs (state size is live users, not
+    all-time users). On expiry the operator emits a tombstone row
+    (n_events = -1) and removes the state; a returning user restarts from
+    zero. Uses GroupStateTimeout.EventTimeTimeout driven by the stream
+    watermark (semantics pinned in tests/test_streaming.py)."""
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [-1], "last_ts": [None]}
+            )
+            return
+        n, last_ts = (state.get if state.exists else (0, None))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, last_ts))
+        state.setTimeoutTimestamp(int(last_ts.timestamp() * 1000) + ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "last_ts": [last_ts]}
+        )
+
+    return (
+        stream.select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TTL_OUTPUT_SCHEMA,
+            stateStructType=TTL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -200,3 +200,44 @@ def test_funnel_state_machine_handles_late_view(spark, tmp_path):
         .collect()
     }
     assert final == {1: 3, 2: 1, 3: 2}
+
+
+def test_event_time_ttl_evicts_idle_state(spark, tmp_path):
+    """Bounded state: a user idle past the TTL (event time, watermark-driven)
+    gets their state evicted (tombstone n_events=-1) and restarts from zero
+    on return — state size tracks LIVE users, the 100 TB/day requirement."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
+    from nyc_open_data_pipeline_spark.streaming.stateful import profile_stream_with_ttl
+    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+
+    sch = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batches = [
+        [(1, datetime(2024, 1, 1, 0, 0), 1, "view", 0.0, "{}")],
+        [(2, datetime(2024, 1, 1, 5, 0), 2, "view", 0.0, "{}")],  # watermark +5h
+        [(3, datetime(2024, 1, 1, 6, 0), 2, "view", 0.0, "{}")],
+        [(4, datetime(2024, 1, 1, 6, 30), 1, "view", 0.0, "{}")],  # user1 returns
+    ]
+    d = str(tmp_path / "ttl_stream")
+    write_stream_chunks([spark.createDataFrame(b, sch) for b in batches], d)
+    run_to_memory(
+        profile_stream_with_ttl(
+            events_stream(spark, path=d, maxFilesPerTrigger=1), ttl_ms=3_600_000
+        ),
+        "ttl_evict_test",
+        mode="update",
+    )
+    rows = [
+        (r["user_id"], r["n_events"])
+        for r in spark.table("ttl_evict_test").orderBy("user_id", "n_events").collect()
+    ]
+    # user1: initial profile, tombstone after idle > 1h, fresh restart at 1
+    assert rows.count((1, -1)) == 1
+    assert rows.count((1, 1)) == 2  # original n=1 and restarted n=1
+    # user2 stayed live: 1 then 2, never evicted
+    assert (2, 1) in rows and (2, 2) in rows and (2, -1) not in rows
