@@ -69,6 +69,11 @@ HEADLINE = [
     "seq2_chunk_documents",
     "tx10_token_surprisal",
     "tx11_char_entropy",
+    "f5_active_users",
+    "s7_ann_recall",
+    "c2_quality_representatives",
+    "sk2_bloom_membership",
+    "a10_grouping_sets",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.
