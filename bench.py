@@ -74,6 +74,7 @@ HEADLINE = [
     "c2_quality_representatives",
     "sk2_bloom_membership",
     "a10_grouping_sets",
+    "d11_simhash_neardup",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -2507,3 +2507,115 @@ def sk2_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming near-dup (Manku/Google block-LSH)
+# ---------------------------------------------------------------------------
+_SH_BLOCKS = 4
+_SH_BLOCK_BITS = 16
+_SH_MAX_HAM = _SH_BLOCKS - 1  # pigeonhole: <= blocks-1 flipped bits
+# share at least one untouched block
+
+_SQL_SIMHASH = None  # defined via d5's construction below
+
+
+def _sql_simhash_expr() -> str:
+    """DuckDB SimHash identical to operators/dedup.simhash64 (reproduced
+    from d5's oracle): per-bit +-1 votes over distinct-token hashes."""
+    return f"""
+    sh_tok AS (
+      SELECT doc_id, list_distinct({SQL_TOKENS}) AS tk FROM documents
+    ),
+    sh_h AS (
+      SELECT doc_id, unnest(list_transform(tk, s -> {sql_hash64('s')})) AS hv
+      FROM sh_tok
+    ),
+    sh_bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS v
+      FROM sh_h, (SELECT unnest(generate_series(0, 62)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sh AS (
+      SELECT doc_id, CAST(SUM(v * (1::BIGINT << bit)) AS BIGINT) AS h
+      FROM sh_bits GROUP BY doc_id
+    )"""
+
+
+@register(
+    "d11_simhash_neardup",
+    oracle=f"""
+    WITH {_sql_simhash_expr()},
+    blocks AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, h, {i} AS blk, (h >> {i * _SH_BLOCK_BITS}) & {(1 << _SH_BLOCK_BITS) - 1} AS bv FROM sh"
+        for i in range(_SH_BLOCKS)
+      )}
+    ),
+    capped AS (
+      SELECT doc_id, h, blk, bv FROM blocks
+      QUALIFY row_number() OVER (PARTITION BY blk, bv ORDER BY doc_id)
+              <= {LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, l.h AS ha, r.doc_id AS id_b, r.h AS hb
+      FROM capped l JOIN capped r
+        ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_SH_MAX_HAM}
+    """,
+    survey_ref="extension: SimHash near-dup detection (Manku et al. 2007) — "
+    "the hash is split into 4 x 16-bit blocks; any pair within hamming 3 "
+    "shares an untouched block (pigeonhole), so candidates come from block-"
+    "value buckets and only candidates pay the XOR verify. The third "
+    "candidate-generation path of the dedup family (exact hash, MinHash-LSH "
+    "Jaccard, SimHash hamming).",
+)
+def d11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash block-LSH: 4 x 16-bit block keys bucket the corpus; equal-
+    block pairs are verified with bit_count(xor) <= 3 — both steps pure JVM
+    integer ops. Bucket membership is capped (same adversarial bound as d4,
+    mirrored in the oracle). At 100 TB: one narrow scan computes the hash,
+    the bucket join shuffles 4 small (blk, bv) keys per doc, and the verify
+    touches candidates only — the Manku web-dedup shape, vs d4's shingle-set
+    Jaccard when token-level containment matters more than bit similarity."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", DD.simhash64(F.col("text")).alias("h")
+    )
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    blocks = None
+    for i in range(_SH_BLOCKS):
+        b = d.select(
+            "doc_id",
+            "h",
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col("h"), i * _SH_BLOCK_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        blocks = b if blocks is None else blocks.unionAll(b)
+    wcap = Window.partitionBy("blk", "bv").orderBy("doc_id")
+    capped = (
+        blocks.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= LSH_BUCKET_CAP)
+        .drop("__rn")
+    )
+    l = capped.select(
+        F.col("blk"), F.col("bv"), F.col("doc_id").alias("id_a"), F.col("h").alias("ha")
+    )
+    r = capped.select(
+        F.col("blk"), F.col("bv"), F.col("doc_id").alias("id_b"), F.col("h").alias("hb")
+    )
+    cand = (
+        l.join(r, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "ha", "id_b", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= _SH_MAX_HAM).select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    )

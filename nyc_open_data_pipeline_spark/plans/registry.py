@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "f5_active_users",
     "c2_quality_representatives",
     "sk2_bloom_membership",
+    "d11_simhash_neardup",
     "f1_funnel",
     "f2_retention_cohorts",
     "f3_event_transitions",
