@@ -318,3 +318,18 @@ def test_compaction_partitioned_skips_dense_partitions(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 600
     assert got.filter("p = 1").count() == 100
+
+
+def test_bloom_membership_no_false_negatives(spark, sf_dir):
+    """Bloom invariant: a true member may false-positive but can NEVER false-
+    negative — every is_member=1 probe must have maybe_member=1."""
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    rows = all_queries()["sk2_bloom_membership"].fn(spark, sf_dir).collect()
+    assert rows, "probe batch must be non-empty on test data"
+    assert all(r["maybe_member"] == 1 for r in rows if r["is_member"] == 1)
+    # false_positive column is exactly maybe & !is
+    assert all(
+        r["false_positive"] == int(r["maybe_member"] == 1 and r["is_member"] == 0)
+        for r in rows
+    )
