@@ -59,6 +59,24 @@ def _shared_hv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hv
 
 
+def _shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) SimHash frame, persisted once per (session, sf_dir) —
+    shared by d5 (signatures) and d11 (block-LSH near-dup, which touches it
+    from both sides of a self-join). The hash is an expensive expression
+    fold; caching the 16-byte result rows means the join branches and
+    repeated invocations never recompute it."""
+    key = ("simhash64", spark.sparkContext.applicationId, sf_dir)
+    sh = _HV_CACHE.get(key)
+    if sh is None:
+        sh = (
+            t(spark, sf_dir, "documents")
+            .select("doc_id", DD.simhash64(F.col("text")).alias("h"))
+            .persist()
+        )
+        _HV_CACHE[key] = sh
+    return sh
+
+
 def _shared_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, jaccard) over the whole corpus — LSH banding + exact
     Jaccard verify, computed once per (session, sf_dir). d4 returns it
@@ -239,8 +257,9 @@ def d4_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash per document as one JVM expression tree (per-bit ±1
     votes over token hashes). Near-dups then reduce to hamming64 <= k joins."""
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", DD.simhash64(F.col("text")).alias("simhash"))
+    return _shared_simhash(spark, sf_dir).select(
+        "doc_id", F.col("h").alias("simhash")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2582,21 +2601,22 @@ def d11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket join shuffles 4 small (blk, bv) keys per doc, and the verify
     touches candidates only — the Manku web-dedup shape, vs d4's shingle-set
     Jaccard when token-level containment matters more than bit similarity."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", DD.simhash64(F.col("text")).alias("h")
-    )
+    d = _shared_simhash(spark, sf_dir)
     mask = (1 << _SH_BLOCK_BITS) - 1
-    blocks = None
-    for i in range(_SH_BLOCKS):
-        b = d.select(
-            "doc_id",
-            "h",
-            F.lit(i).alias("blk"),
+    # one narrow posexplode per doc (pos = block index, col = block value)
+    # instead of a _SH_BLOCKS-way union that would recompute the hash per
+    # branch: the 4 (blk, bv) keys come out of a single pass over the
+    # persisted hash frame.
+    block_vals = F.array(
+        *[
             F.shiftrightunsigned(F.col("h"), i * _SH_BLOCK_BITS)
             .bitwiseAND(F.lit(mask))
-            .alias("bv"),
-        )
-        blocks = b if blocks is None else blocks.unionAll(b)
+            for i in range(_SH_BLOCKS)
+        ]
+    )
+    blocks = d.select(
+        "doc_id", "h", F.posexplode(block_vals).alias("blk", "bv")
+    )
     wcap = Window.partitionBy("blk", "bv").orderBy("doc_id")
     capped = (
         blocks.withColumn("__rn", F.row_number().over(wcap))
