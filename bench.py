@@ -77,6 +77,10 @@ HEADLINE = [
     "d11_simhash_neardup",
 ]
 
+# The r3 headline set (58 queries), frozen — cross-round subtotal for r4+ comparisons.
+# (Do NOT edit when HEADLINE grows; add a new coreNN instead.)
+CORE58 = frozenset(HEADLINE)
+
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.
 CORE30 = {
     "q1_pricing_summary", "j1_left_join_dim", "j2_inner_join_broadcast",
@@ -117,34 +121,47 @@ def main() -> None:
     # load (observed 3-4x inflation for ~30s windows); separating the two
     # repetitions of a query by a whole pass means a burst hits different
     # queries in each pass, and min-of-2 recovers the true cost.
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must cost only its own
+    # timing (null), never the whole artifact (round 2 lost all 56 other
+    # timings to a single AnalysisException).
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in HEADLINE:
-            if name not in specs:
+            if name not in specs or name in errors:
                 continue
             t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).count()
+            try:
+                specs[name].fn(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001 — keep the artifact alive
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                timings.setdefault(name, None)  # keep a pass-1 success if any
+                continue
             dt = time.perf_counter() - t0
-            timings[name] = min(timings.get(name, dt), dt)
-    timings = {k: round(v, 3) for k, v in timings.items()}
-    total = sum(timings.values())
-    # Stable cross-round subtotal: the 30 queries BENCH_r01 timed. The
-    # headline list grows every round, so the grand total is not comparable
-    # across rounds — core30 is.
-    core30 = sum(v for k, v in timings.items() if k in CORE30)
+            prev = timings.get(name)
+            timings[name] = dt if prev is None else min(prev, dt)
+    timings = {k: (round(v, 3) if v is not None else None) for k, v in timings.items()}
+    ok = {k: v for k, v in timings.items() if v is not None}
+    total = sum(ok.values())
+    # Stable cross-round subtotals: core30 = the 30 queries BENCH_r01 timed;
+    # core58 = this round's full headline set, frozen for r4+. The headline
+    # list grows every round, so the grand total is not comparable across
+    # rounds — the frozen subtotals are.
+    core30 = sum(v for k, v in ok.items() if k in CORE30)
+    core58 = sum(v for k, v in ok.items() if k in CORE58)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"total wall-clock of {len(timings)} headline queries",
-                "value": round(total, 3),
-                "unit": "sec",
-                "core30_sec": round(core30, 3),
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": f"total wall-clock of {len(ok)} headline queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "core30_sec": round(core30, 3),
+        "core58_sec": round(core58, 3),
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

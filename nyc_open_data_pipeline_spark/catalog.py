@@ -77,6 +77,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
+    # Normalize any TIMESTAMP_NTZ column (no-UTC-flag parquet read before the
+    # inferTimestampNTZ conf landed, or a cached plan) to TIMESTAMP. Under the
+    # pinned UTC session zone this is a pure reinterpretation — the same
+    # instant the DuckDB oracle assigns the naive value.
+    for c, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     for c in _nanos_timestamp_cols(path):
         # Convert only when Spark actually surfaced the column as a long:
         # nanosAsLong applies to TIMESTAMP(NANOS) annotations, but pyarrow

@@ -366,8 +366,7 @@ def as1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__asof.event_id").alias("ref_event_id"),
         F.col("__asof.value").alias("ref_value"),
         (
-            F.col("ts").cast("timestamp").cast("double")
-            - F.col("__asof.ts").cast("timestamp").cast("double")
+            F.col("ts").cast("double") - F.col("__asof.ts").cast("double")
         ).alias("gap_seconds"),
     )
 

@@ -27,10 +27,16 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # - UTC: timestamp semantics must match the DuckDB oracle
 # - nanosAsLong: the test corpus stores TIMESTAMP(NANOS), which Spark
 #   otherwise refuses to read (PARQUET_TYPE_ILLEGAL)
+# - inferTimestampNTZ off: parquet timestamp[us] columns with no UTC flag
+#   (e.g. the driver's regenerated events.parquet) must read as TIMESTAMP,
+#   not TIMESTAMP_NTZ — NTZ rejects unix_micros()/BIGINT casts the engine's
+#   event-time plans rely on, and the DuckDB oracle treats naive timestamps
+#   as session-UTC anyway, which is exactly Spark's TIMESTAMP-under-UTC
 SEMANTIC_CONFS = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -66,6 +72,8 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) columns read as long; catalog.load_table
         # converts them back to TimestampType (micros) explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # no-UTC-flag timestamp[us] parquet must read TIMESTAMP, not NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # let custom Python data sources receive pushed filters (SoQL S2)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
