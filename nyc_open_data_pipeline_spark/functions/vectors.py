@@ -48,6 +48,29 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
     return dot(a, b) / (norm_a * norm_b)
 
 
+def nbits_for_corpus(
+    n_rows: int,
+    target_bucket_rows: int = 1000,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Sign-LSH width sized to the corpus: 2^bits buckets so the EXPECTED
+    bucket occupancy n/2^bits stays at ``target_bucket_rows``. A fixed bit
+    count is corpus-sized tuning — 6 bits (64 buckets) is right at 10^5
+    vectors but quadratic-bucket-join wrong at 10^9; deriving bits from
+    cardinality keeps within-bucket pair counts (and the verify join's
+    shuffle) bounded as the corpus grows 100x. ``n_rows`` may be an
+    estimate — a KMV/HLL distinct count (sk1) or parquet row-count
+    metadata; bucket occupancy only needs the right order of magnitude.
+    Clamped to [min_bits, max_bits]: 2^24 buckets ≈ 16M is enough for
+    10^10 rows at the default target."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 # Deterministic ±1 hyperplanes (LCG-generated, fixed seed) for sign-LSH.
 def hyperplanes(dim: int, nbits: int = 8) -> list[list[float]]:
     state = 0x2545F4914F6CDD1D

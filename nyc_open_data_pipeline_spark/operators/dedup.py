@@ -265,6 +265,111 @@ def minhash_lsh_pairs(
     )
 
 
+def bands_for_threshold(num_hashes: int, threshold: float) -> int:
+    """Band count whose LSH S-curve midpoint matches a Jaccard threshold.
+
+    With b bands of r = num_hashes/b rows, a pair with similarity s collides
+    in >=1 band with prob 1-(1-s^r)^b; the curve's 50% point is ~(1/b)^(1/r).
+    Fixed (bands, rows) is a threshold choice, not a corpus-size choice — but
+    hardcoding it couples the operator to one dedup policy. This picks the
+    divisor of num_hashes whose midpoint is closest to ``threshold``, so
+    callers state intent ("near-dup at 0.7 Jaccard") and the layout follows.
+    """
+    best_b, best_err = 1, float("inf")
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        err = abs((1.0 / b) ** (1.0 / r) - threshold)
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
+def embedding_neardup_pairs(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    planes: list[list[float]] | None = None,
+    nbits: int | None = None,
+    n_rows_estimate: int | None = None,
+    target_bucket_rows: int = 1000,
+    bucket_cap: int = 2000,
+    round_to: int = 6,
+    observation=None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: sign-LSH blocks the corpus into
+    2^nbits buckets; exact cosine only within a bucket (sub-quadratic).
+
+    Width policy (100 TB path): when ``planes``/``nbits`` are not given,
+    nbits is derived from corpus cardinality via
+    ``vectors.nbits_for_corpus`` so expected bucket occupancy stays at
+    ``target_bucket_rows`` no matter the scale — pass ``n_rows_estimate``
+    (KMV/HLL estimate or table metadata) to avoid the exact count() action.
+    ``bucket_cap`` still bounds the adversarial bucket (kept lowest-id rows,
+    overflow counted via the observed metric ``emb_rows_over_cap``, never
+    silent). Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    from nyc_open_data_pipeline_spark.functions import vectors as VEC
+
+    if planes is None:
+        if nbits is None:
+            n = n_rows_estimate if n_rows_estimate is not None else e.count()
+            nbits = VEC.nbits_for_corpus(n, target_bucket_rows)
+        dim = len(e.select(vec_col).first()[0])
+        planes = VEC.hyperplanes(dim, nbits)
+    b = e.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        VEC.norm(F.col(vec_col)).alias("nrm"),
+        VEC.hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    wcap = Window.partitionBy("bucket").orderBy("vec_id")
+    over = F.sum((F.col("__rn") > bucket_cap).cast("long")).alias(
+        "emb_rows_over_cap"
+    )
+    b = b.withColumn("__rn", F.row_number().over(wcap))
+    if observation is not None:
+        # metrics-reading mode (tests/audits): Observation requires the
+        # CollectMetrics node inside an ordinary action's subtree — a
+        # checkpoint materialization would not fire the listener
+        b = (
+            b.observe(observation, over)
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+    else:
+        b = (
+            b.observe("emb_bucket_cap", over)
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+            # materialize once: both self-join sides would otherwise re-run
+            # the bucket window (lazy local checkpoint, computed on first use)
+            .localCheckpoint(eager=False)
+        )
+    left, right = b.alias("l"), b.alias("r")
+    cos = F.round(
+        VEC.cosine_prenormed(
+            F.col("l.v"), F.col("r.v"), F.col("l.nrm"), F.col("r.nrm")
+        ),
+        round_to,
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

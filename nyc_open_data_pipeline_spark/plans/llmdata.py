@@ -606,54 +606,21 @@ def _sql_bucket6() -> str:
     survey_ref="extension: embedding-cosine near-dup (sign-LSH blocked pairwise)",
 )
 def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: 6-bit sign-LSH blocks the corpus into
-    64 buckets; exact cosine only within a bucket (sub-quadratic — at 100 TB
-    the bucket join shuffles on the bucket id, and more hyperplane bits keep
-    bucket sizes bounded; EMB_BUCKET_CAP bounds a degenerate bucket — capped
-    rows are counted via an observed metric, and the oracle mirrors the cap).
-    Threshold 0.3 fits the synthetic corpus, whose max pairwise cosine is
-    ~0.51; production near-dup would use ~0.95."""
-    e = t(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        VEC.norm(F.col("embedding")).alias("nrm"),
-        VEC.hyperplane_bucket(F.col("embedding"), _PLANES6).alias("bucket"),
-    )
-    wcap = Window.partitionBy("bucket").orderBy("vec_id")
-    b = (
-        b.withColumn("__rn", F.row_number().over(wcap))
-        .observe(
-            "emb_bucket_cap",
-            F.sum((F.col("__rn") > EMB_BUCKET_CAP).cast("long")).alias(
-                "emb_rows_over_cap"
-            ),
-        )
-        .filter(F.col("__rn") <= EMB_BUCKET_CAP)
-        .drop("__rn")
-        # materialize once: both self-join sides would otherwise re-run the
-        # bucket window (lazy local checkpoint, computed on first use)
-        .localCheckpoint(eager=False)
-    )
-    l, r = b.alias("l"), b.alias("r")
-    cos = F.round(
-        VEC.cosine_prenormed(
-            F.col("l.v"), F.col("r.v"), F.col("l.nrm"), F.col("r.nrm")
-        ),
-        6,
-    )
-    return (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("id_a"),
-            F.col("r.vec_id").alias("id_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.3)
+    """Embedding near-duplicate pairs (operators/dedup.embedding_neardup_pairs):
+    sign-LSH blocks the corpus, exact cosine only within a bucket
+    (sub-quadratic; EMB_BUCKET_CAP bounds a degenerate bucket — capped rows
+    are counted via an observed metric, and the oracle mirrors the cap).
+    The hyperplane width is PINNED to 6 bits here so the DuckDB oracle can
+    replicate the construction verbatim; production calls leave
+    ``planes``/``nbits`` unset and the operator derives the width from corpus
+    cardinality (vectors.nbits_for_corpus) so bucket occupancy stays bounded
+    at 100x the data. Threshold 0.3 fits the synthetic corpus, whose max
+    pairwise cosine is ~0.51; production near-dup would use ~0.95."""
+    return DD.embedding_neardup_pairs(
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        planes=_PLANES6,
+        bucket_cap=EMB_BUCKET_CAP,
     )
 
 

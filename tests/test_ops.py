@@ -333,3 +333,151 @@ def test_bloom_membership_no_false_negatives(spark, sf_dir):
         r["false_positive"] == int(r["maybe_member"] == 1 and r["is_member"] == 0)
         for r in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-sized LSH widths (d4/d6 scale policy) + cap-overflow observability
+# ---------------------------------------------------------------------------
+
+
+def test_nbits_for_corpus_scaling():
+    """Sign-LSH width grows with corpus cardinality so expected bucket
+    occupancy stays at the target — the '6 bits is corpus-sized tuning'
+    fix: 100x the data must mean more buckets, not 100x fatter buckets."""
+    from nyc_open_data_pipeline_spark.functions.vectors import nbits_for_corpus
+
+    assert nbits_for_corpus(500, 1000) == 4  # floor: tiny corpus
+    assert nbits_for_corpus(64_000, 1000) == 6
+    assert nbits_for_corpus(64_000_000, 1000) == 16
+    assert nbits_for_corpus(10**10, 1000) == 24  # ceiling clamp
+    # expected occupancy bound holds wherever the clamp doesn't bind
+    for n in (10**4, 10**5, 10**7, 10**9):
+        bits = nbits_for_corpus(n, 1000)
+        assert n / (1 << bits) <= 1000
+
+
+def test_bands_for_threshold():
+    """Band layout follows the stated Jaccard threshold via the LSH S-curve
+    midpoint (1/b)^(1/r), instead of a hardcoded (4, 4)."""
+    from nyc_open_data_pipeline_spark.operators.dedup import bands_for_threshold
+
+    assert bands_for_threshold(16, 0.7) == 4  # (1/4)^(1/4) = 0.707
+    assert bands_for_threshold(16, 0.35) == 8  # (1/8)^(1/2) = 0.354
+    assert bands_for_threshold(16, 0.95) == 2  # (1/2)^(1/8) = 0.917
+
+
+def test_sign_lsh_bucket_growth_bounded(spark):
+    """Bucket-size distribution at two corpus sizes (8x apart): with the
+    auto-derived width the max bucket stays bounded near the target instead
+    of growing linearly with the corpus."""
+    import numpy as np
+
+    from nyc_open_data_pipeline_spark.functions.vectors import (
+        hyperplane_bucket,
+        hyperplanes,
+        nbits_for_corpus,
+    )
+
+    rng = np.random.RandomState(7)
+    target = 32
+    max_seen = {}
+    for n in (512, 4096):
+        vecs = rng.randn(n, 16)
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+        )
+        bits = nbits_for_corpus(n, target)
+        planes = hyperplanes(16, bits)
+        sizes = (
+            df.select(hyperplane_bucket(F.col("embedding"), planes).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        max_seen[n] = sizes
+    # Sign-LSH occupancy over real (non-uniform) data is skewed — that's what
+    # bucket_cap bounds. The width policy's claim is SUBLINEAR growth: 8x the
+    # corpus must not mean 8x the max bucket (fixed width would be exactly
+    # 8x), and the max bucket's share of the corpus must shrink.
+    assert max_seen[4096] < 4 * max_seen[512], max_seen
+    assert max_seen[4096] / 4096 < max_seen[512] / 512, max_seen
+
+
+def test_embedding_neardup_auto_width_finds_planted_dup(spark):
+    """End-to-end auto-derived path: exact-duplicate vectors always share a
+    sign-LSH bucket and must surface with cos_sim 1.0."""
+    import numpy as np
+
+    from nyc_open_data_pipeline_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(11)
+    vecs = [rng.randn(16).tolist() for _ in range(63)]
+    vecs.append(list(vecs[0]))  # id 63 duplicates id 0
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    pairs = embedding_neardup_pairs(df, threshold=0.99, target_bucket_rows=16)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in pairs.collect()}
+    assert (0, 63) in got and got[(0, 63)] == 1.0
+
+
+def test_cap_metrics_zero_at_gate_scale(spark):
+    """The d4/d6 oracles intentionally mirror the bucket caps; if a cap ever
+    binds at the correctness-gate scale, a hash match would be comparing two
+    equally-truncated results. Assert the observed overflow metrics are ZERO
+    at sf0.01, so truncation can never masquerade as parity (d11 shares
+    LSH_BUCKET_CAP with d4 over strictly smaller buckets — 4 block keys per
+    doc vs banded signature buckets — so the d4 zero bounds it)."""
+    from pyspark.sql import Observation
+
+    from nyc_open_data_pipeline_spark.catalog import load_table
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+    from nyc_open_data_pipeline_spark.plans.llmdata import (
+        EMB_BUCKET_CAP,
+        LSH_BUCKET_CAP,
+        NBANDS,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf01, "documents")
+    obs_lsh = Observation("lsh_cap_gate")
+    DD.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=NBANDS, bucket_cap=LSH_BUCKET_CAP,
+        observation=obs_lsh,
+    ).count()
+    assert obs_lsh.get["lsh_rows_over_cap"] == 0
+
+    emb = load_table(spark, sf01, "embeddings")
+    obs_emb = Observation("emb_cap_gate")
+    from nyc_open_data_pipeline_spark.plans.llmdata import _PLANES6
+
+    DD.embedding_neardup_pairs(
+        emb, threshold=0.3, planes=_PLANES6, bucket_cap=EMB_BUCKET_CAP,
+        observation=obs_emb,
+    ).count()
+    assert obs_emb.get["emb_rows_over_cap"] == 0
+
+    # d11's block buckets: direct distributional check against the same cap
+    from nyc_open_data_pipeline_spark.plans.llmdata import (
+        _SH_BLOCK_BITS,
+        _SH_BLOCKS,
+        _shared_simhash,
+    )
+
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    blocks = _shared_simhash(spark, sf01).select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("h"), i * _SH_BLOCK_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(_SH_BLOCKS)
+                ]
+            )
+        ).alias("blk", "bv")
+    )
+    mx = (
+        blocks.groupBy("blk", "bv").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert mx <= LSH_BUCKET_CAP

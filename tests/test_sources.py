@@ -59,15 +59,27 @@ class Handler(BaseHTTPRequestHandler):
         self._send({"data": rows[start : start + size]})
 
     def do_GET(self):
-        # census shape: header row first
+        # census shape: header row first, geography header named after the
+        # PRODUCTION geo level string; variable columns echo the `get` param
         from urllib.parse import parse_qs, urlparse
 
         q = parse_qs(urlparse(self.path).query)
         geo = q.get("for", [""])[0]
         ids = geo.split(":", 1)[1].split(",") if ":" in geo else []
-        out = [["B17001_002E", "B17001_001E", "zip code tabulation area"]]
+        varnames = [v for v in q.get("get", [""])[0].split(",") if v] or [
+            "B17001_002E",
+            "B17001_001E",
+        ]
+        mult = {"B17001_002E": 2, "B17001_001E": 10}
+        out = [varnames + ["zip code tabulation area"]]
         for z in ids:
-            out.append([str(int(z) * 2), str(int(z) * 10), z])
+            row = []
+            for v in varnames:
+                if z == "10099" and v == "B19013_001E":
+                    row.append("-666666666")  # live Census missing-sentinel
+                else:
+                    row.append(str(int(z) * mult.get(v, 3)))
+            out.append(row + [z])
         self._send(out)
 
 
@@ -171,6 +183,40 @@ def test_census_geo_header_alias(spark, server):
             df = df.option(k, v)
         got = {r["zcta"] for r in df.load().collect()}
         assert got == set(zips), f"geo alias failed with options {extra}"
+
+
+def test_census_real_header_through_transformer(spark, server):
+    """End-to-end with the PRODUCTION geography header string: census_api
+    source (fixture server emits the live 'zip code tabulation area' header,
+    aliased onto zcta via geo_field) -> CensusAcsTransformer -> derived
+    poverty_rate, sentinel -666666666 -> NULL, year literal (ADVICE r1
+    hardening carried to a full-pipeline test)."""
+    from datasets.census_acs.transformer import CensusAcsTransformer
+
+    register_data_sources(spark)
+    df = (
+        spark.read.format("census_api")
+        .schema(
+            "B17001_002E string, B17001_001E string, B19013_001E string, zcta string"
+        )
+        .option("url", server)
+        .option("year", "2023")
+        .option("dataset", "acs/acs5")
+        .option("variables", "B17001_002E,B17001_001E,B19013_001E")
+        .option("geo_level", "zip code tabulation area")
+        .option("geo_field", "zcta")
+        .option("geo_ids", "10001,10099")
+        .load()
+    )
+    out = {r["zip_code"]: r for r in CensusAcsTransformer().transform(df).collect()}
+    assert set(out) == {"10001", "10099"}
+    r = out["10001"]
+    assert r["poverty_count"] == 20002 and r["poverty_universe"] == 100010
+    assert r["poverty_rate"] == 20.0  # count/universe*100, round(2)
+    assert r["median_household_income"] == 30003 and r["year"] == 2023
+    # the sentinel row: income must be NULL, the ratio still computes
+    assert out["10099"]["median_household_income"] is None
+    assert out["10099"]["poverty_rate"] == 20.0
 
 
 def test_coercing_caster_bad_cells_to_null():
