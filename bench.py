@@ -81,6 +81,14 @@ HEADLINE = [
 # (Do NOT edit when HEADLINE grows; add a new coreNN instead.)
 CORE58 = frozenset(HEADLINE)
 
+# Added after the r3 freeze — timed in the grand total, NOT in core58.
+HEADLINE += [
+    "mix3_temperature_sampling",
+    "d12_containment_neardup",
+    "f6_rfm_segments",
+    "st7_stream_upsert",
+]
+
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.
 CORE30 = {
     "q1_pricing_summary", "j1_left_join_dim", "j2_inner_join_broadcast",

@@ -314,3 +314,70 @@ def f5_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "f6_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id
+    ),
+    q AS (
+      SELECT user_id, last_ts, n_events, total_value,
+             CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r_q,
+             CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f_q,
+             CAST(ntile(4) OVER (ORDER BY total_value DESC, user_id) AS BIGINT) AS m_q
+      FROM rfm
+    )
+    SELECT user_id, last_ts, n_events, total_value, r_q, f_q, m_q,
+           concat('R', CAST(r_q AS VARCHAR), 'F', CAST(f_q AS VARCHAR),
+                  'M', CAST(m_q AS VARCHAR)) AS segment
+    FROM q
+    """,
+    survey_ref="extension: RFM user segmentation — recency/frequency/monetary "
+    "quartiles + composite segment label, the standard lifecycle-marketing "
+    "report built on A2's latest-per-key and A4's conditional-agg idioms.",
+)
+def f6_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: one groupBy(user_id) reduces events to a per-user
+    (last_ts, n_events, total_value) triple (decimal sum -> order-independent
+    double), then three quartile ntiles with user_id tiebreaks make the
+    assignment deterministic cross-engine.
+
+    Scale note: the ntile windows are global (Exchange SinglePartition) over
+    the REDUCED per-user frame — fine up to ~10^7 users; beyond that swap in
+    operators/ranks.distribution_ranks (w6), which computes the same
+    quartiles with range partitioning and no single-partition stage.
+    """
+    from nyc_open_data_pipeline_spark.plans.common import dec
+
+    ev = t(spark, sf_dir, "events")
+    rfm = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(dec("value", 28, 4)).cast("double").alias("total_value"),
+    )
+    wr = Window.orderBy(F.col("last_ts").desc(), "user_id")
+    wf = Window.orderBy(F.col("n_events").desc(), "user_id")
+    wm = Window.orderBy(F.col("total_value").desc(), "user_id")
+    q = rfm.select(
+        "user_id",
+        "last_ts",
+        "n_events",
+        "total_value",
+        F.ntile(4).over(wr).cast("long").alias("r_q"),
+        F.ntile(4).over(wf).cast("long").alias("f_q"),
+        F.ntile(4).over(wm).cast("long").alias("m_q"),
+    )
+    return q.withColumn(
+        "segment",
+        F.concat(
+            F.lit("R"), F.col("r_q").cast("string"),
+            F.lit("F"), F.col("f_q").cast("string"),
+            F.lit("M"), F.col("m_q").cast("string"),
+        ),
+    )

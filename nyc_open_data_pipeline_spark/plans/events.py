@@ -516,3 +516,60 @@ def st6_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = lvl if out is None else out.unionAll(lvl)
     return out
+
+
+@register(
+    "st7_stream_upsert",
+    oracle="""
+    SELECT user_id, ts, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    survey_ref="§2.13 x K3: streaming MERGE ingest — events replayed as 4 "
+    "micro-batches through a foreachBatch latest-wins upsert sink "
+    "(streaming/upsert.py); the reference's ON CONFLICT DO UPDATE flow "
+    "(src/ingestion/storage.py:230-297) run continuously. Oracle = batch "
+    "latest-per-key: the sink is order-independent, so stream==batch holds "
+    "for ANY batch decomposition of the input.",
+)
+def st7_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous upsert ingest: the events table arrives as 4 micro-batches;
+    each batch MERGEs into per-user state keeping the (ts, event_id)-maximal
+    row. Because the merge is last-writer-wins by event-time (not by arrival
+    order), the final state equals the batch latest-per-key answer no matter
+    how the stream is chunked or replayed — the property that makes
+    checkpoint-recovery re-runs safe."""
+    import os
+    import tempfile
+
+    from nyc_open_data_pipeline_spark.streaming.replay import ordered_range_chunks
+    from nyc_open_data_pipeline_spark.streaming.upsert import latest_upsert_sink
+
+    root = tempfile.mkdtemp(prefix="st7_")
+    stream_dir = os.path.join(root, "in")
+    state_dir = os.path.join(root, "state")
+    schema = (
+        "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ordered_range_chunks(ev, "event_id", stream_dir, n_chunks=4)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            latest_upsert_sink(
+                spark, state_dir, ["user_id"], ["ts", "event_id"], schema
+            )
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.schema(schema).parquet(state_dir)

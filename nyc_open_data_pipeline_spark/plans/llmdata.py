@@ -2606,3 +2606,149 @@ def d11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= _SH_MAX_HAM).select(
         "id_a", "id_b", ham.cast("long").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source reweighting (mix3) + containment near-dup (d12)
+# ---------------------------------------------------------------------------
+
+_MIX3_BUDGET = 2600  # token budget the temperature mix is realized against
+_MIX3_SQL_RATE = (
+    f"least(1.0, (CAST(sw AS DOUBLE) / CAST(t AS DOUBLE)) * {_MIX3_BUDGET}.0 "
+    "/ CAST(n_tokens AS DOUBLE))"
+)
+
+
+@register(
+    "mix3_temperature_sampling",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_MIX_TOK_SQL} AS n_tokens FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,12)) AS sw
+      FROM agg
+    ),
+    tot AS (SELECT SUM(sw) AS t FROM w)
+    SELECT source, n_docs, n_tokens,
+           CAST(sw AS DOUBLE) / CAST(t AS DOUBLE) AS weight,
+           {_MIX3_SQL_RATE} AS sample_rate,
+           CAST(floor({_MIX3_SQL_RATE} * {_MIX_MOD}) AS BIGINT) AS sample_threshold
+    FROM w, tot
+    """,
+    survey_ref="extension: TEMPERATURE source reweighting (multinomial "
+    "alpha=0.5, the XLM-R/mT5 mix rule) — head sources are down-weighted "
+    "toward sqrt of their share, tail sources up-weighted; output is the "
+    "per-source rate/threshold table mix2's deterministic hash gate consumes. "
+    "Complements mix1's hard per-source cap.",
+)
+def mix3_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mix: target share q_s = n_s^alpha / sum_t n_t^alpha with
+    alpha = 0.5 via sqrt (sqrt is IEEE-exact in both engines, unlike pow),
+    realized as sample_rate = min(1, q_s * budget / n_s). Numeric policy:
+    the cross-source normalizer sums DECIMAL(38,12)-cast sqrt weights, so
+    the total is order-independent and bit-equal cross-engine.
+
+    Scale shape: one groupBy(source) shuffle over map-side partials, a
+    K-row scalar cross-join for the normalizer, pure arithmetic after —
+    the rate table broadcasts into the scan-speed gate exactly like mix2.
+    """
+    d = t(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = agg.withColumn(
+        "sw", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(38,12)")
+    )
+    tot = w.agg(F.sum("sw").alias("t"))
+    q = F.col("sw").cast("double") / F.col("t").cast("double")
+    rate = F.least(
+        F.lit(1.0), q * F.lit(float(_MIX3_BUDGET)) / F.col("n_tokens").cast("double")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            q.alias("weight"),
+            rate.alias("sample_rate"),
+            F.floor(rate * _MIX_MOD).cast("long").alias("sample_threshold"),
+        )
+    )
+
+
+_D12_THRESHOLD = 0.6
+
+
+@register(
+    "d12_containment_neardup",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * NROWS + r}" for r in range(NROWS))
+        + ") AS band_key FROM sigs"
+        for b in range(NBANDS)
+      )}
+    ),
+    capped AS (
+      SELECT doc_id, band, band_key FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+              <= {LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM capped l JOIN capped r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+               / greatest(least(len(a.hv), len(b.hv)), 1) AS containment,
+             CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+               / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv))) AS jaccard
+      FROM cand c JOIN hvl a ON c.id_a = a.doc_id JOIN hvl b ON c.id_b = b.doc_id
+    )
+    SELECT * FROM scored WHERE containment >= {_D12_THRESHOLD}
+    """,
+    survey_ref="extension: CONTAINMENT near-dup — |A∩B| / min(|A|,|B|) over "
+    "the same LSH candidates as d4. The asymmetric measure catches "
+    "truncation/subset duplicates (a clipped copy of a long doc has low "
+    "Jaccard but containment ~1), the dedup gap Broder's resemblance "
+    "vs containment distinction names; fourth member of the dedup family.",
+)
+def d12_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored near-dup pairs: reuse the SHARED banded-LSH
+    candidate+Jaccard frame (one bucket self-join for the whole dedup
+    family), join the shared shingle-hash sets back on both sides, and
+    score |A∩B| / min(|A|,|B|). Same scale shape as d4 — candidates are
+    bucket-capped, the verify join shuffles only 64-bit hash arrays of
+    candidate pairs, and nothing is all-pairs."""
+    hv = _shared_hv(spark, sf_dir)
+    cand = _shared_scored_pairs(spark, sf_dir)
+    a = hv.select(F.col("id").alias("id_a"), F.col("hv").alias("hv_a"))
+    b = hv.select(F.col("id").alias("id_b"), F.col("hv").alias("hv_b"))
+    inter = F.size(F.array_intersect("hv_a", "hv_b"))
+    containment = inter.cast("double") / F.greatest(
+        F.least(F.size("hv_a"), F.size("hv_b")), F.lit(1)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            containment.alias("containment"),
+            "jaccard",
+        )
+        .filter(F.col("containment") >= _D12_THRESHOLD)
+    )
