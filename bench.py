@@ -87,6 +87,10 @@ HEADLINE += [
     "d12_containment_neardup",
     "f6_rfm_segments",
     "st7_stream_upsert",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "d13_ngram_dup_fraction",
+    "s8_label_centroids",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -2752,3 +2752,136 @@ def d12_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= _D12_THRESHOLD)
     )
+
+
+@register(
+    "d13_ngram_dup_fraction",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_sql_shingles('tk')} AS sh FROM toks),
+    hvl AS (
+      SELECT doc_id, list_distinct(list_transform(sh, s -> {sql_hash64('s')})) AS hv
+      FROM sh
+    ),
+    ex AS (SELECT doc_id, unnest(hv) AS h FROM hvl),
+    dc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY h),
+    per AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN dc.nd > 1 THEN 1 ELSE 0 END) AS n_shared
+      FROM ex e JOIN dc ON e.h = dc.h
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS dup_frac
+    FROM per
+    """,
+    survey_ref="extension: per-document duplicated-n-gram fraction (the "
+    "C4/RefinedWeb corpus-health diagnostic: how much of each doc's 3-gram "
+    "mass appears elsewhere in the corpus; composes the shared shingle-hash "
+    "intermediate with a corpus-wide document-frequency join)",
+)
+def d13_ngram_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's distinct 3-gram shingles that occur in at
+    least one OTHER document — the per-doc duplication diagnostic curation
+    pipelines gate on before near-dup clustering. Scale shape: explode the
+    shared hashed-shingle sets (64-bit ints, no text), aggregate document
+    frequency per hash (uniform keys — md5-derived, unskewable), join back
+    on the same hash (same partitioning, AQE reuses the exchange), one
+    final groupBy doc_id. Nothing all-pairs, nothing collected; both
+    shuffles carry only (hash, id) pairs."""
+    hv = _shared_hv(spark, sf_dir)
+    ex = hv.select(F.col("id").alias("doc_id"), F.explode("hv").alias("h"))
+    dc = ex.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        ex.join(dc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "s8_label_centroids",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {SQL_VEC} AS v FROM embeddings),
+    ex AS (
+      SELECT label, vec_id, g.i AS pos, v[g.i] AS val
+      FROM e, unnest(generate_series(1, len(v))) AS g(i)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+      FROM ex GROUP BY label, pos
+    ),
+    carr AS (SELECT label, list(cval ORDER BY pos) AS cv FROM cent GROUP BY label),
+    cs AS (
+      SELECT e.label, e.vec_id,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+      FROM e JOIN carr c ON e.label = c.label
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_cohesion,
+           MIN(cos) AS min_cohesion
+    FROM cs GROUP BY label
+    """,
+    survey_ref="extension: per-label centroid cohesion (embedding-space "
+    "cluster diagnostic: mean/min cosine of members to their label centroid "
+    "— the quality gate run before using labels for stratified sampling "
+    "or contamination checks)",
+)
+def s8_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + cohesion stats. Scale shape: posexplode to
+    (label, pos, val) — a narrow shuffle on (label, pos), both
+    low-cardinality but label x pos = labels x dim keys, plenty of
+    parallelism — decimal-exact mean per dimension, re-assemble the
+    centroid array ORDER BY pos, then broadcast the |labels| centroids back
+    onto the vectors (map-side join; the big side never shuffles). Cosine
+    is the same deterministic left-to-right fold as s1 (oracle:
+    list_dot_product), rounded to 6 dp before the decimal-exact mean."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select("label", "vec_id", F.posexplode("embedding").alias("pos", "val"))
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum(dec(F.col("val").cast("double"), 28, 12)).cast("double") / F.count("val")).alias(
+            "cval"
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+        ).alias("cv")
+    )
+    withc = e.join(F.broadcast(carr), "label")
+    cos = F.round(
+        VEC.cosine_prenormed(
+            F.col("embedding"),
+            F.col("cv"),
+            VEC.norm(F.col("embedding")),
+            VEC.norm(F.col("cv")),
+        ),
+        6,
+    )
+    return (
+        withc.select("label", "vec_id", cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (F.sum(dec("cos", 18, 6)).cast("double") / F.count("cos")).alias("avg_cohesion"),
+            F.min("cos").alias("min_cohesion"),
+        )
+    )

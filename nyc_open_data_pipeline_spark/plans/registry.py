@@ -35,8 +35,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # after ~50 entries. Round-3 order: (a) the 17 queries with NO green driver row
 # ever — 14 never checked (the flagship c1 first), st2 (r1 row was no_oracle),
 # and w4/f4 (r2 reds, fixed this round by the central TIMESTAMP_NTZ conf);
-# (b) 33 round-1 greens rotated back in so r1∪r2∪r3 driver-green covers all
-# 114 declared queries; (c) round-2 greens last (freshest proof already).
+# (a2) the 8 queries ADDED in round 3 (no row possible before this round);
+# (b) 25 round-1 greens rotated back in so r1∪r2∪r3 driver-green covers the
+# full declared surface; (c) round-2 greens last (freshest proof already).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never proven by the driver — 17 rows
     "c1_cleanroom_pipeline",
@@ -56,7 +57,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st2_stateful_profiles",
     "w4_range_frame",
     "f4_session_paths",
-    # (b) round-1 greens, rotated — 33 rows
+    # (a2) new in round 3 — 8 rows
+    "mix3_temperature_sampling",
+    "d12_containment_neardup",
+    "f6_rfm_segments",
+    "st7_stream_upsert",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "d13_ngram_dup_fraction",
+    "s8_label_centroids",
+    # (b) round-1 greens, rotated — 25 rows
     "d1_exact_dedup",
     "d2_fingerprints",
     "d3_minhash_signatures",
@@ -82,6 +92,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tx2_quality_score",
     "tx3_language_id",
     "tx4_source_profile",
+    # (b cont.) remaining round-1 greens — just past the 50-row cap
     "tx5_bpe_tokens",
     "tx6_redact_pii",
     "tx7_top_bigrams",
@@ -90,7 +101,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mm3_frame_sample",
     "g1_geojson_to_wkt",
     "g5_feature_collection",
-    # (b cont.) remaining round-1 greens — just past the 50-row cap
     "g3_promote_multipolygon",
     "g4_wkt_to_geojson",
     "p1_drop_columns",

@@ -1160,3 +1160,113 @@ def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 deep join pipelines (TPC-H Q3/Q5 shapes) — the multi-join plans the
+# reference composes client-side (App.jsx chains fetches; routes.py joins two
+# tables at a time). Here the whole pipeline is ONE Catalyst plan so join
+# reordering, broadcast selection and filter pushdown act across all tables.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum("CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))", "revenue", 38, 8)},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    survey_ref="§2.5 J1-J3 + §2.8 O5 composed (TPC-H Q3 shape; the reference "
+    "chains this as two client fetches + a js sort, App.jsx:96-120)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10: filtered customer segment joined through
+    orders into lineitem, revenue per order, top 10. Scale shape: the
+    segment-filtered customer projection (2 cols, ~1/5 of customers) is
+    broadcast; orders carries its date filter INTO the scan (PushedFilters);
+    the only shuffle is the final groupBy on l_orderkey, and the top-10 is a
+    TakeOrderedAndProject (per-partition heap, k rows to the driver), never a
+    global sort. Ties broken by l_orderkey for a deterministic hash."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice", 18, 4) * (F.lit(1) - dec("l_discount", 18, 4))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum("CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))", "revenue", 38, 8)}
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    survey_ref="§2.5 J1-J3 six-way join (TPC-H Q5 shape; widest join pipeline "
+    "the corpus supports — region>nation>customer>orders>lineitem>supplier "
+    "with the local-supplier correlation s_nationkey = c_nationkey)",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation: a six-table join with a correlated
+    equality (supplier and customer in the SAME nation). Scale shape: region,
+    nation and supplier are broadcast (region/nation are tiny; supplier is
+    the smallest fact-side dim); customer x orders and orders x lineitem are
+    the two shuffle joins, both on their natural keys, so AQE can reuse the
+    o_orderkey exchange. The s_nationkey = c_nationkey correlation rides the
+    broadcast join for free instead of forcing an extra shuffle."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    revenue = dec("l_extendedprice", 18, 4) * (F.lit(1) - dec("l_discount", 18, 4))
+    asian_nations = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(asian_nations, c.c_nationkey == asian_nations.n_nationkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

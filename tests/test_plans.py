@@ -155,3 +155,41 @@ def test_runtime_bloom_filter_injection(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q3_broadcasts_customer_and_heap_topk(spark, sf_dir):
+    """Q3's segment-filtered customer side must broadcast (the fact side
+    never shuffles for that join), the date filters must reach the scans,
+    and the top-10 must be a per-partition heap, not a global sort."""
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    """The six-way join must resolve region/nation/supplier as broadcasts —
+    at most the two fact-side joins (orders x customer, lineitem x orders)
+    may shuffle, and nothing may plan as a nested loop."""
+    plan = plan_of(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d13_shuffles_only_hashes(spark, sf_dir):
+    """The dup-fraction join keys are 64-bit shingle hashes — the plan must
+    never carry text through an exchange (column pruning drops it after
+    hashing) and must keep partial aggregation before each shuffle."""
+    plan = plan_of(spark, sf_dir, "d13_ngram_dup_fraction")
+    assert plan.count("HashAggregate") >= 2  # map-side combine present
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_s8_broadcasts_centroids(spark, sf_dir):
+    """Label centroids (|labels| rows) join back to the vectors as a
+    broadcast — the embedding side must not shuffle for the cohesion pass."""
+    plan = plan_of(spark, sf_dir, "s8_label_centroids")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
