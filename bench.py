@@ -91,6 +91,8 @@ HEADLINE += [
     "q5_local_supplier",
     "d13_ngram_dup_fraction",
     "s8_label_centroids",
+    "q14_promo_revenue",
+    "st8_stream_dedup",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -145,6 +145,89 @@ class ParquetStorage:
             shutil.rmtree(stage, ignore_errors=True)
         return self._count(spark, schema.table_name)
 
+    def delete_keys(self, spark: SparkSession, keys_df: DataFrame, schema: TableSchema) -> int:
+        """Targeted delete (right-to-erasure / correction retractions): remove
+        every stored row whose unique key appears in ``keys_df`` — the inverse
+        of ``upsert``, sharing its scale contract. If the key batch carries
+        the table's partition columns, only the touched partitions are read,
+        anti-joined, and dynamically overwritten (a delete of one user from a
+        100 TB table touches that user's partitions, not the table);
+        otherwise the full anti-join + atomic-swap rewrite runs. Returns the
+        resulting row count. Idempotent: re-deleting the same keys is a no-op."""
+        keys = schema.unique_keys
+        if not keys:
+            raise ValueError("delete_keys requires unique_keys on the schema")
+        if not self.exists(schema.table_name):
+            return 0
+        wanted = keys_df.select(
+            *[c for c in keys_df.columns if c in set(keys) | set(schema.partition_by)]
+        ).distinct()
+        parts = [c for c in schema.partition_by if c in wanted.columns]
+        final = self.path(schema.table_name)
+        if parts:
+            touched = wanted.select(*parts).distinct().collect()
+            pred = None
+            for row in touched:
+                clause = None
+                for p in parts:
+                    c = F.col(p).eqNullSafe(F.lit(row[p]))
+                    clause = c if clause is None else clause & c
+                pred = clause if pred is None else pred | clause
+            existing = spark.read.parquet(final)
+            pruned = existing.filter(pred) if pred is not None else existing.limit(0)
+            survivors = pruned.join(wanted.select(*keys), on=keys, how="left_anti")
+            stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
+            survivors.write.parquet(stage)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    spark.read.parquet(stage)
+                    .write.mode("overwrite")
+                    .partitionBy(*parts)
+                    .parquet(final)
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                shutil.rmtree(stage, ignore_errors=True)
+        else:
+            existing = spark.read.parquet(final)
+            survivors = existing.join(wanted.select(*keys), on=keys, how="left_anti")
+            self._atomic_write(survivors, schema)
+        return self._count(spark, schema.table_name)
+
+    def purge_partitions(self, schema: TableSchema, keep) -> list[dict]:
+        """Retention purge: drop whole Hive-style partitions whose values
+        fail the ``keep`` predicate (a callable over the partition-value
+        dict, e.g. ``lambda v: int(v["year"]) >= 2020``). Metadata-only at
+        any scale — directories are enumerated and removed; no data file is
+        ever read. Returns the dropped partition-value dicts. This is the
+        parquet-layout form of ``ALTER TABLE ... DROP PARTITION``; with a
+        transactional format the same predicate drives a metadata delete."""
+        if not schema.partition_by:
+            raise ValueError("purge_partitions requires a partitioned schema")
+        root = self.path(schema.table_name)
+        dropped: list[dict] = []
+
+        def walk(d: str, depth: int, values: dict) -> None:
+            if depth == len(schema.partition_by):
+                if not keep(values):
+                    shutil.rmtree(d)
+                    dropped.append(dict(values))
+                return
+            col = schema.partition_by[depth]
+            for entry in os.listdir(d):
+                if "=" not in entry:
+                    continue
+                name, _, raw = entry.partition("=")
+                if name != col:
+                    continue
+                walk(os.path.join(d, entry), depth + 1, {**values, col: raw})
+
+        if os.path.exists(root):
+            walk(root, 0, {})
+        return dropped
+
     def _atomic_write(self, df: DataFrame, schema: TableSchema) -> None:
         """Write to a temp dir, then swap — the closest to transactional
         overwrite plain parquet offers (Delta's MERGE INTO replaces this

@@ -573,3 +573,40 @@ def st7_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.read.schema(schema).parquet(state_dir)
+
+
+@register(
+    "st8_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="§2.13 native streaming dedup (dropDuplicatesWithinWatermark): "
+    "the stream is fed every event TWICE (a redelivery/replay feed) and must "
+    "reproduce the single-copy batch counts — exactly-once rows from "
+    "at-least-once delivery; oracle is the batch GROUP BY on one copy",
+)
+def st8_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming dedup operator (vs st3's foreachBatch corpus-hash
+    flow): duplicate the feed, drop by event_id within the watermark, count
+    per type. The per-type counts equal the batch counts iff every second
+    delivery was dropped — a hash mismatch catches both under- and
+    over-dedup. State is bounded by the watermark horizon (see
+    streaming/dedup.deduped_events)."""
+    import tempfile
+    import uuid
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import deduped_events
+    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+
+    d = tempfile.mkdtemp(prefix="st8_events_")
+    ev = t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(d)
+    ev.write.mode("append").parquet(d)  # the duplicate delivery
+    name = f"st8_{uuid.uuid4().hex[:8]}"
+    run_to_memory(deduped_events(events_stream(spark, path=d)), name, mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )

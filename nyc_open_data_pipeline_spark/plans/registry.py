@@ -57,7 +57,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st2_stateful_profiles",
     "w4_range_frame",
     "f4_session_paths",
-    # (a2) new in round 3 — 8 rows
+    # (a2) new in round 3 — 10 rows
     "mix3_temperature_sampling",
     "d12_containment_neardup",
     "f6_rfm_segments",
@@ -66,7 +66,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q5_local_supplier",
     "d13_ngram_dup_fraction",
     "s8_label_centroids",
-    # (b) round-1 greens, rotated — 25 rows
+    "q14_promo_revenue",
+    "st8_stream_dedup",
+    # (b) round-1 greens, rotated — 23 rows
     "d1_exact_dedup",
     "d2_fingerprints",
     "d3_minhash_signatures",
@@ -90,9 +92,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st1_stream_tumbling",
     "tx1_token_stats",
     "tx2_quality_score",
+    # (b cont.) remaining round-1 greens — just past the 50-row cap
     "tx3_language_id",
     "tx4_source_profile",
-    # (b cont.) remaining round-1 greens — just past the 50-row cap
     "tx5_bpe_tokens",
     "tx6_redact_pii",
     "tx7_top_bigrams",

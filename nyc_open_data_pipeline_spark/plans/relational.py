@@ -1270,3 +1270,49 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT (100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE))
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+    survey_ref="§2.5 J2 + §2.6 A4 composed (TPC-H Q14 shape: fact x product "
+    "dim with a conditional-revenue ratio — the promo-share rollup; brings "
+    "the part table into the join surface)",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share for one ship month. Scale shape: the date
+    window prunes the lineitem scan (PushedFilters), part joins broadcast
+    (2-column projection; at TPC-H SF100k part is ~20 GB raw so past the
+    broadcast ceiling it becomes a bucketed-by-partkey sort-merge join —
+    see SCALE.md storage layout); the conditional sum folds into the same
+    partial aggregate as the total, so the ratio costs one scan + one
+    1-row exchange. Decimal-exact sums, double division at the end."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = dec("l_extendedprice", 18, 4) * (F.lit(1) - dec("l_discount", 18, 4))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -76,3 +76,16 @@ def run_incremental_dedup(
     q.awaitTermination(180)
 
 
+
+
+def deduped_events(stream: DataFrame, delay: str = "3650 days") -> DataFrame:
+    """Native streaming dedup: ``dropDuplicatesWithinWatermark`` on the
+    event id — the built-in operator for collapsing at-least-once delivery
+    (retries, replays) to exactly-once rows, complementing the foreachBatch
+    corpus-hash flow above. State holds one entry per id seen inside the
+    watermark delay and is evicted as event time advances past it — the
+    delay is the REPLAY BOUND, sized to the source's max redelivery lag
+    (generous here so the whole test corpus stays in one dedup horizon;
+    at scale: minutes-to-hours, keeping state at |ids per horizon|, not
+    |corpus|)."""
+    return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])

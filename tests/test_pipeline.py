@@ -185,3 +185,79 @@ def test_storage_append_and_metadata(spark, tmp_path):
     storage.update_metadata(spark, "ds1", "logs", 4, last_ingestion="2026-01-02")
     meta = storage.read_metadata(spark).collect()
     assert len(meta) == 1 and meta[0]["last_ingestion"] == "2026-01-02"
+
+
+def test_storage_delete_keys_partition_pruned(spark, tmp_path):
+    """The delete mirrors the upsert's scale contract: keys carrying the
+    partition column must leave other partitions' files untouched."""
+    import os
+
+    storage = ParquetStorage(str(tmp_path))
+    schema = TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("year", "integer"),
+            ColumnSpec("v", "string"),
+        ],
+        unique_keys=["k"],
+        partition_by=["year"],
+    )
+    base = spark.createDataFrame(
+        [(1, 2023, "a"), (2, 2023, "b"), (3, 2024, "c"), (4, 2024, "d")],
+        ["k", "year", "v"],
+    )
+    assert storage.upsert(spark, base, schema) == 4
+
+    def files_of(part):
+        d = os.path.join(storage.path("t"), part)
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_2023 = files_of("year=2023")
+    gone = spark.createDataFrame([(3, 2024)], ["k", "year"])
+    assert storage.delete_keys(spark, gone, schema) == 3
+    assert files_of("year=2023") == before_2023
+    rows = {r["k"] for r in spark.read.parquet(storage.path("t")).collect()}
+    assert rows == {1, 2, 4}
+    # idempotent: deleting the same keys again is a no-op
+    assert storage.delete_keys(spark, gone, schema) == 3
+
+
+def test_storage_delete_keys_unpartitioned(spark, tmp_path):
+    storage = ParquetStorage(str(tmp_path))
+    schema = TableSchema(
+        table_name="t",
+        columns=[ColumnSpec("k", "integer", primary_key=True), ColumnSpec("v", "string")],
+        unique_keys=["k"],
+    )
+    storage.upsert(spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), schema)
+    assert storage.delete_keys(spark, spark.createDataFrame([(2,)], ["k"]), schema) == 1
+    assert storage.delete_keys(spark, spark.createDataFrame([(9,)], ["k"]), schema) == 1
+
+
+def test_storage_purge_partitions_metadata_only(spark, tmp_path):
+    """Retention: dropping partitions must not read data files and must
+    remove exactly the failing partitions."""
+    storage = ParquetStorage(str(tmp_path))
+    schema = TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("year", "integer"),
+            ColumnSpec("v", "string"),
+        ],
+        unique_keys=["k"],
+        partition_by=["year"],
+    )
+    base = spark.createDataFrame(
+        [(1, 2019, "a"), (2, 2020, "b"), (3, 2021, "c")], ["k", "year", "v"]
+    )
+    storage.upsert(spark, base, schema)
+    dropped = storage.purge_partitions(schema, lambda v: int(v["year"]) >= 2020)
+    assert sorted(d["year"] for d in dropped) == ["2019"]
+    rows = {r["year"] for r in spark.read.parquet(storage.path("t")).collect()}
+    assert rows == {2020, 2021}

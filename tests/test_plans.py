@@ -193,3 +193,12 @@ def test_s8_broadcasts_centroids(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "s8_label_centroids")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q14_pushes_date_window_and_broadcasts_part(spark, sf_dir):
+    """Q14's one-month window must prune the lineitem scan and the 2-column
+    part projection must broadcast; both sums share one partial aggregate."""
+    plan = plan_of(spark, sf_dir, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
