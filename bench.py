@@ -93,6 +93,7 @@ HEADLINE += [
     "s8_label_centroids",
     "q14_promo_revenue",
     "st8_stream_dedup",
+    "d14_minhash_estimate_error",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -2885,3 +2885,86 @@ def s8_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cos").alias("min_cohesion"),
         )
     )
+
+
+_D14_MATCHES = " + ".join(
+    f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+
+@register(
+    "d14_minhash_estimate_error",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()},
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * NROWS + r}" for r in range(NROWS))
+        + ") AS band_key FROM sigs"
+        for b in range(NBANDS)
+      )}
+    ),
+    capped AS (
+      SELECT doc_id, band, band_key FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+              <= {LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM capped l JOIN capped r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+               / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv))) AS jac,
+             CAST({_D14_MATCHES} AS DOUBLE) / CAST(16 AS DOUBLE) AS est
+      FROM cand c
+      JOIN hvl a ON c.id_a = a.doc_id
+      JOIN hvl b ON c.id_b = b.doc_id
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(round(abs(est - jac), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS mean_abs_err,
+           MAX(round(abs(est - jac), 6)) AS max_abs_err
+    FROM scored
+    """,
+    survey_ref="extension: MinHash estimator accuracy eval (signature-match "
+    "Jaccard estimate vs exact shingle Jaccard over the LSH candidate set — "
+    "the dedup-family counterpart of s7_ann_recall: measures the sketch "
+    "before trusting it at scale)",
+)
+def d14_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good are the 16-permutation signatures? For every LSH candidate
+    pair, the matching-component fraction estimates Jaccard; compare with
+    the exact hashed-shingle Jaccard and report mean/max absolute error.
+    Scale shape: reuses the shared scored-pair frame (no new bucket join)
+    and the shared signature construction; the signature join is on doc_id
+    (uniform). The output is 1 row — the eval you run on a sample before
+    turning d4 loose on the full corpus."""
+    hv = _shared_hv(spark, sf_dir)
+    sig = DD.minhash_signatures(
+        t(spark, sf_dir, "documents"), num_hashes=16, precomputed_hashes=hv
+    )
+    pairs = _shared_scored_pairs(spark, sf_dir)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    est = matches.cast("double") / F.lit(16).cast("double")
+    err = F.round(F.abs(est - F.col("jaccard")), 6)
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(err.alias("err"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.sum(dec("err", 18, 6)).cast("double") / F.count("err")).alias("mean_abs_err"),
+            F.max("err").alias("max_abs_err"),
+        )
+    )
