@@ -94,6 +94,7 @@ HEADLINE += [
     "q14_promo_revenue",
     "st8_stream_dedup",
     "d14_minhash_estimate_error",
+    "a11_histogram",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -38,10 +38,34 @@ class ParquetStorage:
         return os.path.join(self.root, table)
 
     def exists(self, table: str) -> bool:
+        self._recover(table)
         p = self.path(table)
         return os.path.exists(p) and any(
             not f.startswith(("_", ".")) for f in os.listdir(p)
         )
+
+    def _recover(self, table: str) -> None:
+        """Crash recovery for the atomic swap: ``_atomic_write`` renames
+        final -> __old_x then tmp -> final. A crash inside that window
+        leaves no final dir but an intact __old_x — restore the newest one
+        so a restarted writer MERGES into the previous state instead of
+        silently starting a fresh table (the data-loss mode a streaming
+        foreachBatch replay would otherwise hit). Orphaned __old_x dirs
+        alongside a live final are leftover garbage from a crash after the
+        swap — ignored here, removed by the next successful swap's path."""
+        final = self.path(table)
+        if os.path.exists(final):
+            return
+        parent, base = os.path.dirname(final) or ".", os.path.basename(final)
+        if not os.path.exists(parent):
+            return
+        olds = [
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(f"{base}__old_")
+        ]
+        if olds:
+            os.rename(max(olds, key=os.path.getmtime), final)
 
     # ------------------------------------------------------------------
     # writes
@@ -275,6 +299,7 @@ class ParquetStorage:
         self.upsert(spark, row, meta_schema)
 
     def read_metadata(self, spark: SparkSession) -> DataFrame:
+        self._recover(self.META_TABLE)
         return spark.read.parquet(self.path(self.META_TABLE))
 
 

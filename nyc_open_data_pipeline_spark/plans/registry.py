@@ -57,7 +57,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st2_stateful_profiles",
     "w4_range_frame",
     "f4_session_paths",
-    # (a2) new in round 3 — 11 rows
+    # (a2) new in round 3 — 12 rows
     "mix3_temperature_sampling",
     "d12_containment_neardup",
     "f6_rfm_segments",
@@ -69,7 +69,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "st8_stream_dedup",
     "d14_minhash_estimate_error",
-    # (b) round-1 greens, rotated — 22 rows
+    "a11_histogram",
+    # (b) round-1 greens, rotated — 21 rows
     "d1_exact_dedup",
     "d2_fingerprints",
     "d3_minhash_signatures",
@@ -91,8 +92,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "e5_event_type_stats",
     "e6_from_json",
     "st1_stream_tumbling",
-    "tx1_token_stats",
     # (b cont.) remaining round-1 greens — just past the 50-row cap
+    "tx1_token_stats",
     "tx2_quality_score",
     "tx3_language_id",
     "tx4_source_profile",

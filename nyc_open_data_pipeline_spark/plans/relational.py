@@ -1316,3 +1316,37 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "a11_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS bin_min,
+           MAX(l_extendedprice) AS bin_max
+    FROM lineitem
+    GROUP BY 1
+    """,
+    survey_ref="§2.6 A5 (profiling surface: fixed-width histogram — the "
+    "distribution scan run before choosing partition/skew strategies; "
+    "one pass, |bins| output rows)",
+)
+def a11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem prices: floor-divide to a bin key,
+    count + extent per bin. Scale shape: scan-speed map-side combine into
+    ~|bins| partials; the exchange carries bins, not rows. The profiling
+    primitive behind SCALE.md's 'measure skew before salting' rule."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("long").alias("bin"),
+            "l_extendedprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("bin_min"),
+            F.max("l_extendedprice").alias("bin_max"),
+        )
+    )

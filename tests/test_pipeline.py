@@ -261,3 +261,26 @@ def test_storage_purge_partitions_metadata_only(spark, tmp_path):
     assert sorted(d["year"] for d in dropped) == ["2019"]
     rows = {r["year"] for r in spark.read.parquet(storage.path("t")).collect()}
     assert rows == {2020, 2021}
+
+
+def test_storage_atomic_write_crash_recovery(spark, tmp_path):
+    """A crash between the swap's two renames (final gone, __old_x intact)
+    must be healed on the next access: the table is restored and a
+    subsequent upsert MERGES into it instead of starting fresh."""
+    import os
+
+    storage = ParquetStorage(str(tmp_path))
+    schema = TableSchema(
+        table_name="t",
+        columns=[ColumnSpec("k", "integer", primary_key=True), ColumnSpec("v", "string")],
+        unique_keys=["k"],
+    )
+    storage.upsert(spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), schema)
+    # simulate the crash window: final renamed away, new table never landed
+    final = storage.path("t")
+    os.rename(final, f"{final}__old_deadbeef")
+    assert storage.exists("t")  # recovery restored the old state
+    # the next upsert merges into the RESTORED table — no data loss
+    assert storage.upsert(spark, spark.createDataFrame([(3, "c")], ["k", "v"]), schema) == 3
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(storage.path("t")).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}

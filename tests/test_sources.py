@@ -446,17 +446,33 @@ def test_socrata_stream_ingest_e2e(spark, server, tmp_path):
     storage = ParquetStorage(str(tmp_path / "tables"))
     ckpt = str(tmp_path / "ckpt")
 
+    def table_count() -> int:
+        # a poll may land inside an upsert's atomic-swap window — treat any
+        # transient read failure as "not there yet", never as a test error
+        try:
+            if not storage.exists("stream_gap"):
+                return -1
+            return storage._count(spark, "stream_gap")
+        except Exception:
+            return -1
+
+    def safe_stop(query) -> None:
+        # stop() can race a mid-flight foreachBatch py4j callback; the
+        # query is dead either way and the checkpoint has the real state
+        try:
+            query.stop()
+            query.awaitTermination(30)
+        except Exception:
+            pass
+
     q = stream_ingest(spark, cfg, storage, ckpt, pages_per_batch=1,
                       poll_interval="1 seconds")
     deadline = time.time() + 120
     try:
-        while time.time() < deadline:
-            if storage.exists("stream_gap") and storage._count(spark, "stream_gap") >= 25:
-                break
+        while time.time() < deadline and table_count() < 25:
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        safe_stop(q)
     assert storage._count(spark, "stream_gap") == 25
 
     # Restart from the same checkpoint. The first run may have been stopped
@@ -478,7 +494,6 @@ def test_socrata_stream_ingest_e2e(spark, server, tmp_path):
         while time.time() < deadline and meta_count() != 25:
             time.sleep(0.5)
     finally:
-        q2.stop()
-        q2.awaitTermination(30)
+        safe_stop(q2)
     assert storage._count(spark, "stream_gap") == 25
     assert meta_count() == 25
