@@ -95,6 +95,7 @@ HEADLINE += [
     "st8_stream_dedup",
     "d14_minhash_estimate_error",
     "a11_histogram",
+    "ctm2_embedding_contamination",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -2968,3 +2968,88 @@ def d14_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("err").alias("max_abs_err"),
         )
     )
+
+
+@register(
+    "ctm2_embedding_contamination",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, {SQL_VEC} AS v, {_sql_bucket6()} AS bucket,
+             ({sql_hash64("CAST(vec_id AS VARCHAR)")} % 100) < 80 AS is_train
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, bucket, is_train, sqrt(list_dot_product(v, v)) AS nrm FROM b),
+    p AS (
+      SELECT te.vec_id AS test_id, tr.vec_id AS train_id,
+             round(list_dot_product(te.v, tr.v) / (te.nrm * tr.nrm), 6) AS cos
+      FROM n te JOIN n tr ON te.bucket = tr.bucket
+      WHERE NOT te.is_train AND tr.is_train
+    ),
+    f AS (SELECT * FROM p WHERE cos >= 0.3),
+    sel AS (
+      SELECT test_id, train_id, cos,
+             row_number() OVER (PARTITION BY test_id ORDER BY cos DESC, train_id) AS rn,
+             COUNT(*) OVER (PARTITION BY test_id) AS n_matches
+      FROM f
+    )
+    SELECT test_id, CAST(n_matches AS BIGINT) AS n_matches,
+           train_id AS best_train_id, cos AS best_cos
+    FROM sel WHERE rn = 1
+    """,
+    survey_ref="extension: embedding-level decontamination (test vectors "
+    "near-dup against the train split via sign-LSH buckets — catches "
+    "paraphrase contamination ctm1's exact n-gram overlap misses; "
+    "composes d9's deterministic hash split with d6's bucketed cosine)",
+)
+def ctm2_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/test contamination: deterministic 80/20 hash split of
+    the embedding corpus, then each test vector is checked for a
+    high-cosine train neighbor INSIDE its sign-LSH bucket only. Scale
+    shape: one narrow pass computes (bucket, norm, split); the self-join
+    keys on bucket with the train side filtered first, so pairwise work is
+    per-bucket test x train, never all-pairs; output is one row per
+    contaminated test vector (count + best match). Threshold 0.3 fits the
+    synthetic corpus (max pairwise cosine ~0.51); production would use
+    ~0.9+ with corpus-derived bit width (vectors.nbits_for_corpus)."""
+    e = t(spark, sf_dir, "embeddings")
+    h = DD._hash64(F.col("vec_id").cast("string")) % 100
+    base = e.select(
+        "vec_id",
+        "embedding",
+        (h < 80).alias("is_train"),
+        VEC.hyperplane_bucket(F.col("embedding"), _PLANES6).alias("bucket"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+    )
+    te = base.filter(~F.col("is_train")).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("tv"),
+        "bucket",
+        F.col("nrm").alias("tn"),
+    )
+    tr = base.filter(F.col("is_train")).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("rv"),
+        "bucket",
+        F.col("nrm").alias("rn"),
+    )
+    cos = F.round(
+        VEC.cosine_prenormed(F.col("tv"), F.col("rv"), F.col("tn"), F.col("rn")), 6
+    )
+    pairs = (
+        te.join(tr, "bucket")
+        .select("test_id", "train_id", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+    w_rank = Window.partitionBy("test_id").orderBy(F.desc("cos"), F.asc("train_id"))
+    w_all = Window.partitionBy("test_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_matches", F.count("*").over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "test_id",
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("train_id").alias("best_train_id"),
+            F.col("cos").alias("best_cos"),
+        )
+    )

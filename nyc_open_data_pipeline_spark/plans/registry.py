@@ -35,8 +35,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # after ~50 entries. Round-3 order: (a) the 17 queries with NO green driver row
 # ever — 14 never checked (the flagship c1 first), st2 (r1 row was no_oracle),
 # and w4/f4 (r2 reds, fixed this round by the central TIMESTAMP_NTZ conf);
-# (a2) the 8 queries ADDED in round 3 (no row possible before this round);
-# (b) 25 round-1 greens rotated back in so r1∪r2∪r3 driver-green covers the
+# (a2) the queries ADDED in round 3 (no row possible before this round);
+# (b) 20 round-1 greens rotated back in so r1∪r2∪r3 driver-green covers the
 # full declared surface; (c) round-2 greens last (freshest proof already).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never proven by the driver — 17 rows
@@ -57,7 +57,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st2_stateful_profiles",
     "w4_range_frame",
     "f4_session_paths",
-    # (a2) new in round 3 — 12 rows
+    # (a2) new in round 3 — 13 rows
     "mix3_temperature_sampling",
     "d12_containment_neardup",
     "f6_rfm_segments",
@@ -70,7 +70,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st8_stream_dedup",
     "d14_minhash_estimate_error",
     "a11_histogram",
-    # (b) round-1 greens, rotated — 21 rows
+    "ctm2_embedding_contamination",
+    # (b) round-1 greens, rotated — 20 rows
     "d1_exact_dedup",
     "d2_fingerprints",
     "d3_minhash_signatures",
@@ -91,8 +92,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "e4_json_extract",
     "e5_event_type_stats",
     "e6_from_json",
-    "st1_stream_tumbling",
     # (b cont.) remaining round-1 greens — just past the 50-row cap
+    "st1_stream_tumbling",
     "tx1_token_stats",
     "tx2_quality_score",
     "tx3_language_id",
