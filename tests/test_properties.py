@@ -269,3 +269,37 @@ def test_funnel_reached_matches_brute_force(spark, events):
     # chain from the earliest view? NO — only t2 choices grow; earliest t2
     # then maximizes t3 options. The state machine uses greedy; brute must agree.
     assert _funnel_reached(views, clicks, purchases) == brute
+
+
+@given(
+    base=st.lists(st.tuples(keys, values), min_size=1, max_size=12),
+    gone=st.lists(keys, max_size=4),
+)
+@SETTINGS
+def test_upsert_then_delete_roundtrip(spark, tmp_path_factory, base, gone):
+    """delete_keys is the upsert's exact inverse: after upserting a batch
+    and deleting an arbitrary key set, the table holds precisely the
+    upserted keys minus the deleted ones — and re-deleting is a no-op."""
+    from nyc_open_data_pipeline_spark.pipeline.schema import ColumnSpec, TableSchema
+    from nyc_open_data_pipeline_spark.pipeline.storage import ParquetStorage
+
+    storage = ParquetStorage(str(tmp_path_factory.mktemp("del_prop")))
+    schema = TableSchema(
+        table_name="t",
+        columns=[ColumnSpec("k", "integer", primary_key=True), ColumnSpec("v", "integer")],
+        unique_keys=["k"],
+    )
+    storage.upsert(spark, spark.createDataFrame(base, ["k", "v"]), schema)
+    kept = {k for k, _ in base}
+    if gone:
+        n = storage.delete_keys(
+            spark, spark.createDataFrame([(k,) for k in gone], ["k"]), schema
+        )
+        kept -= set(gone)
+        assert n == len(kept)
+        # idempotent
+        assert storage.delete_keys(
+            spark, spark.createDataFrame([(k,) for k in gone], ["k"]), schema
+        ) == len(kept)
+    got = {r["k"] for r in spark.read.parquet(storage.path("t")).collect()}
+    assert got == kept
