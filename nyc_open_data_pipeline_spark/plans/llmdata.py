@@ -2764,13 +2764,13 @@ def d12_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh
     ),
     ex AS (SELECT doc_id, unnest(hv) AS h FROM hvl),
-    dc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY h),
+    nd AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS nd FROM ex),
     per AS (
-      SELECT e.doc_id,
+      SELECT doc_id,
              COUNT(*) AS n_shingles,
-             SUM(CASE WHEN dc.nd > 1 THEN 1 ELSE 0 END) AS n_shared
-      FROM ex e JOIN dc ON e.h = dc.h
-      GROUP BY e.doc_id
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+      FROM nd
+      GROUP BY doc_id
     )
     SELECT doc_id,
            CAST(n_shingles AS BIGINT) AS n_shingles,
@@ -2787,16 +2787,18 @@ def d13_ngram_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fraction of each document's distinct 3-gram shingles that occur in at
     least one OTHER document — the per-doc duplication diagnostic curation
     pipelines gate on before near-dup clustering. Scale shape: explode the
-    shared hashed-shingle sets (64-bit ints, no text), aggregate document
-    frequency per hash (uniform keys — md5-derived, unskewable), join back
-    on the same hash (same partitioning, AQE reuses the exchange), one
-    final groupBy doc_id. Nothing all-pairs, nothing collected; both
-    shuffles carry only (hash, id) pairs."""
+    shared hashed-shingle sets (64-bit ints, no text), then ONE
+    partition-only window over the hash (uniform keys — md5-derived,
+    unskewable; no ordering, so no sort buffer) attaches each shingle's
+    document frequency in place — two total shuffles (by hash, then by
+    doc_id) instead of the aggregate-then-self-join shape, which planned
+    six exchanges. Per-doc hv arrays are distinct, so the window COUNT is
+    exactly the document frequency. Nothing all-pairs, nothing collected;
+    both shuffles carry only (hash, id) pairs."""
     hv = _shared_hv(spark, sf_dir)
     ex = hv.select(F.col("id").alias("doc_id"), F.explode("hv").alias("h"))
-    dc = ex.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     return (
-        ex.join(dc, "h")
+        ex.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
