@@ -42,10 +42,29 @@ def hashed_docs(df: DataFrame) -> DataFrame:
 def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
     """foreachBatch function: per micro-batch, collapse within-batch dupes
     (keep the smallest doc_id per hash), drop hashes already in the corpus
-    state, then append survivors + their hashes."""
+    state, then append survivors + their hashes.
+
+    Exactly-once under replay: the stream's checkpoint re-delivers the last
+    uncommitted batch after a crash, and parquet append is not transactional
+    — so the sink records the last batch id it fully applied (`_last_batch`
+    marker, written via tmp+rename AFTER both appends) and skips any batch
+    id at or below it. Re-running a partially-applied batch is safe in one
+    direction by construction (the anti-join drops hashes whose state
+    append landed); the marker closes the other direction (both appends
+    landed, commit didn't)."""
     os.makedirs(state_dir, exist_ok=True)
+    marker = os.path.join(state_dir, "_last_batch")
+
+    def last_committed() -> int:
+        try:
+            with open(marker) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed():
+            return  # replay of an already-applied batch
         sess = batch_df.sparkSession
         batch = (
             hashed_docs(batch_df)
@@ -59,6 +78,10 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
         survivors = batch.select("doc_id", "content_hash").localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(out_dir)
         survivors.select("content_hash").write.mode("append").parquet(state_dir)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
 
     return process
 

@@ -241,3 +241,25 @@ def test_event_time_ttl_evicts_idle_state(spark, tmp_path):
     assert rows.count((1, 1)) == 2  # original n=1 and restarted n=1
     # user2 stayed live: 1 then 2, never evicted
     assert (2, 1) in rows and (2, 2) in rows and (2, -1) not in rows
+
+
+def test_incremental_dedup_sink_batch_replay_is_noop(spark, tmp_path):
+    """Checkpoint recovery re-delivers the last uncommitted batch; the sink's
+    batch-id marker must make an already-applied replay a no-op (parquet
+    append is not transactional — without the marker the replay would
+    double-append survivors)."""
+    from nyc_open_data_pipeline_spark.streaming.dedup import incremental_dedup_sink
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_dedup_sink(spark, out, state)
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    sink(b0, 0)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+    # crash-after-commit replay: same batch id delivered again
+    sink(b0, 0)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # no double-append
+    # a NEW batch id with overlapping content still dedups via state
+    b1 = spark.createDataFrame([(5, "alpha"), (6, "delta")], "doc_id long, text string")
+    sink(b1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 6}
