@@ -167,12 +167,21 @@ def main() -> None:
     core30 = sum(v for k, v in ok.items() if k in CORE30)
     core58 = sum(v for k, v in ok.items() if k in CORE58)
 
+    # Per-family subtotals (prefix up to the first digit) — makes regressions
+    # attributable at a glance without diffing 70 per-query numbers.
+    families: dict[str, float] = {}
+    for k, v in ok.items():
+        fam = k.split("_", 1)[0].rstrip("0123456789")
+        families[fam] = families.get(fam, 0.0) + v
+    families = {k: round(v, 3) for k, v in sorted(families.items())}
+
     out = {
         "metric": f"total wall-clock of {len(ok)} headline queries",
         "value": round(total, 3),
         "unit": "sec",
         "core30_sec": round(core30, 3),
         "core58_sec": round(core58, 3),
+        "families": families,
         "queries": timings,
         "sf": float(sf),
     }
