@@ -220,6 +220,29 @@ class ParquetStorage:
             self._atomic_write(survivors, schema)
         return self._count(spark, schema.table_name)
 
+    def vacuum(self, table: str) -> list[str]:
+        """Remove orphaned work directories a crashed writer left behind:
+        ``__tmp_*`` / ``__stage_*`` always (never live after a successful
+        write), ``__old_*`` only when the final directory exists (when it
+        does NOT, the old dir is the recovery source — see ``_recover``).
+        Listing-only, no data read; returns the removed paths."""
+        self._recover(table)
+        final = self.path(table)
+        parent, base = os.path.dirname(final) or ".", os.path.basename(final)
+        removed: list[str] = []
+        if not os.path.exists(parent):
+            return removed
+        for d in os.listdir(parent):
+            full = os.path.join(parent, d)
+            if not os.path.isdir(full):
+                continue
+            if d.startswith((f"{base}__tmp_", f"{base}__stage_")) or (
+                d.startswith(f"{base}__old_") and os.path.exists(final)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return removed
+
     def purge_partitions(self, schema: TableSchema, keep) -> list[dict]:
         """Retention purge: drop whole Hive-style partitions whose values
         fail the ``keep`` predicate (a callable over the partition-value

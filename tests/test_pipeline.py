@@ -284,3 +284,51 @@ def test_storage_atomic_write_crash_recovery(spark, tmp_path):
     assert storage.upsert(spark, spark.createDataFrame([(3, "c")], ["k", "v"]), schema) == 3
     rows = {r["k"]: r["v"] for r in spark.read.parquet(storage.path("t")).collect()}
     assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_storage_upsert_schema_evolution(spark, tmp_path):
+    """A feed that grows a column (the reference's U2 warning case) must
+    merge cleanly: old rows get NULL for the new column, new rows carry it."""
+    storage = ParquetStorage(str(tmp_path))
+    schema_v1 = TableSchema(
+        table_name="t",
+        columns=[ColumnSpec("k", "integer", primary_key=True), ColumnSpec("v", "string")],
+        unique_keys=["k"],
+    )
+    storage.upsert(spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), schema_v1)
+    schema_v2 = TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("v", "string"),
+            ColumnSpec("extra", "string"),
+        ],
+        unique_keys=["k"],
+    )
+    batch = spark.createDataFrame([(2, "B2", "x"), (3, "c", "y")], ["k", "v", "extra"])
+    assert storage.upsert(spark, batch, schema_v2) == 3
+    rows = {r["k"]: (r["v"], r["extra"]) for r in spark.read.parquet(storage.path("t")).collect()}
+    assert rows == {1: ("a", None), 2: ("B2", "x"), 3: ("c", "y")}
+
+
+def test_storage_vacuum_removes_orphans_keeps_recovery_source(spark, tmp_path):
+    import os
+
+    storage = ParquetStorage(str(tmp_path))
+    schema = TableSchema(
+        table_name="t",
+        columns=[ColumnSpec("k", "integer", primary_key=True)],
+        unique_keys=["k"],
+    )
+    storage.upsert(spark, spark.createDataFrame([(1,)], ["k"]), schema)
+    final = storage.path("t")
+    for orphan in (f"{final}__tmp_dead", f"{final}__stage_dead", f"{final}__old_dead"):
+        os.makedirs(orphan)
+    removed = storage.vacuum("t")
+    assert len(removed) == 3
+    assert os.path.exists(final)
+    # crash window: old is the ONLY copy -> vacuum must first recover, not delete
+    os.rename(final, f"{final}__old_x")
+    storage.vacuum("t")
+    assert os.path.exists(final)  # restored by recovery
+    assert {r["k"] for r in spark.read.parquet(final).collect()} == {1}
