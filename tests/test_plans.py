@@ -202,3 +202,50 @@ def test_q14_pushes_date_window_and_broadcasts_part(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+# Engine-wide plan hygiene. Every non-streaming query's executed plan is
+# scanned for the three 100 TB anti-patterns; the allowlists are the
+# DOCUMENTED exceptions (broadcast-small-side scalar/centroid cross joins;
+# shapely UDFs on dimension-scale geo tables — SURVEY §2.11). A new query
+# that introduces a nested-loop join, cartesian product, or row-wise Python
+# outside these lists fails here by name.
+BNLJ_ALLOWED = {
+    # broadcast of a 1-row scalar or a <=k-row query/centroid relation
+    "sk1_kmv_distinct",        # k-th minimum hash (1 row)
+    "mix3_temperature_sampling",  # mix normalizer (1 row)
+    "tx10_token_surprisal",    # corpus token total (1 row)
+    "s1_cosine_topk",          # 5 query vectors
+    "s4_ivf_ann",              # k centroids / probe cells
+    "s7_ann_recall",           # 5 query vectors (s1-shape, twice)
+}
+PY_ROW_ALLOWED = {
+    # shapely converters over dimension-scale geo rows (reference does the
+    # same row-wise apply; no JVM geo lib in this environment)
+    "g1_geojson_to_wkt",
+    "g3_promote_multipolygon",
+    "g4_wkt_to_geojson",
+    "g5_feature_collection",
+}
+
+
+def test_every_query_plan_is_hygienic(spark, sf_dir):
+    """No cartesian products anywhere; nested-loop joins and row-wise Python
+    only on the documented allowlists. Streaming queries are skipped (their
+    fn() executes a stream; the batch shapes they reuse are covered by the
+    e*/a*/d* rows)."""
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if name.startswith("st"):
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            flags.append("nested-loop join")
+        if "BatchEvalPython" in plan and name not in PY_ROW_ALLOWED:
+            flags.append("row-wise Python")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"plan anti-patterns: {offenders}"
