@@ -96,6 +96,7 @@ HEADLINE += [
     "d14_minhash_estimate_error",
     "a11_histogram",
     "ctm2_embedding_contamination",
+    "s9_nprobe_sweep",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

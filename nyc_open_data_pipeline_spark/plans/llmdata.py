@@ -3055,3 +3055,152 @@ def ctm2_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos").alias("best_cos"),
         )
     )
+
+
+def _ivf_approx_pairs(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """(query_id, neighbor_id) of the IVF top-5 at a given probe width —
+    s4's plan with nprobe as a parameter (s4 itself is the nprobe=2 point
+    with scores; the sweep needs only the id pairs)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    pair_cs = VEC.cosine_prenormed(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "nrm", "cid", pair_cs.alias("cs")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    cell = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
+    )
+    qscored = (
+        e.filter(F.col("vec_id") < 3)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            "cid",
+            pair_cs.alias("cs"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    pr = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qnrm", F.col("cid").alias("cell"))
+    )
+    cand_cs = VEC.cosine_prenormed(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm"))
+    cand = (
+        pr.join(cell, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cand_cs.alias("score"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _sql_ivf_recall_at(np_: int) -> str:
+    """Per-nprobe recall CTE group (shares e/n/c/assign/cell/exact below)."""
+    return f"""
+    pr_{np_} AS (
+      SELECT query_id, qv, qnrm, cell FROM probes WHERE rn <= {np_}
+    ),
+    approx_{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               list_dot_product(p.qv, m.v) / (p.qnrm * m.nrm) AS score
+        FROM pr_{np_} p JOIN cell m USING (cell)
+        WHERE m.vec_id <> p.query_id
+      )
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) <= 5
+    ),
+    rec_{np_} AS (
+      SELECT CAST({np_} AS BIGINT) AS nprobe,
+             CAST(COUNT(*) AS BIGINT) AS total_overlap
+      FROM approx_{np_} a JOIN exact x
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    )"""
+
+
+@register(
+    "s9_nprobe_sweep",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+    assign AS (
+      SELECT a.vec_id, a.v, a.nrm, c.cid,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm) DESC, c.cid
+             ) AS rn
+      FROM n a, c
+    ),
+    cell AS (SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, c.cid AS cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC, c.cid
+             ) AS rn
+      FROM n q, c WHERE q.vec_id < 3
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS score
+        FROM n q, n b WHERE q.vec_id < 3 AND b.vec_id <> q.vec_id
+      )
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) <= 5
+    ),
+    {",".join(_sql_ivf_recall_at(np_) for np_ in (1, 2, 4))}
+    SELECT nprobe, total_overlap,
+           total_overlap / 15.0 AS mean_recall_at_5
+    FROM (SELECT * FROM rec_1 UNION ALL SELECT * FROM rec_2
+          UNION ALL SELECT * FROM rec_4)
+    """,
+    survey_ref="extension: ANN TUNING CURVE — recall@5 vs nprobe (1/2/4), "
+    "the sweep that sizes the recall/cost trade-off before fixing nprobe "
+    "in production; generalizes s7's single-point eval",
+)
+def s9_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index at probe widths 1, 2, 4 against the exact
+    top-5 — the tuning curve every vector-index deployment draws: more
+    probed cells = more exact-rerank work = higher recall; the production
+    choice is the knee. Integer overlap counts, one exact division (15 =
+    3 queries x 5 neighbors); plans are the s4 shape re-parameterized, so
+    the sweep inherits its scale properties (broadcast centroids, cell-key
+    shuffles only)."""
+    exact = (
+        s1_cosine_topk(spark, sf_dir)
+        .filter(F.col("query_id") < 3)
+        .select("query_id", "neighbor_id")
+    )
+    out = None
+    for np_ in (1, 2, 4):
+        approx = _ivf_approx_pairs(spark, sf_dir, np_)
+        rec = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.count("*").cast("long").alias("total_overlap"),
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out.select(
+        "nprobe",
+        "total_overlap",
+        (F.col("total_overlap") / F.lit(15.0)).alias("mean_recall_at_5"),
+    )

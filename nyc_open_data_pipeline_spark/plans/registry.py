@@ -57,7 +57,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st2_stateful_profiles",
     "w4_range_frame",
     "f4_session_paths",
-    # (a2) new in round 3 — 13 rows
+    # (a2) new in round 3 — 14 rows
     "mix3_temperature_sampling",
     "d12_containment_neardup",
     "f6_rfm_segments",
@@ -71,7 +71,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "d14_minhash_estimate_error",
     "a11_histogram",
     "ctm2_embedding_contamination",
-    # (b) round-1 greens, rotated — 20 rows
+    "s9_nprobe_sweep",
+    # (b) round-1 greens, rotated — 19 rows
     "d1_exact_dedup",
     "d2_fingerprints",
     "d3_minhash_signatures",
@@ -91,8 +92,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "e3_session_window",
     "e4_json_extract",
     "e5_event_type_stats",
-    "e6_from_json",
     # (b cont.) remaining round-1 greens — just past the 50-row cap
+    "e6_from_json",
     "st1_stream_tumbling",
     "tx1_token_stats",
     "tx2_quality_score",
