@@ -218,6 +218,7 @@ BNLJ_ALLOWED = {
     "s1_cosine_topk",          # 5 query vectors
     "s4_ivf_ann",              # k centroids / probe cells
     "s7_ann_recall",           # 5 query vectors (s1-shape, twice)
+    "s9_nprobe_sweep",         # k centroids x 3 probe widths (s4-shape, swept)
 }
 PY_ROW_ALLOWED = {
     # shapely converters over dimension-scale geo rows (reference does the
