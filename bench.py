@@ -97,6 +97,7 @@ HEADLINE += [
     "a11_histogram",
     "ctm2_embedding_contamination",
     "s9_nprobe_sweep",
+    "seq3_curriculum_order",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

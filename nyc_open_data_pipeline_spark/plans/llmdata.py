@@ -3204,3 +3204,51 @@ def s9_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_overlap",
         (F.col("total_overlap") / F.lit(15.0)).alias("mean_recall_at_5"),
     )
+
+
+@register(
+    "seq3_curriculum_order",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({SQL_TOKENS}) AS DOUBLE) AS n,
+             CAST(len(list_filter({SQL_TOKENS},
+                  x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+               AS sw,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+               AS np,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nc
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             least(n / 50.0, 1.0)
+               * (0.5 + 0.5 * least(CASE WHEN n > 0 THEN sw / n ELSE 0 END * 5.0, 1.0))
+               * (CASE WHEN np / nc > 0.2 THEN 0.5 ELSE 1.0 END) AS quality
+      FROM s
+    )
+    SELECT doc_id, round(quality, 6) AS quality,
+           CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS position
+    FROM q
+    """,
+    survey_ref="extension: curriculum ordering — a deterministic global "
+    "position per document, highest quality first (quality-ascending "
+    "curricula flip the sign), via the two-pass range-partitioned global "
+    "row_number (operators/ranks.py). The serial ROW_NUMBER window is the "
+    "oracle, proving the distributed assignment byte-equal.",
+)
+def seq3_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data prep: every document gets its global training
+    position ordered by (quality DESC, doc_id). Scale shape: the naive
+    ORDER-BY-everything window is Exchange SinglePartition — the one plan
+    that cannot scale; this composes tx2's scan-speed quality score with
+    with_global_row_number (range-partition, per-slice sort, driver
+    prefix-sum of P counts), so each range slice sorts in its own task.
+    Downstream, position // micro_batch_size is the curriculum schedule."""
+    from nyc_open_data_pipeline_spark.operators.ranks import with_global_row_number
+
+    q = tx2_quality_score(spark, sf_dir).withColumn("neg_q", -F.col("quality"))
+    ranked, _ = with_global_row_number(q, ["neg_q", "doc_id"], rn_col="position")
+    return ranked.select(
+        "doc_id", F.round("quality", 6).alias("quality"), F.col("position")
+    )

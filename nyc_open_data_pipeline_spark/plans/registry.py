@@ -57,7 +57,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st2_stateful_profiles",
     "w4_range_frame",
     "f4_session_paths",
-    # (a2) new in round 3 — 14 rows
+    # (a2) new in round 3 — 15 rows
     "mix3_temperature_sampling",
     "d12_containment_neardup",
     "f6_rfm_segments",
@@ -72,7 +72,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "a11_histogram",
     "ctm2_embedding_contamination",
     "s9_nprobe_sweep",
-    # (b) round-1 greens, rotated — 19 rows
+    "seq3_curriculum_order",
+    # (b) round-1 greens, rotated — 18 rows
     "d1_exact_dedup",
     "d2_fingerprints",
     "d3_minhash_signatures",
@@ -91,8 +92,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "e2_sliding_window",
     "e3_session_window",
     "e4_json_extract",
-    "e5_event_type_stats",
     # (b cont.) remaining round-1 greens — just past the 50-row cap
+    "e5_event_type_stats",
     "e6_from_json",
     "st1_stream_tumbling",
     "tx1_token_stats",

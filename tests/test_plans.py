@@ -250,3 +250,11 @@ def test_every_query_plan_is_hygienic(spark, sf_dir):
         if flags:
             offenders[name] = flags
     assert not offenders, f"plan anti-patterns: {offenders}"
+
+
+def test_seq3_has_no_single_partition_stage(spark, sf_dir):
+    """Curriculum ordering must be the two-pass range-partitioned global
+    row_number — never a serial ORDER-BY-everything window."""
+    plan = plan_of(spark, sf_dir, "seq3_curriculum_order")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
