@@ -98,6 +98,7 @@ HEADLINE += [
     "ctm2_embedding_contamination",
     "s9_nprobe_sweep",
     "seq3_curriculum_order",
+    "c3_semantic_quality_filter",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -3252,3 +3252,107 @@ def seq3_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", F.round("quality", 6).alias("quality"), F.col("position")
     )
+
+
+_C3_Q, _C3_C = 0.5, 0.3
+
+
+@register(
+    "c3_semantic_quality_filter",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {SQL_VEC} AS v FROM embeddings),
+    ex AS (
+      SELECT label, vec_id, g.i AS pos, v[g.i] AS val
+      FROM e, unnest(generate_series(1, len(v))) AS g(i)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+      FROM ex GROUP BY label, pos
+    ),
+    carr AS (SELECT label, list(cval ORDER BY pos) AS cv FROM cent GROUP BY label),
+    coh AS (
+      SELECT e.vec_id,
+             e.label,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cohesion
+      FROM e JOIN carr c ON e.label = c.label
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(len({SQL_TOKENS}) AS DOUBLE) AS n,
+             CAST(len(list_filter({SQL_TOKENS},
+                  x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+               AS sw,
+             CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+               AS np,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nc
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             least(n / 50.0, 1.0)
+               * (0.5 + 0.5 * least(CASE WHEN n > 0 THEN sw / n ELSE 0 END * 5.0, 1.0))
+               * (CASE WHEN np / nc > 0.2 THEN 0.5 ELSE 1.0 END) AS quality
+      FROM s
+    )
+    SELECT q.doc_id, q.lang, coh.label,
+           round(q.quality, 6) AS quality, coh.cohesion
+    FROM q JOIN coh ON q.doc_id = coh.vec_id
+    WHERE q.quality >= {_C3_Q} AND coh.cohesion >= {_C3_C}
+    """,
+    survey_ref="extension: CROSS-MODAL curation gate — the only query "
+    "joining the text and vector corpora (doc_id = vec_id): keep documents "
+    "that pass BOTH the text-quality heuristic (tx2) and the "
+    "embedding-cohesion gate (s8's member-to-centroid cosine). The "
+    "semantic filter catches fluent-but-off-topic docs the text score "
+    "passes, and vice versa.",
+)
+def c3_semantic_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal quality gate: text-side score (scan-speed JVM
+    expressions) joined to the embedding-side centroid cohesion on the
+    shared id. Scale shape: both sides are narrow scans; the |labels|-row
+    centroid table broadcasts onto the vectors, and the final doc↔vector
+    join is an equi-join on the shared uniform id — one shuffle each side.
+    Thresholds (quality >= 0.5, cohesion >= 0.3) are corpus-fit; the gate
+    shape is what matters."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select("label", "vec_id", F.posexplode("embedding").alias("pos", "val"))
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(dec(F.col("val").cast("double"), 28, 12)).cast("double")
+            / F.count("val")
+        ).alias("cval")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+        ).alias("cv")
+    )
+    coh = e.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            VEC.cosine_prenormed(
+                F.col("embedding"),
+                F.col("cv"),
+                VEC.norm(F.col("embedding")),
+                VEC.norm(F.col("cv")),
+            ),
+            6,
+        ).alias("cohesion"),
+    )
+    d = t(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang", TXT.quality_score(F.col("text")).alias("quality"))
+    return (
+        q.join(coh, q.doc_id == coh.vec_id)
+        .filter((F.col("quality") >= _C3_Q) & (F.col("cohesion") >= _C3_C))
+        .select(
+            "doc_id",
+            "lang",
+            "label",
+            F.round("quality", 6).alias("quality"),
+            "cohesion",
+        )
+    )

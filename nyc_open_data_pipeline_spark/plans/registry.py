@@ -57,7 +57,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st2_stateful_profiles",
     "w4_range_frame",
     "f4_session_paths",
-    # (a2) new in round 3 — 15 rows
+    # (a2) new in round 3 — 16 rows
     "mix3_temperature_sampling",
     "d12_containment_neardup",
     "f6_rfm_segments",
@@ -73,7 +73,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ctm2_embedding_contamination",
     "s9_nprobe_sweep",
     "seq3_curriculum_order",
-    # (b) round-1 greens, rotated — 18 rows
+    "c3_semantic_quality_filter",
+    # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",
     "d3_minhash_signatures",
@@ -91,8 +92,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "e1_tumbling_window",
     "e2_sliding_window",
     "e3_session_window",
-    "e4_json_extract",
     # (b cont.) remaining round-1 greens — just past the 50-row cap
+    "e4_json_extract",
     "e5_event_type_stats",
     "e6_from_json",
     "st1_stream_tumbling",
