@@ -99,6 +99,14 @@ HEADLINE += [
     "s9_nprobe_sweep",
     "seq3_curriculum_order",
     "c3_semantic_quality_filter",
+    "ts1_resample_gapfill",
+    "ts2_forward_fill",
+    "w7_rolling_stats",
+    "a12_iqr_outliers",
+    "q18_large_orders",
+    "d15_line_dedup",
+    "fz1_fuzzy_match",
+    "st9_stream_stream_join",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

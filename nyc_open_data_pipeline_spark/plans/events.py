@@ -610,3 +610,64 @@ def st8_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "st9_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_sec
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    survey_ref="§2.13 Structured Streaming stream-stream interval join: "
+    "views x purchases by the same user within 1 hour, both sides "
+    "watermarked so join state is droppable. Oracle is the identical "
+    "batch interval join.",
+)
+def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range bound. Both sides
+    carry a watermark and the join predicate bounds purchase.ts within
+    [view.ts, view.ts + 1h], so Spark can expire buffered rows once the
+    watermark passes the interval end — bounded state, the only shape a
+    stream-stream join is allowed to take at 100 TB (an unbounded-state
+    join would buffer the full history). Written as one file so availableNow
+    runs a single micro-batch and no pair straddles a watermark advance —
+    the streaming result is then exactly the batch interval join."""
+    import tempfile
+    import uuid
+
+    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+
+    d = tempfile.mkdtemp(prefix="st9_events_")
+    t(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(d)
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        return (
+            events_stream(spark, path=d)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    v, p = side("view", "v"), side("purchase", "p")
+    joined = v.join(
+        p,
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 1 hour")),
+    ).select(
+        F.col("v_event_id").alias("view_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("v_user_id").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lag_sec"),
+    )
+    name = f"st9_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name, mode="append")
+    return spark.table(name)

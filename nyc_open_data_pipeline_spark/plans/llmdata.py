@@ -3356,3 +3356,142 @@ def c3_semantic_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohesion",
         )
     )
+
+
+@register(
+    "d15_line_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(words[(i*10+1):(i*10+10)], ' ') AS chunk_text
+      FROM w, UNNEST(generate_series(
+            0, CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    k AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             doc_id = min(doc_id) OVER (PARTITION BY chunk_text) AS kept
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (kept) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                          FILTER (WHERE kept), '')) AS cleaned_md5
+    FROM k GROUP BY doc_id
+    """,
+    survey_ref="extension: C4-style global line-level dedup — fixed 10-word "
+    "chunks deduplicated across the WHOLE corpus keep-first (min doc_id), "
+    "documents reassembled from surviving chunks in original order. The "
+    "sub-document companion to d1's whole-document exact dedup.",
+)
+def d15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global chunk-level dedup, keep-first. Chunking is pure array math on
+    the already-loaded row (``sequence`` + ``slice`` + ``array_join`` — no
+    explode-shuffle, no Python); the ONLY exchange is the window over
+    chunk_text that elects each chunk's keeper (min doc_id), and the
+    rebuild groups back on doc_id. At 100 TB: two shuffles total, state
+    per chunk_text is one min — the same shape C4/RefinedWeb run for line
+    dedup, with 'first occurrence wins' made deterministic via min(doc_id)
+    instead of scan order."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    n_chunks = F.ceil(F.size("words") / F.lit(10.0)).cast("long")
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "words",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice("words", (F.col("chunk_idx") * 10 + 1).cast("int"), 10), " "
+        ).alias("chunk_text"),
+    )
+    keeper = Window.partitionBy("chunk_text")
+    k = chunks.withColumn(
+        "kept", F.col("doc_id") == F.min("doc_id").over(keeper)
+    )
+    kept_struct = F.when(
+        F.col("kept"), F.struct("chunk_idx", "chunk_text")
+    )
+    return k.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if("kept").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+@register(
+    "fz1_fuzzy_match",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    survey_ref="extension: fuzzy entity matching (record linkage) — "
+    "distinct-value extraction, blocking on the head noun, Levenshtein "
+    "verify within blocks. The approximate-string companion to d10's "
+    "edit-distance near-dup verify, over the relational catalog instead "
+    "of documents.",
+)
+def fz1_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy match over part names. The scale trick is matching on
+    DISTINCT values first (|distinct names| << |rows|; the groupBy also
+    carries each name's cardinality back to the pairs), then blocking on
+    the last token so the quadratic Levenshtein verify runs only within
+    blocks. All JVM built-ins (``levenshtein`` is a codegen expression).
+    At 100 TB: candidate pairs = sum over blocks of |block|^2 on the
+    distinct-name table — bounded by blocking, never |rows|^2; skewed
+    blocks would get the j8 salting treatment."""
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("blk").alias("blk_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(dist <= 4)
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )

@@ -74,6 +74,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "s9_nprobe_sweep",
     "seq3_curriculum_order",
     "c3_semantic_quality_filter",
+    # (a3) added later in round 3 — 8 rows (first possible driver row)
+    "ts1_resample_gapfill",
+    "ts2_forward_fill",
+    "w7_rolling_stats",
+    "a12_iqr_outliers",
+    "q18_large_orders",
+    "d15_line_dedup",
+    "fz1_fuzzy_match",
+    "st9_stream_stream_join",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",
@@ -150,6 +159,7 @@ def all_queries() -> dict[str, QuerySpec]:
         geo,
         llmdata,
         relational,
+        timeseries,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -1350,3 +1350,99 @@ def a11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("bin_max"),
         )
     )
+
+
+@register(
+    "a12_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (
+             WHERE o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                OR o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+           ) AS BIGINT) AS n_outliers,
+           round(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS hi_fence
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY 1, q.q1, q.q3
+    """,
+    survey_ref="§2.6 A5 / §2.15 V2 (profiling surface: Tukey IQR outlier "
+    "detection per group — the data-quality fence behind V2's range checks, "
+    "derived from the data instead of hand-set bounds)",
+)
+def a12_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey fences per priority class: exact continuous quartiles (same
+    interpolation in both engines) computed in one grouped pass, broadcast
+    back onto the facts, outliers counted per group. Two passes over the
+    facts but the join side is |groups| rows — broadcast, no fact shuffle
+    beyond the two group-by exchanges on the same key (reused). At 100 TB
+    swap ``percentile`` for ``approx_percentile`` (t-digest, bounded
+    memory); the fence logic is unchanged."""
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    hi = F.col("q3") + 1.5 * iqr
+    lo = F.col("q1") - 1.5 * iqr
+    out = (F.col("o_totalprice") > hi) | (F.col("o_totalprice") < lo)
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_if(out).alias("n_outliers"),
+            F.round(F.first(hi), 6).alias("hi_fence"),
+        )
+        .drop("q1", "q3")
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1 HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4
+    """,
+    survey_ref="§2.5 J-family / §2.6 (TPC-H Q18 shape: HAVING-filtered "
+    "aggregate subquery semi-joined back to the facts — the 'large volume "
+    "customer' report)",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold. The
+    HAVING aggregate and the final per-order rollup both hash on
+    l_orderkey/o_orderkey — Catalyst reuses the exchange — and the
+    qualifying-key set (rare by construction) joins back as a broadcast
+    semi-join, so the second lineitem pass streams map-side. Customer
+    attaches by broadcast. No sort anywhere; output is |big orders| rows."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.big_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
