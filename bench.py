@@ -107,6 +107,8 @@ HEADLINE += [
     "d15_line_dedup",
     "fz1_fuzzy_match",
     "st9_stream_stream_join",
+    "tx12_bigram_surprisal",
+    "a13_column_profile",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -3495,3 +3495,85 @@ def fz1_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts_b",
         )
     )
+
+
+@register(
+    "tx12_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ),
+    db AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_doc
+      FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+      GROUP BY doc_id, w1, w2
+    ),
+    bc AS (SELECT w1, w2, CAST(SUM(c_doc) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+    lp AS (
+      SELECT bc.w1, bc.w2,
+             {_sql_pround('log2(CAST(c12 AS DOUBLE) / c1)')} AS logp
+      FROM bc JOIN ctx USING (w1)
+    ),
+    per AS (
+      SELECT db.doc_id,
+             CAST(SUM(CAST(db.c_doc * lp.logp AS DECIMAL(28,10))) AS DOUBLE) AS s,
+             CAST(SUM(db.c_doc) AS BIGINT) AS n_bigrams
+      FROM db JOIN lp ON db.w1 = lp.w1 AND db.w2 = lp.w2
+      GROUP BY db.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           {_sql_pround('-s / n_bigrams')} AS avg_bigram_surprisal_bits
+    FROM per
+    """,
+    survey_ref="extension: bigram-LM surprisal — the conditional "
+    "P(w2|w1) companion to tx10's unigram model; one order up the n-gram "
+    "ladder toward the KenLM-style fluency filters (CCNet) used for "
+    "pretraining quality gates.",
+)
+def tx12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own MLE bigram
+    model: -(1/n) * sum c_doc(w1,w2) * log2(c(w1,w2)/c(w1)).
+
+    Plan: per-doc bigram counts are built once (adjacent-pair structs from
+    the token array — array math in the scan stage, the explode emits
+    |distinct bigrams per doc| rows after the groupBy) and feed BOTH the
+    corpus model (two reaggregations, each strictly smaller) and the
+    per-doc reduction. Only observed bigrams are scored, so the MLE model
+    needs no smoothing and every probability is well-defined. Determinism:
+    logp rounded to 6 decimals, per-doc sum through exact DECIMAL, final
+    division one IEEE op (the tx10 recipe). At 100 TB the bigram-type
+    table is the big intermediate (super-Heaps but still far below token
+    count); both model joins hash on w1/(w1,w2) — plain shuffle joins that
+    AQE can skew-split if a stopword context dominates."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TXT.tokens(F.col("text")).alias("tk")
+    )
+    pairs = F.when(
+        F.size("tk") >= 2,
+        F.expr(
+            "transform(sequence(1, size(tk) - 1), "
+            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+        ),
+    ).otherwise(F.array())
+    db = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("c_doc"))
+    )
+    bc = db.groupBy("w1", "w2").agg(F.sum("c_doc").cast("long").alias("c12"))
+    ctx = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    lp = bc.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        _pround(F.log2(F.col("c12").cast("double") / F.col("c1"))).alias("logp"),
+    )
+    per = db.join(lp, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.sum(dec(F.col("c_doc") * F.col("logp"), 28, 10)).cast("double").alias("s"),
+        F.sum("c_doc").cast("long").alias("n_bigrams"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        _pround(-F.col("s") / F.col("n_bigrams")).alias("avg_bigram_surprisal_bits"),
+    )

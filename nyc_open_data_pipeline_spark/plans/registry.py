@@ -83,6 +83,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "d15_line_dedup",
     "fz1_fuzzy_match",
     "st9_stream_stream_join",
+    "tx12_bigram_surprisal",
+    "a13_column_profile",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",

@@ -1446,3 +1446,55 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
     )
+
+
+@register(
+    "a13_column_profile",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS null_event_type,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+             CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_user_id,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+             CAST(COUNT(*) - COUNT(value) AS BIGINT) AS null_value,
+             CAST(COUNT(DISTINCT value) AS BIGINT) AS nd_value
+      FROM events
+    )
+    SELECT 'event_type' AS column_name, n_rows, null_event_type AS n_nulls,
+           nd_event_type AS n_distinct FROM base
+    UNION ALL
+    SELECT 'user_id', n_rows, null_user_id, nd_user_id FROM base
+    UNION ALL
+    SELECT 'value', n_rows, null_value, nd_value FROM base
+    """,
+    survey_ref="§2.6 A5 / §2.15 (ANALYZE-style column profile: null count + "
+    "exact distinct per column in ONE pass — the stats scan that feeds "
+    "validation thresholds and join-strategy choices)",
+)
+def a13_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column profile, pivoted to one row per column. The
+    three exact COUNT(DISTINCT)s in a single agg plan as one Expand +
+    aggregate (Spark's multi-distinct rewrite) — one scan, not three. At
+    100 TB exact distinct is the oracle form; production swaps in
+    approx_count_distinct (HLL, one pass, no Expand) with the same output
+    shape. The pivot is a literal 3-row stack on a 1-row input — free."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("event_type")).alias("null_event_type"),
+        F.countDistinct("event_type").alias("nd_event_type"),
+        (F.count("*") - F.count("user_id")).alias("null_user_id"),
+        F.countDistinct("user_id").alias("nd_user_id"),
+        (F.count("*") - F.count("value")).alias("null_value"),
+        F.countDistinct("value").alias("nd_value"),
+    )
+    return base.select(
+        F.expr(
+            "stack(3, "
+            "'event_type', n_rows, null_event_type, nd_event_type, "
+            "'user_id',    n_rows, null_user_id,    nd_user_id, "
+            "'value',      n_rows, null_value,      nd_value) "
+            "AS (column_name, n_rows, n_nulls, n_distinct)"
+        )
+    )
