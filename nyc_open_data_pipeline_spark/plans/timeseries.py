@@ -64,6 +64,12 @@ def ts1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type", "bucket").agg(
         F.count("*").alias("n_events"), dsum("value", "total_value")
     )
+    # Truncate the lineage so BOTH consumers (spans and the gap-fill join)
+    # read the materialized aggregate instead of re-deriving from the scan:
+    # without this, Catalyst collapses the spans aggregate straight onto the
+    # parquet scan — a second full pass over the facts. The checkpoint holds
+    # |series| x |active hours| rows, negligible at any scale.
+    agg = agg.localCheckpoint(eager=False)
     spans = agg.groupBy("event_type").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )

@@ -258,3 +258,35 @@ def test_seq3_has_no_single_partition_stage(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "seq3_curriculum_order")
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_q18_broadcasts_the_qualifying_key_set(spark, sf_dir):
+    """The HAVING-filtered order-key set and the customer projection must
+    both ride broadcasts — only the lineitem/orders aggregations shuffle."""
+    plan = plan_of(spark, sf_dir, "q18_large_orders")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_d15_line_dedup_has_two_exchanges(spark, sf_dir):
+    """Chunking is array math in the scan stage: the only exchanges are the
+    keeper window (chunk_text) and the per-doc rebuild. A third exchange
+    means somebody re-introduced an explode-groupBy chunker."""
+    plan = plan_of(spark, sf_dir, "d15_line_dedup")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ts1_grid_derives_from_the_aggregate(spark, sf_dir):
+    """Gap-fill grid must come from the aggregated frame: the facts are
+    scanned once (into the checkpointed aggregate); the final plan must not
+    contain a second parquet pass feeding spans/grid."""
+    plan = plan_of(spark, sf_dir, "ts1_resample_gapfill")
+    assert plan.count("events.parquet") <= 1
+
+
+def test_fz1_blocking_is_an_equi_join(spark, sf_dir):
+    """The block key must plan as a hash equi-join (Levenshtein runs as a
+    post-join filter inside the block) — a nested-loop over all name pairs
+    is the quadratic failure mode blocking exists to prevent."""
+    plan = plan_of(spark, sf_dir, "fz1_fuzzy_match")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "levenshtein" in plan.lower()
