@@ -122,19 +122,21 @@ def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events re-materialized as a file stream, availableNow trigger, complete
     mode. Proves the engine's batch/stream equivalence contract — the
     oracle is the batch SQL, and the stream must reproduce it exactly."""
-    import tempfile
     import uuid
 
     from nyc_open_data_pipeline_spark.streaming.windows import (
+        cached_fixture,
         events_stream,
         run_to_memory,
         tumbling_counts,
     )
 
-    d = tempfile.mkdtemp(prefix="st1_events_")
     # micros re-materialization: the raw corpus is TIMESTAMP(NANOS), which
     # file-stream readers can't consume (catalog.load_table converts)
-    t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    d = cached_fixture(
+        spark, sf_dir, "evfull",
+        lambda p: t(spark, sf_dir, "events").write.mode("overwrite").parquet(p),
+    )
     name = f"st1_{uuid.uuid4().hex[:8]}"
     run_to_memory(tumbling_counts(events_stream(spark, path=d)), name, mode="complete")
     return spark.table(name)
@@ -160,14 +162,19 @@ def st2_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same events — that batch SQL is the oracle. The Python-side float
     accumulation is order-dependent at the ulp level, so total_value is
     rounded to 6 dp on both sides (registry numeric-determinism policy)."""
-    import tempfile
     import uuid
 
     from nyc_open_data_pipeline_spark.streaming.stateful import user_profile_stream
-    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        cached_fixture,
+        events_stream,
+        run_to_memory,
+    )
 
-    d = tempfile.mkdtemp(prefix="st2_events_")
-    t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    d = cached_fixture(
+        spark, sf_dir, "evfull",
+        lambda p: t(spark, sf_dir, "events").write.mode("overwrite").parquet(p),
+    )
     name = f"st2_{uuid.uuid4().hex[:8]}"
     run_to_memory(user_profile_stream(events_stream(spark, path=d)), name, mode="update")
     # update-mode memory sink holds one row per (key, micro-batch); keep each
@@ -202,15 +209,20 @@ def st4_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dimension (re-read per batch, broadcast — at 100 TB the static
     side is a slowly-changing dim the stream enriches on the fly), then a
     complete-mode running aggregate by market segment."""
-    import tempfile
     import uuid
 
     from pyspark.sql.functions import broadcast
 
-    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        cached_fixture,
+        events_stream,
+        run_to_memory,
+    )
 
-    d = tempfile.mkdtemp(prefix="st4_events_")
-    t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    d = cached_fixture(
+        spark, sf_dir, "evfull",
+        lambda p: t(spark, sf_dir, "events").write.mode("overwrite").parquet(p),
+    )
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = (
         events_stream(spark, path=d)
@@ -262,21 +274,22 @@ def st5_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark, window state grows forever at 100 TB/day. Append mode
     emits exactly the windows the final watermark closed; the oracle
     reproduces both the drop set and the emit set."""
-    import tempfile
     import uuid
 
     from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
     from nyc_open_data_pipeline_spark.streaming.windows import (
+        cached_fixture,
         events_stream,
         run_to_memory,
         tumbling_counts,
     )
 
-    d = tempfile.mkdtemp(prefix="st5_events_")
     ev = t(spark, sf_dir, "events")
-    write_stream_chunks(
-        [ev.filter(F.col("event_id") % 3 == k) for k in range(3)],
-        d,
+    d = cached_fixture(
+        spark, sf_dir, "ev3chunks",
+        lambda p: write_stream_chunks(
+            [ev.filter(F.col("event_id") % 3 == k) for k in range(3)], p
+        ),
     )
     stream = events_stream(spark, path=d, maxFilesPerTrigger=1)
     name = f"st5_{uuid.uuid4().hex[:8]}"
@@ -484,17 +497,22 @@ def st6_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel-relevant timestamps only, and the per-batch work is one
     groupBy(user_id) state update — Kafka replaces the file replay
     unchanged."""
-    import tempfile
     import uuid
 
     from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
     from nyc_open_data_pipeline_spark.streaming.stateful import funnel_stream
-    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        cached_fixture,
+        events_stream,
+        run_to_memory,
+    )
 
-    d = tempfile.mkdtemp(prefix="st6_events_")
     ev = t(spark, sf_dir, "events")
-    write_stream_chunks(
-        [ev.filter(F.col("event_id") % 3 == k) for k in range(3)], d
+    d = cached_fixture(
+        spark, sf_dir, "ev3chunks",
+        lambda p: write_stream_chunks(
+            [ev.filter(F.col("event_id") % 3 == k) for k in range(3)], p
+        ),
     )
     stream = events_stream(spark, path=d, maxFilesPerTrigger=1)
     name = f"st6_{uuid.uuid4().hex[:8]}"
@@ -545,9 +563,9 @@ def st7_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_open_data_pipeline_spark.streaming.replay import ordered_range_chunks
     from nyc_open_data_pipeline_spark.streaming.upsert import latest_upsert_sink
+    from nyc_open_data_pipeline_spark.streaming.windows import cached_fixture
 
     root = tempfile.mkdtemp(prefix="st7_")
-    stream_dir = os.path.join(root, "in")
     state_dir = os.path.join(root, "state")
     schema = (
         "user_id long, ts timestamp, event_id long, event_type string, value double"
@@ -555,7 +573,12 @@ def st7_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
-    ordered_range_chunks(ev, "event_id", stream_dir, n_chunks=4)
+    # input chunks are read-only scaffolding -> session-cached; the state and
+    # checkpoint dirs stay per-invocation (each run is a fresh sink)
+    stream_dir = cached_fixture(
+        spark, sf_dir, "ev4range",
+        lambda p: ordered_range_chunks(ev, "event_id", p, n_chunks=4),
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -593,16 +616,22 @@ def st8_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivery was dropped — a hash mismatch catches both under- and
     over-dedup. State is bounded by the watermark horizon (see
     streaming/dedup.deduped_events)."""
-    import tempfile
     import uuid
 
     from nyc_open_data_pipeline_spark.streaming.dedup import deduped_events
-    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        cached_fixture,
+        events_stream,
+        run_to_memory,
+    )
 
-    d = tempfile.mkdtemp(prefix="st8_events_")
     ev = t(spark, sf_dir, "events")
-    ev.write.mode("overwrite").parquet(d)
-    ev.write.mode("append").parquet(d)  # the duplicate delivery
+
+    def _double(p):
+        ev.write.mode("overwrite").parquet(p)
+        ev.write.mode("append").parquet(p)  # the duplicate delivery
+
+    d = cached_fixture(spark, sf_dir, "evdouble", _double)
     name = f"st8_{uuid.uuid4().hex[:8]}"
     run_to_memory(deduped_events(events_stream(spark, path=d)), name, mode="append")
     return (
@@ -636,17 +665,33 @@ def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join would buffer the full history). Written as one file so availableNow
     runs a single micro-batch and no pair straddles a watermark advance —
     the streaming result is then exactly the batch interval join."""
-    import tempfile
     import uuid
 
-    from nyc_open_data_pipeline_spark.streaming.windows import events_stream, run_to_memory
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        cached_fixture,
+        events_stream,
+        run_to_memory,
+    )
 
-    d = tempfile.mkdtemp(prefix="st9_events_")
-    t(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(d)
+    # The "topic" carries only the columns and event kinds the join reads —
+    # one file so availableNow is a single micro-batch (see docstring).
+    d = cached_fixture(
+        spark, sf_dir, "evvp1",
+        lambda p: t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
 
     def side(kind: str, prefix: str) -> DataFrame:
         return (
-            events_stream(spark, path=d)
+            events_stream(
+                spark,
+                schema="event_id long, ts timestamp, user_id long, event_type string",
+                path=d,
+            )
             .filter(F.col("event_type") == kind)
             .withWatermark("ts", "2 hours")
             .select(

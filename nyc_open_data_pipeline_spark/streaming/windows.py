@@ -83,15 +83,63 @@ def session_counts(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    mode: str = "complete",
+    shuffle_partitions: int | None = 8,
+):
     """Execute a streaming plan over all currently-available input
-    (availableNow trigger) into an in-memory table; returns the query."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    (availableNow trigger) into an in-memory table; returns the query.
+
+    ``shuffle_partitions`` sizes the STATE partitioning: every stateful
+    streaming operator creates one state store per shuffle partition (a
+    stream-stream join creates four), each paying per-batch checkpoint
+    commit overhead. The batch default (2-3x cores) is sized for scan
+    throughput, not state-store count — for these bounded local feeds 8 is
+    plenty; on a real cluster size it to sustained input rate instead. The
+    conf is pinned into the query's offset log at start, so restoring the
+    session value afterwards never affects the running query."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped stream-input fixtures
+# ---------------------------------------------------------------------------
+# The file-based "topic" each streaming query reads is input scaffolding (the
+# stand-in for Kafka), not part of the query: write it once per (session,
+# sf_dir, shape) and reuse across invocations. Without this every run of an
+# st* query re-materialized the events table to a fresh temp dir — at bench
+# time that charged a 600k-row parquet write to a query whose actual work is
+# the stateful stream. Same keying discipline as plans/llmdata._HV_CACHE.
+_FIXTURE_CACHE: dict = {}
+
+
+def cached_fixture(spark, sf_dir: str, tag: str, build) -> str:
+    """Return a directory containing the stream input for (sf_dir, tag),
+    building it with ``build(dir)`` on first use in this session."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    d = _FIXTURE_CACHE.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix=f"{tag}_")
+        build(d)
+        _FIXTURE_CACHE[key] = d
+    return d
