@@ -109,6 +109,8 @@ HEADLINE += [
     "st9_stream_stream_join",
     "tx12_bigram_surprisal",
     "a13_column_profile",
+    "d16_cross_source_dups",
+    "mix4_epoch_repeat",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

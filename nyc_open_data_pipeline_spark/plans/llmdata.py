@@ -194,9 +194,10 @@ def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d4_lsh_jaccard_pairs",
-    oracle=f"""
+# The full LSH-banding + exact-Jaccard-verify pipeline as CTE text ending in a
+# ``scored(id_a, id_b, jaccard)`` relation — shared by d4 (returns it) and d16
+# (aggregates it into the cross-source matrix).
+_SQL_SCORED_PAIRS_CTE = f"""
     WITH {_sql_minhash_sigs()},
     bands AS (
       {" UNION ALL ".join(
@@ -215,12 +216,19 @@ def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM capped l JOIN capped r
         ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+               / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv))) AS jaccard
+      FROM cand c JOIN hvl a ON c.id_a = a.doc_id JOIN hvl b ON c.id_b = b.doc_id
     )
-    SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
-             / (len(a.hv) + len(b.hv) - len(list_intersect(a.hv, b.hv))) AS jaccard
-    FROM cand c JOIN hvl a ON c.id_a = a.doc_id JOIN hvl b ON c.id_b = b.doc_id
-    """,
+"""
+
+
+@register(
+    "d4_lsh_jaccard_pairs",
+    oracle=_SQL_SCORED_PAIRS_CTE + "SELECT id_a, id_b, jaccard FROM scored",
     survey_ref="extension: MinHash-LSH banding + exact n-gram Jaccard verify "
     "(bucket-capped for adversarial corpora; cap mirrored in the oracle)",
 )
@@ -3583,4 +3591,127 @@ def tx12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bigrams",
         _pround(-F.col("s") / F.col("n_bigrams")).alias("avg_bigram_surprisal_bits"),
+    )
+
+
+@register(
+    "d16_cross_source_dups",
+    oracle=_SQL_SCORED_PAIRS_CTE + f""",
+    edges AS (SELECT * FROM scored WHERE jaccard >= 0.5),
+    lab AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {_sql_pround(
+               "CAST(SUM(CAST(e.jaccard AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)"
+           )} AS mean_jaccard
+    FROM edges e JOIN lab a ON e.id_a = a.doc_id JOIN lab b ON e.id_b = b.doc_id
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension: cross-source duplication matrix — verified "
+    "near-dup pairs (d4's edges) aggregated by source pair; the corpus "
+    "diagnostic that tells you WHICH feeds are copying each other before "
+    "you pick what to drop.",
+)
+def d16_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who duplicates whom: d7's edge set (verified Jaccard >= 0.5), each
+    endpoint labeled with its source, collapsed to an unordered source-pair
+    matrix with pair counts and mean similarity. Reuses the session-shared
+    scored-pairs frame, so the marginal cost over d4 is two broadcast-sized
+    label joins and a |sources|^2-row aggregate. The mean goes through
+    DECIMAL for engine-exact parity."""
+    pairs = _shared_scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    lab = t(spark, sf_dir, "documents").select("doc_id", "source")
+    a = lab.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = lab.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            _pround(
+                F.sum(dec(F.col("jaccard"), 28, 10)).cast("double") / F.count("*")
+            ).alias("mean_jaccard"),
+        )
+    )
+
+
+_EPOCH_BUDGET_TOKENS = 10_000
+_EPOCH_MAX = 4.0
+
+
+@register(
+    "mix4_epoch_repeat",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_MIX_TOK_SQL} AS n_tokens FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS unique_tokens
+      FROM tok GROUP BY source
+    ),
+    wts AS (
+      SELECT source, unique_tokens,
+             {_sql_pround("sqrt(CAST(unique_tokens AS DOUBLE))")} AS sw
+      FROM agg
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(sw AS DECIMAL(28,10))) AS DOUBLE) AS z FROM wts
+    )
+    SELECT source, unique_tokens,
+           {_sql_pround("sw / z")} AS weight,
+           {_sql_pround(
+               f"least({_EPOCH_MAX}, {_EPOCH_BUDGET_TOKENS} * (sw / z)"
+               " / CAST(unique_tokens AS DOUBLE))"
+           )} AS epochs,
+           CAST(floor(CAST(unique_tokens AS DOUBLE) * {_sql_pround(
+               f"least({_EPOCH_MAX}, {_EPOCH_BUDGET_TOKENS} * (sw / z)"
+               " / CAST(unique_tokens AS DOUBLE))"
+           )}) AS BIGINT) AS budget_tokens
+    FROM wts, tot
+    """,
+    survey_ref="extension: data-constrained epoch planning — given a total "
+    "token budget and alpha=0.5 source weights (mix3's rule), how many "
+    "times each source repeats, capped at 4 epochs (the repetition "
+    "ceiling data-constrained scaling work established before returns "
+    "degrade). The plan the cleanroom writer executes for multi-epoch "
+    "training mixes.",
+)
+def mix4_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planner: per-source unique tokens -> temperature weight ->
+    desired tokens under the global budget -> repeat factor capped at
+    {_EPOCH_MAX} epochs -> achieved token budget. One groupBy over
+    |sources| keys; the normalizer is a 1-row broadcast (same shape as
+    mix3). Deterministic: sqrt is rounded to 6 dp, the normalizer sum runs
+    through DECIMAL, and every later step is single IEEE ops on identical
+    inputs."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", TXT.token_count(F.col("text")).alias("n_tokens")
+    )
+    agg = d.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("unique_tokens"))
+    wts = agg.select(
+        "source",
+        "unique_tokens",
+        _pround(F.sqrt(F.col("unique_tokens").cast("double"))).alias("sw"),
+    )
+    tot = wts.agg(F.sum(dec(F.col("sw"), 28, 10)).cast("double").alias("z"))
+    w = F.col("sw") / F.col("z")
+    epochs = _pround(
+        F.least(
+            F.lit(_EPOCH_MAX),
+            F.lit(float(_EPOCH_BUDGET_TOKENS)) * w / F.col("unique_tokens").cast("double"),
+        )
+    )
+    return wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "unique_tokens",
+        _pround(w).alias("weight"),
+        epochs.alias("epochs"),
+        F.floor(F.col("unique_tokens").cast("double") * epochs).cast("long").alias(
+            "budget_tokens"
+        ),
     )

@@ -85,6 +85,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "st9_stream_stream_join",
     "tx12_bigram_surprisal",
     "a13_column_profile",
+    "d16_cross_source_dups",
+    "mix4_epoch_repeat",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",
