@@ -111,6 +111,8 @@ HEADLINE += [
     "a13_column_profile",
     "d16_cross_source_dups",
     "mix4_epoch_repeat",
+    "j9_snapshot_diff",
+    "t11_zscore",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

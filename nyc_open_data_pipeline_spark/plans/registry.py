@@ -87,6 +87,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "a13_column_profile",
     "d16_cross_source_dups",
     "mix4_epoch_repeat",
+    "j9_snapshot_diff",
+    "t11_zscore",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",

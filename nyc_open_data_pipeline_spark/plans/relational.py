@@ -1498,3 +1498,108 @@ def a13_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (column_name, n_rows, n_nulls, n_distinct)"
         )
     )
+
+
+@register(
+    "j9_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    d AS (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM d GROUP BY change
+    """,
+    survey_ref="§2.5 join family (FULL OUTER — the one join type j1-j8 "
+    "leave uncovered) as the snapshot-reconciliation operator: two table "
+    "versions diffed into added/removed/changed/unchanged counts, the "
+    "data-diff every ingest audit runs.",
+)
+def j9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via full outer join on the key. Both
+    'versions' derive deterministically from orders (drop-by-modulus +
+    perturb-by-modulus), so the oracle is exact. Scale shape: a single
+    sort-merge full outer join on the key — both sides shuffle once; with
+    bucketed storage on the key (operators/bucketing.py) the exchange
+    disappears entirely. The CASE classification and count are map-side."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v_old")
+    )
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("v_new"),
+    )
+    change = (
+        F.when(F.col("k").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("v_old") != F.col("v_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, old.k == new.k2, "full_outer")
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "t11_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))
+                      * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS ss
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           floor(((l.l_extendedprice - m.s / m.n)
+                  / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1))) * 1e6 + 0.5) / 1e6
+             AS price_z
+    FROM lineitem l JOIN m USING (l_returnflag)
+    """,
+    survey_ref="§2.4 scalar expressions / ML feature prep: per-group z-score "
+    "normalization — grouped moments broadcast back onto the facts, the "
+    "standard feature-scaling pass before any embedding/clustering step.",
+)
+def t11_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization: one grouped-moments pass (count, decimal
+    sum, decimal sum-of-squares — all order-independent), broadcast of
+    |groups| rows back onto the facts, then a purely row-local normalize.
+    The z value passes through the portable 6-dp rounding because sqrt of
+    the sample variance is the one step where engines could differ at the
+    last ulp. At 100 TB: one map-side-combined exchange on the group key +
+    a broadcast join — the facts never shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    p = dec("l_extendedprice", 28, 4)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(p).cast("double").alias("s"),
+        F.sum(p * p).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("l_extendedprice") - mean) / std
+    return li.join(F.broadcast(m), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("price_z"),
+    )

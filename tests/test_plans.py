@@ -214,6 +214,7 @@ BNLJ_ALLOWED = {
     # broadcast of a 1-row scalar or a <=k-row query/centroid relation
     "sk1_kmv_distinct",        # k-th minimum hash (1 row)
     "mix3_temperature_sampling",  # mix normalizer (1 row)
+    "mix4_epoch_repeat",       # epoch-plan normalizer (1 row)
     "tx10_token_surprisal",    # corpus token total (1 row)
     "s1_cosine_topk",          # 5 query vectors
     "s4_ivf_ann",              # k centroids / probe cells
