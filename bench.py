@@ -113,6 +113,7 @@ HEADLINE += [
     "mix4_epoch_repeat",
     "j9_snapshot_diff",
     "t11_zscore",
+    "st10_stream_session",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

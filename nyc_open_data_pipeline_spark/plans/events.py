@@ -62,9 +62,7 @@ def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "e3_session_window",
-    oracle=f"""
+_E3_SESSION_SQL = f"""
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -85,7 +83,12 @@ def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            {sql_dsum("value", "session_value")}
     FROM numbered GROUP BY user_id, sess_id
-    """,
+"""
+
+
+@register(
+    "e3_session_window",
+    oracle=_E3_SESSION_SQL,
     survey_ref="§2.13 extension (session window, 30min gap; streaming/windows.py has the stateful variant)",
 )
 def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,4 +718,36 @@ def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"st9_{uuid.uuid4().hex[:8]}"
     run_to_memory(joined, name, mode="append")
+    return spark.table(name)
+
+
+@register(
+    "st10_stream_session",
+    oracle=_E3_SESSION_SQL,
+    survey_ref="§2.13 Structured Streaming session windows: the e3 "
+    "session_window aggregation under readStream with a watermark — "
+    "Spark merges overlapping per-key session state across micro-batches, "
+    "the one window type that is genuinely stateful-merge (tumbling/"
+    "sliding are mere bucketing). Oracle is e3's batch SQL.",
+)
+def st10_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) over the shared event feed,
+    complete mode. Session state per (user, open session) is merged as
+    batches arrive and dropped once the watermark passes the gap — bounded
+    by active users, not history. Must equal the batch e3 result exactly."""
+    import uuid
+
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        cached_fixture,
+        events_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    d = cached_fixture(
+        spark, sf_dir, "evfull",
+        lambda p: t(spark, sf_dir, "events").write.mode("overwrite").parquet(p),
+    )
+    name = f"st10_{uuid.uuid4().hex[:8]}"
+    run_to_memory(session_counts(events_stream(spark, path=d)), name, mode="complete")
     return spark.table(name)

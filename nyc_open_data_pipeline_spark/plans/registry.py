@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mix4_epoch_repeat",
     "j9_snapshot_diff",
     "t11_zscore",
+    "st10_stream_session",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",
