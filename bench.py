@@ -114,6 +114,7 @@ HEADLINE += [
     "j9_snapshot_diff",
     "t11_zscore",
     "st10_stream_session",
+    "s10_pq_encode",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "j9_snapshot_diff",
     "t11_zscore",
     "st10_stream_session",
+    "s10_pq_encode",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",
