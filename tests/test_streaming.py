@@ -263,3 +263,45 @@ def test_incremental_dedup_sink_batch_replay_is_noop(spark, tmp_path):
     b1 = spark.createDataFrame([(5, "alpha"), (6, "delta")], "doc_id long, text string")
     sink(b1, 1)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 6}
+
+
+def test_cached_fixture_builds_once_per_session(spark, sf_dir):
+    """The stream-input 'topic' is scaffolding: the same (sf_dir, tag) must
+    reuse one directory, and distinct tags must not collide."""
+    from nyc_open_data_pipeline_spark.streaming.windows import cached_fixture
+
+    calls = []
+
+    def build(p):
+        calls.append(p)
+
+    d1 = cached_fixture(spark, sf_dir, "ut_fixture", build)
+    d2 = cached_fixture(spark, sf_dir, "ut_fixture", build)
+    d3 = cached_fixture(spark, sf_dir, "ut_fixture_other", build)
+    assert d1 == d2 and len(calls) == 2  # one build per tag
+    assert d3 != d1
+
+
+def test_run_to_memory_restores_shuffle_partitions(spark, sf_dir):
+    """The streaming state-partition override must never leak into the
+    session's batch conf after the query finishes."""
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        cached_fixture,
+        events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+    from nyc_open_data_pipeline_spark.plans.common import t
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    d = cached_fixture(
+        spark, sf_dir, "evfull",
+        lambda p: t(spark, sf_dir, "events").write.mode("overwrite").parquet(p),
+    )
+    run_to_memory(
+        tumbling_counts(events_stream(spark, path=d)),
+        "ut_conf_restore",
+        mode="complete",
+        shuffle_partitions=4,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
