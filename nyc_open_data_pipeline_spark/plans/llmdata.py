@@ -77,6 +77,26 @@ def _shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh
 
 
+def _shared_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<double>) embeddings, persisted once per (session,
+    sf_dir) — s6/s10 each run several jobs over the cast vectors (init
+    collect, two assignment passes, codebook update); caching the cast
+    output means only the first job pays the scan + float->double pass."""
+    key = ("vectors64", spark.sparkContext.applicationId, sf_dir)
+    e = _HV_CACHE.get(key)
+    if e is None:
+        e = (
+            t(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+            .persist()
+        )
+        _HV_CACHE[key] = e
+    return e
+
+
 def _shared_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, jaccard) over the whole corpus — LSH banding + exact
     Jaccard verify, computed once per (session, sf_dir). d4 returns it
@@ -1288,9 +1308,7 @@ def s6_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion + map-side combine). The driver-side loop collects only
     K*dim doubles per round — same job topology as d7's label propagation,
     the canonical iterative-Spark shape."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    e = _shared_vectors(spark, sf_dir)
 
     def assign(cents: list) -> DataFrame:
         structs = []
@@ -3561,21 +3579,30 @@ def tx12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the big intermediate (super-Heaps but still far below token
     count); both model joins hash on w1/(w1,w2) — plain shuffle joins that
     AQE can skew-split if a stopword context dominates."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", TXT.tokens(F.col("text")).alias("tk")
-    )
-    pairs = F.when(
-        F.size("tk") >= 2,
-        F.expr(
-            "transform(sequence(1, size(tk) - 1), "
-            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
-        ),
-    ).otherwise(F.array())
-    db = (
-        d.select("doc_id", F.explode(pairs).alias("p"))
-        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .agg(F.count("*").alias("c_doc"))
-    )
+    key = ("doc_bigrams", spark.sparkContext.applicationId, sf_dir)
+    db = _HV_CACHE.get(key)
+    if db is None:
+        d = t(spark, sf_dir, "documents").select(
+            "doc_id", TXT.tokens(F.col("text")).alias("tk")
+        )
+        pairs = F.when(
+            F.size("tk") >= 2,
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+            ),
+        ).otherwise(F.array())
+        # persisted per (session, sf_dir): the bigram-type frame feeds the
+        # corpus model twice and the per-doc reduction (same policy as
+        # _doc_token_counts — without sharing, the tokenize+explode stage
+        # re-executes per consumer)
+        db = (
+            d.select("doc_id", F.explode(pairs).alias("p"))
+            .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .agg(F.count("*").alias("c_doc"))
+            .persist()
+        )
+        _HV_CACHE[key] = db
     bc = db.groupBy("w1", "w2").agg(F.sum("c_doc").cast("long").alias("c12"))
     ctx = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     lp = bc.join(ctx, "w1").select(
@@ -3788,9 +3815,7 @@ def s10_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     {M}x{K}x{SUB} codebook doubles — the s6 topology, unrolled per
     subspace. Errors are rounded to 6 dp before the DECIMAL mean (the
     registry float policy)."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    e = _shared_vectors(spark, sf_dir)
     subs = e.select(
         "vec_id",
         F.explode(
