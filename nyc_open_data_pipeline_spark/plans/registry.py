@@ -35,9 +35,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # after ~50 entries. Round-3 order: (a) the 17 queries with NO green driver row
 # ever — 14 never checked (the flagship c1 first), st2 (r1 row was no_oracle),
 # and w4/f4 (r2 reds, fixed this round by the central TIMESTAMP_NTZ conf);
-# (a2) the queries ADDED in round 3 (no row possible before this round);
-# (b) 20 round-1 greens rotated back in so r1∪r2∪r3 driver-green covers the
-# full declared surface; (c) round-2 greens last (freshest proof already).
+# (a2) the queries ADDED early in round 3 (no row possible before this round);
+# (a3) queries added later in round 3 — these fill priority slots 34-50, so
+# every query new this round gets its first driver row; (b) round-1 greens
+# rotated in behind them so r1∪r2∪r3 driver-green covers the full surface.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never proven by the driver — 17 rows
     "c1_cleanroom_pipeline",
