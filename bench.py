@@ -115,6 +115,8 @@ HEADLINE += [
     "t11_zscore",
     "st10_stream_session",
     "s10_pq_encode",
+    "q10_returned_items",
+    "q7_volume_shipping",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

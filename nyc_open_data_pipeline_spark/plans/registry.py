@@ -92,6 +92,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "t11_zscore",
     "st10_stream_session",
     "s10_pq_encode",
+    "q10_returned_items",
+    "q7_volume_shipping",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",

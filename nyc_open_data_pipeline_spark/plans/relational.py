@@ -1603,3 +1603,114 @@ def t11_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("price_z"),
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM rev ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    survey_ref="§2.5/§2.6/§2.8 (TPC-H Q10 shape: returned-item revenue "
+    "report — two fact joins, dimension broadcast, decimal-exact revenue, "
+    "top-20 without a global sort)",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: who returned the most revenue last half-year. The date
+    filter pushes to the orders scan and the returnflag filter to the
+    lineitem scan; nation broadcasts onto customer; the two fact joins hash
+    on their natural keys; revenue sums through DECIMAL; the final top-20
+    plans as TakeOrderedAndProject (heap per partition, never a full sort).
+    Deterministic tie-break on c_custkey so both engines cut the same 20."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 28, 6)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    survey_ref="§2.5 (TPC-H Q7 shape: bilateral trade volume — six-way join "
+    "with a disjunctive cross-nation predicate riding the broadcasts, "
+    "per-year rollup)",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year. Supplier and
+    customer each pick up their nation by broadcast; the disjunctive
+    nation-pair predicate evaluates after both broadcasts (no join
+    explosion — it's a filter, not a cross join); the two fact joins hash
+    on suppkey/orderkey. The ship-date range pushes to the lineitem scan.
+    Revenue through DECIMAL; year extraction is engine-identical."""
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 28, 6)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
