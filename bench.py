@@ -117,6 +117,8 @@ HEADLINE += [
     "s10_pq_encode",
     "q10_returned_items",
     "q7_volume_shipping",
+    "tx13_langid_confusion",
+    "v6_k_anonymity",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -492,20 +492,25 @@ def _sql_lang_hits(lang: str) -> str:
     return f"CAST(len(list_filter({SQL_TOKENS}, x -> x IN ({sw}))) AS BIGINT)"
 
 
-@register(
-    "tx3_language_id",
-    oracle=f"""
+_SQL_LANG_PRED = f"""
     WITH s AS (
       SELECT doc_id, lang AS labeled_lang,
              {", ".join(f"{_sql_lang_hits(lg)} AS s_{lg}" for lg in TXT.STOPWORDS)}
       FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, labeled_lang,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                  {" ".join(f"WHEN s_{lg} = greatest(s_en, s_es, s_de, s_fr) THEN '{lg}'" for lg in TXT.STOPWORDS)}
+             END AS predicted_lang
+      FROM s
     )
-    SELECT doc_id, labeled_lang,
-           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-                {" ".join(f"WHEN s_{lg} = greatest(s_en, s_es, s_de, s_fr) THEN '{lg}'" for lg in TXT.STOPWORDS)}
-           END AS predicted_lang
-    FROM s
-    """,
+"""
+
+
+@register(
+    "tx3_language_id",
+    oracle=_SQL_LANG_PRED + "SELECT doc_id, labeled_lang, predicted_lang FROM pred",
     survey_ref="extension: language ID (stopword n-gram heuristic)",
 )
 def tx3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3869,4 +3874,75 @@ def s10_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pround(
             F.sum(dec(_pround(F.col("err")), 28, 10)).cast("double") / F.count("*")
         ).alias("mean_err"),
+    )
+
+
+@register(
+    "tx13_langid_confusion",
+    oracle=_SQL_LANG_PRED + """
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+    survey_ref="extension: language-ID confusion matrix — the classifier "
+    "eval loop (tx3's predictions against the labeled lang column), the "
+    "same judge-the-operator pattern as s7's ANN recall and d14's "
+    "estimator error.",
+)
+def tx13_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted confusion counts for the stopword language
+    identifier. One scan-speed prediction pass (the tx3 expression) folded
+    into a |langs|^2-cell aggregate — the evaluation you run before
+    trusting a filter that gates millions of documents. At 100 TB this is
+    the same plan as tx3 plus a tiny hash aggregate."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            TXT.language_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_KANON_K = 5
+
+
+@register(
+    "v6_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_bucket,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) FILTER (WHERE n_users < {_KANON_K}) AS BIGINT)
+             AS n_risky_cells,
+           CAST(MIN(n_users) AS BIGINT) AS min_cell_users
+    FROM cells GROUP BY event_type
+    """,
+    survey_ref="§2.15 validation / governance extension: k-anonymity audit — "
+    "quasi-identifier cells (event_type x hour) with fewer than k distinct "
+    "users are re-identification risks; the privacy gate run before "
+    "releasing event-derived training data (companion to tx6's PII "
+    "redaction).",
+)
+def v6_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile over the quasi-identifier (event_type, hour):
+    distinct-user count per cell, then per-type counts of cells below
+    k={_KANON_K}. Two aggregations, the second over |cells| rows; the
+    distinct-count shuffle hashes the cell key. At 100 TB swap exact
+    distinct for approx_count_distinct when cells are huge — the risky
+    cells (small by definition) stay exact either way."""
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_bucket")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    return cells.groupBy("event_type").agg(
+        F.count("*").alias("n_cells"),
+        F.count_if(F.col("n_users") < _KANON_K).alias("n_risky_cells"),
+        F.min("n_users").alias("min_cell_users"),
     )

@@ -94,6 +94,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "s10_pq_encode",
     "q10_returned_items",
     "q7_volume_shipping",
+    "tx13_langid_confusion",
+    "v6_k_anonymity",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",
