@@ -119,6 +119,7 @@ HEADLINE += [
     "q7_volume_shipping",
     "tx13_langid_confusion",
     "v6_k_anonymity",
+    "sk3_countmin_heavyhitters",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -3946,3 +3946,103 @@ def v6_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("n_users") < _KANON_K).alias("n_risky_cells"),
         F.min("n_users").alias("min_cell_users"),
     )
+
+
+_CM_D = 4     # sketch rows (independent hashes)
+_CM_W = 256   # counters per row
+
+
+@register(
+    "sk3_countmin_heavyhitters",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r.r AS r,
+             {sql_hash64("concat('cm', CAST(r.r AS VARCHAR), ':', CAST(user_id AS VARCHAR))")}
+               % {_CM_W} AS col,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS r) r
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probes AS (
+      SELECT e.user_id, e.exact_n, r.r AS r,
+             {sql_hash64("concat('cm', CAST(r.r AS VARCHAR), ':', CAST(e.user_id AS VARCHAR))")}
+               % {_CM_W} AS col
+      FROM exact e, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS r) r
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(c.cnt) AS BIGINT) AS est_n,
+           CAST(MIN(c.cnt) - p.exact_n AS BIGINT) AS overestimate
+    FROM probes p JOIN cells c ON p.r = c.r AND p.col = c.col
+    GROUP BY p.user_id, p.exact_n
+    """,
+    survey_ref="extension: Count-Min sketch (portable md5 hashes, d=4 rows "
+    "x w=256 counters) with exact-error accounting on the true top-10 "
+    "heavy hitters — completes the sketch family (sk1 KMV distinct, sk2 "
+    "Bloom membership). The CM estimate never underestimates; the "
+    "overestimate column is the collision cost made visible.",
+)
+def sk3_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter estimation. Sketch build is one pass: each
+    event contributes to d=4 (row, col) cells (map-side explode x4, then a
+    partial-aggregated groupBy over at most d*w = 1024 cells — the sketch
+    IS the aggregate, mergeable across any partitioning, which is what
+    makes it a 100 TB structure). The probe side broadcasts 40 rows against
+    the 1024-cell sketch; estimates are min over rows. Hashes are the
+    engine-portable md5 construction, so DuckDB reproduces the sketch
+    bit-for-bit, collisions included."""
+    ev = t(spark, sf_dir, "events").select("user_id")
+
+    def cm_col(user: F.Column, r: int) -> F.Column:
+        return F.pmod(
+            DD._hash64(
+                F.concat(F.lit(f"cm{r}:"), user.cast("string"))
+            ),
+            F.lit(_CM_W),
+        )
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("r"), cm_col(F.col("user_id"), r).alias("col")
+                    )
+                    for r in range(_CM_D)
+                ])
+            ).alias("c")
+        )
+        .groupBy(F.col("c.r").alias("r"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"), cm_col(F.col("user_id"), r).alias("col")
+                )
+                for r in range(_CM_D)
+            ])
+        ).alias("c"),
+    ).select("user_id", "exact_n", F.col("c.r").alias("r"), F.col("c.col").alias("col"))
+    return (
+        F.broadcast(probes)
+        .join(cells, ["r", "col"])
+        .groupBy("user_id", "exact_n")
+        .agg(
+            F.min("cnt").alias("est_n"),
+            (F.min("cnt") - F.col("exact_n")).cast("long").alias("overestimate"),
+        )
+    )

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q7_volume_shipping",
     "tx13_langid_confusion",
     "v6_k_anonymity",
+    "sk3_countmin_heavyhitters",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",
