@@ -881,12 +881,17 @@ def st3_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_open_data_pipeline_spark.streaming.dedup import run_incremental_dedup
     from nyc_open_data_pipeline_spark.streaming.replay import ordered_range_chunks
+    from nyc_open_data_pipeline_spark.streaming.windows import cached_fixture
 
     root = tempfile.mkdtemp(prefix="st3_")
-    stream_dir = os.path.join(root, "in")
     out_dir, state_dir = os.path.join(root, "out"), os.path.join(root, "state")
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    ordered_range_chunks(docs, "doc_id", stream_dir, n_chunks=4)
+    # input chunks are read-only scaffolding -> session-cached (the out/state
+    # dirs stay per-invocation: each run is a fresh sink + state table)
+    stream_dir = cached_fixture(
+        spark, sf_dir, "doc4range",
+        lambda p: ordered_range_chunks(docs, "doc_id", p, n_chunks=4),
+    )
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
