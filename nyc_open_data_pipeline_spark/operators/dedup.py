@@ -513,3 +513,54 @@ def simhash64(col: Column, token_weight: Column | None = None) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def line_dedup(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
+    """Global chunk-level dedup, keep-first (C4-style line dedup).
+
+    Splits each document's ``text`` into fixed ``chunk_words``-word chunks,
+    elects one keeper per distinct chunk text corpus-wide (min doc_id — a
+    deterministic 'first occurrence wins'), and reassembles every document
+    from its surviving chunks in original order. Returns one row per doc:
+    (doc_id, n_chunks, n_kept, cleaned_md5) where cleaned_md5 hashes the
+    reassembled text ('' when nothing survives).
+
+    Plan shape: chunking is array math inside the scan stage (sequence +
+    slice + array_join — no explode shuffle); the only exchanges are the
+    keeper window on chunk_text and the per-doc rebuild. State per chunk
+    key is one min. Used by the d15 query (plans/llmdata.py), where the
+    DuckDB oracle mirrors the construction exactly."""
+    d = docs.select("doc_id", F.split("text", " ").alias("words"))
+    n_chunks = F.ceil(F.size("words") / F.lit(float(chunk_words))).cast("long")
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "words",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(
+                "words",
+                (F.col("chunk_idx") * chunk_words + 1).cast("int"),
+                chunk_words,
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    keeper = Window.partitionBy("chunk_text")
+    k = chunks.withColumn("kept", F.col("doc_id") == F.min("doc_id").over(keeper))
+    kept_struct = F.when(F.col("kept"), F.struct("chunk_idx", "chunk_text"))
+    return k.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if("kept").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )

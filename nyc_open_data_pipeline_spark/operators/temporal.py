@@ -98,3 +98,25 @@ def range_join_binned(
         < F.col(probe_time) + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
     )
     return probes_b.join(events_b, [key, "__bin"]).filter(in_window).drop("__bin")
+
+
+def forward_fill(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    col: Column | str,
+    out: str,
+) -> DataFrame:
+    """Last-observation-carried-forward along each key's timeline.
+
+    ``last(..., ignorenulls=True)`` over a running frame: one exchange on
+    the series key; per-task state is a single scalar per open partition
+    (the frame evaluates streamingly), so memory is flat in series length.
+    Used by the ts2 query (plans/timeseries.py)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.col(col) if isinstance(col, str) else col
+    return df.withColumn(out, F.last(c, ignorenulls=True).over(w))

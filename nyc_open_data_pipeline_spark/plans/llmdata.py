@@ -3439,41 +3439,7 @@ def d15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per chunk_text is one min — the same shape C4/RefinedWeb run for line
     dedup, with 'first occurrence wins' made deterministic via min(doc_id)
     instead of scan order."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("words")
-    )
-    n_chunks = F.ceil(F.size("words") / F.lit(10.0)).cast("long")
-    chunks = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-        "words",
-    ).select(
-        "doc_id",
-        "chunk_idx",
-        F.array_join(
-            F.slice("words", (F.col("chunk_idx") * 10 + 1).cast("int"), 10), " "
-        ).alias("chunk_text"),
-    )
-    keeper = Window.partitionBy("chunk_text")
-    k = chunks.withColumn(
-        "kept", F.col("doc_id") == F.min("doc_id").over(keeper)
-    )
-    kept_struct = F.when(
-        F.col("kept"), F.struct("chunk_idx", "chunk_text")
-    )
-    return k.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.count_if("kept").alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s.chunk_text,
-                ),
-                " ",
-            )
-        ).alias("cleaned_md5"),
-    )
+    return DD.line_dedup(t(spark, sf_dir, "documents"), chunk_words=10)
 
 
 @register(

@@ -106,18 +106,13 @@ def ts2_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scalar per open partition (the frame is computed streamingly),
     so the operator is memory-flat regardless of series length. Values
     pass through untouched — bit-identical, no float tolerance needed."""
+    from nyc_open_data_pipeline_spark.operators.temporal import forward_fill
+
     ev = t(spark, sf_dir, "events")
     metric = F.when(F.col("event_type") == "purchase", F.col("value"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.last(metric, ignorenulls=True).over(w).alias("last_purchase_value"),
-    )
+    return forward_fill(
+        ev, "user_id", ["ts", "event_id"], metric, "last_purchase_value"
+    ).select("event_id", "user_id", "last_purchase_value")
 
 
 @register(

@@ -303,3 +303,69 @@ def test_upsert_then_delete_roundtrip(spark, tmp_path_factory, base, gone):
         ) == len(kept)
     got = {r["k"] for r in spark.read.parquet(storage.path("t")).collect()}
     assert got == kept
+
+
+words_voc = st.sampled_from(["a", "b", "c", "d"])
+doc_texts = st.lists(words_voc, min_size=1, max_size=25).map(" ".join)
+
+
+@given(texts=st.lists(doc_texts, min_size=1, max_size=8))
+@SETTINGS
+def test_line_dedup_matches_python_model(spark, texts):
+    """line_dedup == an independent Python model of C4-style keep-first
+    chunk dedup (chunk = 3 words here so tiny docs still collide)."""
+    import hashlib
+
+    from nyc_open_data_pipeline_spark.operators.dedup import line_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["cleaned_md5"])
+        for r in line_dedup(docs, chunk_words=3).collect()
+    }
+
+    # model: first doc_id owning each chunk text keeps it
+    owner: dict[str, int] = {}
+    chunks_by_doc = {}
+    for i, t in rows:
+        ws = t.split(" ")
+        cs = [" ".join(ws[j : j + 3]) for j in range(0, len(ws), 3)]
+        chunks_by_doc[i] = cs
+        for c in cs:
+            owner.setdefault(c, min(owner.get(c, i), i))
+    for i, cs in chunks_by_doc.items():
+        kept = [c for c in cs if owner[c] == i]
+        md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got[i] == (len(cs), len(kept), md5), f"doc {i}"
+
+
+ff_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=40),  # order
+        st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=ff_rows)
+@SETTINGS
+def test_forward_fill_matches_pandas_ffill(spark, rows):
+    """forward_fill == pandas groupby().ffill() on (key, order)-sorted
+    frames (ties broken by a unique row id, mirrored in both)."""
+    from nyc_open_data_pipeline_spark.operators.temporal import forward_fill
+
+    data = [(k, o, i, v) for i, (k, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, o long, rid long, v long")
+    got = {
+        r["rid"]: r["filled"]
+        for r in forward_fill(df, "k", ["o", "rid"], "v", "filled").collect()
+    }
+    pdf = pd.DataFrame(data, columns=["k", "o", "rid", "v"]).sort_values(["k", "o", "rid"])
+    pdf["filled"] = pdf.groupby("k")["v"].ffill()
+    for _, r in pdf.iterrows():
+        want = None if pd.isna(r["filled"]) else int(r["filled"])
+        assert got[int(r["rid"])] == want
