@@ -120,6 +120,7 @@ HEADLINE += [
     "tx13_langid_confusion",
     "v6_k_anonymity",
     "sk3_countmin_heavyhitters",
+    "c4_training_manifest",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

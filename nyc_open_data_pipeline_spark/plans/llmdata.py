@@ -4017,3 +4017,97 @@ def sk3_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") - F.col("exact_n")).cast("long").alias("overestimate"),
         )
     )
+
+
+@register(
+    "c4_training_manifest",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_MIX_TOK_SQL} AS n_tokens, {_SQL_SPLIT} AS split
+      FROM documents
+    ),
+    cell AS (
+      SELECT source, split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS unique_tokens
+      FROM tok GROUP BY source
+    ),
+    wts AS (
+      SELECT source, unique_tokens,
+             {_sql_pround("sqrt(CAST(unique_tokens AS DOUBLE))")} AS sw
+      FROM agg
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(sw AS DECIMAL(28,10))) AS DOUBLE) AS z FROM wts
+    ),
+    plan AS (
+      SELECT source,
+             {_sql_pround(
+                 f"least({_EPOCH_MAX}, {_EPOCH_BUDGET_TOKENS} * (sw / z)"
+                 " / CAST(unique_tokens AS DOUBLE))"
+             )} AS epochs
+      FROM wts, tot
+    )
+    SELECT c.source, c.split, c.n_docs, c.n_tokens, p.epochs,
+           CAST(floor(CAST(c.n_tokens AS DOUBLE) * p.epochs) AS BIGINT)
+             AS effective_tokens
+    FROM cell c JOIN plan p ON c.source = p.source
+    """,
+    survey_ref="extension: the training MANIFEST — d9's deterministic "
+    "splits x mix4's epoch plan composed into the per-(source, split) "
+    "effective-token table a trainer consumes; train cells repeat per the "
+    "epoch factor, val/test inherit it for reporting only.",
+)
+def c4_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the run actually trains on: per (source, split) doc/token
+    counts from the hash-deterministic d9 split, joined with mix4's
+    per-source epoch factor, yielding effective tokens after repetition.
+    One pass over documents feeds both the cell table and the per-source
+    totals (same exchange key); the epoch plan is |sources| rows riding a
+    broadcast. Composition of d9 + mix4 — both already hash-verified —
+    with the same decimal/pround determinism."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        F.when(DD._hash64(F.col("doc_id").cast("string")) % 100 < 80, "train")
+        .when(DD._hash64(F.col("doc_id").cast("string")) % 100 < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cell = d.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    agg = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("unique_tokens")
+    )
+    wts = agg.select(
+        "source",
+        "unique_tokens",
+        _pround(F.sqrt(F.col("unique_tokens").cast("double"))).alias("sw"),
+    )
+    tot = wts.agg(F.sum(dec(F.col("sw"), 28, 10)).cast("double").alias("z"))
+    epochs = _pround(
+        F.least(
+            F.lit(_EPOCH_MAX),
+            F.lit(float(_EPOCH_BUDGET_TOKENS))
+            * (F.col("sw") / F.col("z"))
+            / F.col("unique_tokens").cast("double"),
+        )
+    )
+    plan = wts.crossJoin(F.broadcast(tot)).select("source", epochs.alias("epochs"))
+    return cell.join(F.broadcast(plan), "source").select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        "epochs",
+        F.floor(F.col("n_tokens").cast("double") * F.col("epochs")).cast("long").alias(
+            "effective_tokens"
+        ),
+    )

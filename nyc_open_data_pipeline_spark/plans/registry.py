@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tx13_langid_confusion",
     "v6_k_anonymity",
     "sk3_countmin_heavyhitters",
+    "c4_training_manifest",
     # (b) round-1 greens, rotated — 17 rows
     "d1_exact_dedup",
     "d2_fingerprints",
