@@ -215,6 +215,7 @@ BNLJ_ALLOWED = {
     "sk1_kmv_distinct",        # k-th minimum hash (1 row)
     "mix3_temperature_sampling",  # mix normalizer (1 row)
     "mix4_epoch_repeat",       # epoch-plan normalizer (1 row)
+    "c4_training_manifest",    # epoch-plan normalizer (1 row, mix4 shape)
     "tx10_token_surprisal",    # corpus token total (1 row)
     "s1_cosine_topk",          # 5 query vectors
     "s4_ivf_ann",              # k centroids / probe cells
