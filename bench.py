@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints exactly ONE JSON line:
+Prints the main JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"q1_pricing_summary": sec, ...}, "sf": <sf>}
+followed by one compact {"metric": "bench_summary", ...} line (subtotals only,
+no per-query dict) that survives the driver's tail-of-stdout capture intact.
 
 Each query is executed to completion (count() action) after a warm-up pass of
 the session; per-query wall time includes plan + execution, not session start.
@@ -213,6 +215,22 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Second, compact line with NO per-query dict: the driver keeps only the
+    # tail of stdout, and in round 3 the headline subtotals (printed before the
+    # 90+-entry queries dict) were truncated away. This trailing line is small
+    # enough to always survive tail capture.
+    summary = {
+        "metric": "bench_summary",
+        "value": round(total, 3),
+        "unit": "sec",
+        "core30_sec": round(core30, 3),
+        "core58_sec": round(core58, 3),
+        "families": families,
+        "n_queries": len(ok),
+        "n_errors": len(errors),
+        "sf": float(sf),
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 
