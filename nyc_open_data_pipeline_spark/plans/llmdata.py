@@ -3617,7 +3617,8 @@ def tx12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "you pick what to drop.",
 )
 def d16_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Who duplicates whom: d7's edge set (verified Jaccard >= 0.5), each
+    """Who duplicates whom: d4's verified scored-pairs edges (Jaccard >=
+    0.5), each
     endpoint labeled with its source, collapsed to an unordered source-pair
     matrix with pair counts and mean similarity. Reuses the session-shared
     scored-pairs frame, so the marginal cost over d4 is two broadcast-sized

@@ -1360,16 +1360,20 @@ def a11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              quantile_cont(o_totalprice, 0.25) AS q1,
              quantile_cont(o_totalprice, 0.75) AS q3
       FROM orders GROUP BY 1
+    ), f AS (
+      SELECT o_orderpriority,
+             floor((q3 + 1.5 * (q3 - q1)) * 1e6 + 0.5) / 1e6 AS hi,
+             floor((q1 - 1.5 * (q3 - q1)) * 1e6 + 0.5) / 1e6 AS lo
+      FROM q
     )
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(*) FILTER (
-             WHERE o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
-                OR o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+             WHERE o.o_totalprice > f.hi OR o.o_totalprice < f.lo
            ) AS BIGINT) AS n_outliers,
-           round(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS hi_fence
-    FROM orders o JOIN q USING (o_orderpriority)
-    GROUP BY 1, q.q1, q.q3
+           f.hi AS hi_fence
+    FROM orders o JOIN f USING (o_orderpriority)
+    GROUP BY 1, f.hi, f.lo
     """,
     survey_ref="§2.6 A5 / §2.15 V2 (profiling surface: Tukey IQR outlier "
     "detection per group — the data-quality fence behind V2's range checks, "
@@ -1382,15 +1386,20 @@ def a12_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts but the join side is |groups| rows — broadcast, no fact shuffle
     beyond the two group-by exchanges on the same key (reused). At 100 TB
     swap ``percentile`` for ``approx_percentile`` (t-digest, bounded
-    memory); the fence logic is unchanged."""
+    memory); the fence logic is unchanged.
+
+    Both fences go through the portable floor(x*1e6+0.5)/1e6 rounding (not
+    native round, which diverges from DuckDB at half-boundaries) BEFORE the
+    outlier comparison, so a last-ulp interpolation difference between the
+    engines' quantile implementations can't flip a count."""
     o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
     q = o.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
         F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
-    hi = F.col("q3") + 1.5 * iqr
-    lo = F.col("q1") - 1.5 * iqr
+    hi = F.floor((F.col("q3") + 1.5 * iqr) * 1e6 + F.lit(0.5)) / 1e6
+    lo = F.floor((F.col("q1") - 1.5 * iqr) * 1e6 + F.lit(0.5)) / 1e6
     out = (F.col("o_totalprice") > hi) | (F.col("o_totalprice") < lo)
     return (
         o.join(F.broadcast(q), "o_orderpriority")
@@ -1398,7 +1407,7 @@ def a12_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.count_if(out).alias("n_outliers"),
-            F.round(F.first(hi), 6).alias("hi_fence"),
+            F.first(hi).alias("hi_fence"),
         )
         .drop("q1", "q3")
     )
@@ -1570,9 +1579,11 @@ def j9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     )
     SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-           floor(((l.l_extendedprice - m.s / m.n)
-                  / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1))) * 1e6 + 0.5) / 1e6
-             AS price_z
+           CASE WHEN m.n > 1 THEN
+             floor(((l.l_extendedprice - m.s / m.n)
+                    / NULLIF(sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1)), 0))
+                   * 1e6 + 0.5) / 1e6
+           END AS price_z
     FROM lineitem l JOIN m USING (l_returnflag)
     """,
     survey_ref="§2.4 scalar expressions / ML feature prep: per-group z-score "
@@ -1596,12 +1607,15 @@ def t11_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s") / F.col("n")
     std = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
-    z = (F.col("l_extendedprice") - mean) / std
+    # Degenerate groups (n=1 or zero variance) must be NULL in BOTH engines:
+    # Spark's non-ANSI x/0.0 yields NULL but DuckDB's IEEE division yields
+    # inf/nan, so guard n>1 and NULLIF the divisor (mirrored in the oracle).
+    z = (F.col("l_extendedprice") - mean) / F.nullif(std, F.lit(0.0))
     return li.join(F.broadcast(m), "l_returnflag").select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("price_z"),
+        F.when(F.col("n") > 1, F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("price_z"),
     )
 
 

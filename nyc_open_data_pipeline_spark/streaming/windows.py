@@ -99,7 +99,12 @@ def run_to_memory(
     throughput, not state-store count — for these bounded local feeds 8 is
     plenty; on a real cluster size it to sustained input rate instead. The
     conf is pinned into the query's offset log at start, so restoring the
-    session value afterwards never affects the running query."""
+    session value afterwards never affects the running query.
+
+    The save/set/restore window around the session conf assumes one stream
+    is being STARTED at a time (queries may run concurrently once started —
+    the conf is already pinned). The harnesses here are single-threaded;
+    callers starting streams from multiple threads should serialize calls."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -128,18 +133,43 @@ def run_to_memory(
 # st* query re-materialized the events table to a fresh temp dir — at bench
 # time that charged a 600k-row parquet write to a query whose actual work is
 # the stateful stream. Same keying discipline as plans/llmdata._HV_CACHE.
+# The cache is lock-guarded (bench/test harnesses are single-threaded today,
+# but nothing in the API promises that) and its temp dirs are removed at
+# interpreter exit so long multi-sf sessions don't accumulate parquet copies.
 _FIXTURE_CACHE: dict = {}
+_FIXTURE_LOCK = None  # created lazily to keep module import side-effect free
+
+
+def _fixture_lock():
+    global _FIXTURE_LOCK
+    if _FIXTURE_LOCK is None:
+        import threading
+
+        _FIXTURE_LOCK = threading.Lock()
+    return _FIXTURE_LOCK
+
+
+def _cleanup_fixtures() -> None:
+    import shutil
+
+    for d in _FIXTURE_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _FIXTURE_CACHE.clear()
 
 
 def cached_fixture(spark, sf_dir: str, tag: str, build) -> str:
     """Return a directory containing the stream input for (sf_dir, tag),
     building it with ``build(dir)`` on first use in this session."""
+    import atexit
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir, tag)
-    d = _FIXTURE_CACHE.get(key)
-    if d is None:
-        d = tempfile.mkdtemp(prefix=f"{tag}_")
-        build(d)
-        _FIXTURE_CACHE[key] = d
+    with _fixture_lock():
+        d = _FIXTURE_CACHE.get(key)
+        if d is None:
+            if not _FIXTURE_CACHE:
+                atexit.register(_cleanup_fixtures)
+            d = tempfile.mkdtemp(prefix=f"{tag}_")
+            build(d)
+            _FIXTURE_CACHE[key] = d
     return d
