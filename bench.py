@@ -123,6 +123,9 @@ HEADLINE += [
     "v6_k_anonymity",
     "sk3_countmin_heavyhitters",
     "c4_training_manifest",
+    "q13_custdist",
+    "q16_supplier_cnt",
+    "q21_waiting_supplier",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -1728,3 +1728,150 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery join shapes (TPC-H Q13/Q16/Q21) — the Catalyst rewrite
+# family the rest of the surface doesn't exercise: outer-join count
+# distribution, NOT IN -> null-aware anti join, correlated EXISTS/NOT EXISTS
+# -> semi/anti joins with non-equi residual conditions. q16/q21 are written
+# as SQL over temp views on purpose: the subquery forms are what trigger the
+# RewritePredicateSubquery/ExistenceJoin planning paths.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY 1
+    """,
+    survey_ref="§2.5 J1 / §2.6 (TPC-H Q13 shape: outer-join count "
+    "distribution — customers with zero matching orders must survive into "
+    "the c_count=0 bucket, the one aggregate shape an inner join cannot "
+    "express)",
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed N orders. LEFT join with the
+    priority predicate INSIDE the join condition (pushing it to a WHERE
+    would turn the outer join inner and drop the zero-order bucket);
+    COUNT(o_orderkey) counts non-null matches so unmatched customers land
+    in c_count=0. At 100 TB both sides shuffle-hash on custkey once; the
+    second aggregate runs on |distinct counts| rows — negligible. No
+    broadcast: customer is a fact here, not a dim."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 4, 7)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    survey_ref="§2.5 / §2.6 A4 (TPC-H Q16 shape: NOT IN subquery — Catalyst "
+    "rewrites it to a null-aware anti join against the broadcast complaint "
+    "set; distinct-supplier count per part class)",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: supplier diversity per part class, excluding flagged
+    suppliers via NOT IN. Written as SQL so Catalyst's
+    RewritePredicateSubquery plans the null-aware anti join (BroadcastHash
+    LeftAnti, NAAJ) — the DataFrame ``left_anti`` shortcut has different
+    NULL semantics and skips that code path. The flagged-supplier set is
+    tiny and broadcasts; part filters push to the scan; the distinct count
+    shuffles once on the (brand, type, size) group key. At 100 TB the only
+    large exchange is the partkey join; NAAJ stays map-side."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM q16_lineitem l JOIN q16_part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_size IN (1, 4, 7)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+    survey_ref="§2.5 (TPC-H Q21 shape: correlated EXISTS + NOT EXISTS self "
+    "-joins on the fact table — 'the only supplier at fault on a "
+    "multi-supplier order', Catalyst's semi/anti-join-with-residual "
+    "rewrite; return flag stands in for the reference corpus's missing "
+    "commit/receipt dates)",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers solely at fault on finished multi-supplier
+    orders. The correlated EXISTS becomes a LeftSemi and the NOT EXISTS a
+    LeftAnti self-join on l_orderkey, each carrying the l2.suppkey <>
+    l1.suppkey residual — equi-keyed, so both plan as hash/sort-merge
+    joins, never nested loops. All three lineitem passes hash on the same
+    orderkey and Catalyst reuses the exchange. Supplier attaches by
+    broadcast. At 100 TB: two fact-sized semi/anti exchanges on orderkey,
+    no blow-up (semi/anti emit at most one row per probe row)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM q21_supplier s
+        JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY 1
+        """
+    )

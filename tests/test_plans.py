@@ -204,6 +204,40 @@ def test_q14_pushes_date_window_and_broadcasts_part(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_q13_outer_join_survives_to_zero_bucket(spark, sf_dir):
+    """Q13's priority predicate must ride the join condition (an outer
+    join), never collapse to inner — the c_count=0 bucket is the point."""
+    plan = plan_of(spark, sf_dir, "q13_custdist")
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+    # outer-join invariant: every customer lands in exactly one bucket
+    # (an inner-join collapse would drop zero-order customers and break it)
+    rows = QUERIES["q13_custdist"].fn(spark, sf_dir).collect()
+    from nyc_open_data_pipeline_spark.catalog import load_table
+
+    assert sum(r["custdist"] for r in rows) == load_table(spark, sf_dir, "customer").count()
+
+
+def test_q16_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """The NOT IN subquery must become Catalyst's single-column null-aware
+    anti join (BroadcastHashJoin LeftAnti with the NAAJ flag), not a
+    nested-loop or a plain anti join with silently-different NULL
+    semantics."""
+    plan = plan_of(spark, sf_dir, "q16_supplier_cnt")
+    assert "LeftAnti, BuildRight, true" in plan  # trailing true = isNullAware
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_exists_rewrites_to_semi_and_anti(spark, sf_dir):
+    """The correlated EXISTS / NOT EXISTS must rewrite to equi-keyed
+    LeftSemi / LeftAnti hash joins carrying the suppkey<>suppkey residual —
+    never nested loops (the residual is a post-condition, not the key)."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 # Engine-wide plan hygiene. Every non-streaming query's executed plan is
 # scanned for the three 100 TB anti-patterns; the allowlists are the
 # DOCUMENTED exceptions (broadcast-small-side scalar/centroid cross joins;
