@@ -126,6 +126,7 @@ HEADLINE += [
     "q13_custdist",
     "q16_supplier_cnt",
     "q21_waiting_supplier",
+    "s11_ivfpq_adc",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -3726,6 +3726,66 @@ _PQ_SUB = 16       # dims per subspace (M * SUB = _KM_DIM)
 _PQ_K = 4          # codewords per subspace
 
 
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): each vector split into M SUB-dim slices — a
+    map-side explode, xM rows, no shuffle."""
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+                )
+                for m in range(_PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): broadcast join
+    against the MxK-row codebook + a min-rank window; ties to lowest code."""
+    d = F.zip_with(F.col("sub"), F.col("cw"), lambda x, y: x - y)
+    err = VEC.dot(d, d)
+    w = Window.partitionBy("vec_id", "m").orderBy("err", "code")
+    return (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "sub", "code", err.alias("err"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
+def _pq_trained_codebook(spark: SparkSession, subs: DataFrame) -> DataFrame:
+    """Per-subspace K-codeword codebook: init = first K vectors' slices,
+    one decimal-exact Lloyd update. Only the MxKxSUB codebook doubles cross
+    the driver."""
+    cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
+    )
+    a1 = _pq_assign(subs, cb0)
+    upd = (
+        a1.select("m", "code", F.posexplode("sub").alias("pos", "x"))
+        .groupBy("m", "code", "pos")
+        .agg(
+            (F.sum(dec(F.col("x"), 38, 12)).cast("double") / F.count("*")).alias("mu")
+        )
+        .collect()
+    )
+    rows = {}
+    for r in upd:
+        rows.setdefault((r["m"], r["code"]), {})[r["pos"]] = r["mu"]
+    return spark.createDataFrame(
+        [
+            (m, code, [d[i] for i in range(_PQ_SUB)])
+            for (m, code), d in sorted(rows.items())
+        ],
+        "m int, code long, cw array<double>",
+    )
+
+
 def _sql_pq_assign(cb: str, out: str) -> str:
     """Per-(vector, subspace) nearest-codeword CTE; ties to lowest code."""
     diff = f"list_transform(generate_series(1, {_PQ_SUB}), i -> s.sub[i] - c.cw[i])"
@@ -3793,59 +3853,210 @@ def s10_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace. Errors are rounded to 6 dp before the DECIMAL mean (the
     registry float policy)."""
     e = _shared_vectors(spark, sf_dir)
-    subs = e.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
-                )
-                for m in range(_PQ_M)
-            ])
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
-
-    def assign(cb: DataFrame) -> DataFrame:
-        d = F.zip_with(F.col("sub"), F.col("cw"), lambda x, y: x - y)
-        err = VEC.dot(d, d)
-        w = Window.partitionBy("vec_id", "m").orderBy("err", "code")
-        return (
-            subs.join(F.broadcast(cb), "m")
-            .select("vec_id", "m", "sub", "code", err.alias("err"))
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .drop("__r")
-        )
-
-    cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
-        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
-    )
-    a1 = assign(cb0)
-    upd = (
-        a1.select("m", "code", F.posexplode("sub").alias("pos", "x"))
-        .groupBy("m", "code", "pos")
-        .agg(
-            (F.sum(dec(F.col("x"), 38, 12)).cast("double") / F.count("*")).alias("mu")
-        )
-        .collect()
-    )
-    rows = {}
-    for r in upd:
-        rows.setdefault((r["m"], r["code"]), {})[r["pos"]] = r["mu"]
-    cb1 = spark.createDataFrame(
-        [
-            (m, code, [d[i] for i in range(_PQ_SUB)])
-            for (m, code), d in sorted(rows.items())
-        ],
-        "m int, code long, cw array<double>",
-    )
-    a2 = assign(cb1)
+    subs = _pq_subvectors(e)
+    cb1 = _pq_trained_codebook(spark, subs)
+    a2 = _pq_assign(subs, cb1)
     return a2.groupBy(F.col("m").cast("long").alias("m"), "code").agg(
         F.count("*").alias("n_vectors"),
         _pround(
             F.sum(dec(_pround(F.col("err")), 28, 10)).cast("double") / F.count("*")
         ).alias("mean_err"),
+    )
+
+
+@register(
+    "s11_ivfpq_adc",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+    assign AS (
+      SELECT a.vec_id, a.nrm, c.cid,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm) DESC, c.cid
+             ) AS rn
+      FROM n a, c
+    ),
+    cellassign AS (SELECT vec_id, nrm, cid AS cell FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.nrm AS qnrm, c.cid AS cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC, c.cid
+             ) AS rn
+      FROM n q, c WHERE q.vec_id < 3
+    ),
+    pr AS (SELECT query_id, qnrm, cell FROM probes WHERE rn <= 2),
+    subs AS (
+      SELECT vec_id, m.m AS m,
+             v[(m.m * {_PQ_SUB} + 1):((m.m + 1) * {_PQ_SUB})] AS sub
+      FROM e, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m
+    ),
+    cb0 AS (
+      SELECT m, vec_id AS code, sub AS cw FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    {_sql_pq_assign("cb0", "a1")},
+    cb1 AS (
+      SELECT m, code, list(mu ORDER BY pos) AS cw
+      FROM (
+        SELECT a.m, a.code, p.pos,
+               CAST(SUM(CAST(a.sub[p.pos] AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS mu
+        FROM a1 a, (SELECT unnest(generate_series(1, {_PQ_SUB})) AS pos) p
+        GROUP BY a.m, a.code, p.pos
+      ) GROUP BY m, code
+    ),
+    {_sql_pq_assign("cb1", "a2")},
+    codes AS (SELECT vec_id, m, code FROM a2),
+    qsubs AS (SELECT vec_id AS query_id, m, sub FROM subs WHERE vec_id < 3),
+    lut AS (
+      SELECT q.query_id, cb.m, cb.code, list_dot_product(q.sub, cb.cw) AS partial
+      FROM qsubs q JOIN cb1 cb ON q.m = cb.m
+    ),
+    cand AS (
+      SELECT p.query_id, p.qnrm, ca.vec_id, ca.nrm
+      FROM pr p JOIN cellassign ca USING (cell)
+      WHERE ca.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.vec_id, cd.qnrm, cd.nrm,
+             CAST(SUM(CAST(l.partial AS DECIMAL(38,12))) AS DOUBLE)
+               / (cd.qnrm * cd.nrm) AS adc_sim
+      FROM cand cd
+      JOIN codes k ON k.vec_id = cd.vec_id
+      JOIN lut l ON l.query_id = cd.query_id AND l.m = k.m AND l.code = k.code
+      GROUP BY 1, 2, 3, 4
+    ),
+    topc AS (
+      SELECT query_id, vec_id, qnrm, nrm, adc_sim FROM adc
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_sim DESC, vec_id) <= 10
+    ),
+    rr AS (
+      SELECT t.query_id, t.vec_id AS neighbor_id, t.adc_sim,
+             list_dot_product(q.v, m2.v) / (t.qnrm * t.nrm) AS score
+      FROM topc t
+      JOIN e m2 ON m2.vec_id = t.vec_id
+      JOIN e q ON q.vec_id = t.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS BIGINT)
+             AS rnk,
+           {_sql_pround("adc_sim")} AS adc_sim,
+           {_sql_pround("score")} AS cos_sim
+    FROM rr
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) <= 5
+    """,
+    survey_ref="extension: IVF-PQ with asymmetric distance computation "
+    "(ADC) — s4's nprobe cell selection composed with s10's per-subspace "
+    "codebooks into the standard billion-vector index layout: probe cells, "
+    "score candidates from their PQ codes via a per-query lookup table, "
+    "exact-rerank only the top candidates.",
+)
+def s11_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with ADC scoring: queries probe their nprobe=2 nearest
+    IVF cells; every candidate in a probed cell is scored WITHOUT touching
+    its raw vector — its M PQ codes look up precomputed
+    query-subvector x codeword dot products (the LUT, |queries| x M x K
+    rows, broadcast) and sum decimal-exact; the approximate top-10 then
+    rerank exactly and emit the top-5.
+
+    This is the layout a billion-vector index actually uses: raw vectors
+    are read twice ever — once to train/encode (s10's pass) and once for
+    the final |queries| x 10-row rerank; the scan over candidates moves
+    only (vec_id, m, code, nrm). Scale shape: centroids and codebook
+    broadcast; the candidate join shuffles on cell id only (at 100 TB the
+    code table is written DISTRIBUTE BY cell so a probe reads just its
+    cells' files); the LUT join is map-side; the rerank side is row_number
+    -capped at |queries| x 10 and broadcasts back to the vector table.
+    ADC sums go through DECIMAL (order-independent), ranks tie-break on
+    vec_id — bit-stable across engines."""
+    e = _shared_vectors(spark, sf_dir).withColumn("nrm", VEC.norm(F.col("v")))
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    pair_cs = VEC.cosine_prenormed(
+        F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    cellassign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "nrm", "cid", pair_cs.alias("cs"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nrm", F.col("cid").alias("cell"))
+    )
+    qe = e.filter(F.col("vec_id") < 3)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probed = (
+        qe.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nrm").alias("qnrm"),
+            "cid",
+            pair_cs.alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "qnrm", F.col("cid").alias("cell"))
+    )
+    subs = _pq_subvectors(e)
+    cb1 = _pq_trained_codebook(spark, subs)
+    codes = _pq_assign(subs, cb1).select("vec_id", "m", "code")
+    qsubs = _pq_subvectors(qe).select(
+        F.col("vec_id").alias("query_id"), "m", "sub"
+    )
+    lut = qsubs.join(F.broadcast(cb1), "m").select(
+        "query_id", "m", "code", VEC.dot(F.col("sub"), F.col("cw")).alias("partial")
+    )
+    cand = (
+        probed.join(cellassign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qnrm", "vec_id", "nrm")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id", "qnrm", "nrm")
+        .agg(F.sum(dec(F.col("partial"), 38, 12)).cast("double").alias("adc_dot"))
+        .withColumn("adc_sim", F.col("adc_dot") / (F.col("qnrm") * F.col("nrm")))
+    )
+    wtc = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
+    topc = (
+        adc.withColumn("rn", F.row_number().over(wtc))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "qnrm", "nrm", "adc_sim")
+    )
+    qv = qe.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    rr = (
+        e.select("vec_id", "v")
+        .join(F.broadcast(topc), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_sim",
+            VEC.cosine_prenormed(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            _pround(F.col("adc_sim")).alias("adc_sim"),
+            _pround(F.col("score")).alias("cos_sim"),
+        )
     )
 
 

@@ -228,6 +228,17 @@ def test_q16_not_in_plans_null_aware_anti_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_s11_broadcasts_codebook_and_lut(spark, sf_dir):
+    """IVF-PQ ADC must broadcast the codebook, LUT, and rerank candidate
+    set (the BroadcastHashJoins below) — the only nested-loop is the
+    allowlisted k-centroid assign/probe stage, and nothing may plan a
+    cartesian product. The candidate scan must move codes, not vectors."""
+    plan = plan_of(spark, sf_dir, "s11_ivfpq_adc")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # codes x lut, rerank joins
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q21_exists_rewrites_to_semi_and_anti(spark, sf_dir):
     """The correlated EXISTS / NOT EXISTS must rewrite to equi-keyed
     LeftSemi / LeftAnti hash joins carrying the suppkey<>suppkey residual —
@@ -255,6 +266,7 @@ BNLJ_ALLOWED = {
     "s4_ivf_ann",              # k centroids / probe cells
     "s7_ann_recall",           # 5 query vectors (s1-shape, twice)
     "s9_nprobe_sweep",         # k centroids x 3 probe widths (s4-shape, swept)
+    "s11_ivfpq_adc",           # k centroids (s4-shape assign/probe stage)
 }
 PY_ROW_ALLOWED = {
     # shapely converters over dimension-scale geo rows (reference does the
