@@ -75,6 +75,15 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
         if state_files:
             seen = sess.read.schema(HASH_SCHEMA).parquet(state_dir)
             batch = batch.join(seen, "content_hash", "left_anti")
+        from nyc_open_data_pipeline_spark.streaming.windows import record_stream_plan
+
+        try:
+            record_stream_plan(
+                f"incremental_dedup#batch{batch_id}",
+                batch._jdf.queryExecution().executedPlan().toString(),
+            )
+        except Exception:
+            pass
         survivors = batch.select("doc_id", "content_hash").localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(out_dir)
         survivors.select("content_hash").write.mode("append").parquet(state_dir)

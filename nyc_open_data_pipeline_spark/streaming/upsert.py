@@ -44,6 +44,15 @@ def latest_upsert_sink(
             )
         else:
             merged = batch
+        from nyc_open_data_pipeline_spark.streaming.windows import record_stream_plan
+
+        try:
+            record_stream_plan(
+                f"latest_upsert#batch{_batch_id}",
+                merged._jdf.queryExecution().executedPlan().toString(),
+            )
+        except Exception:
+            pass
         # stage-and-swap: Spark can't overwrite a path in its own read plan
         stage = f"{state_dir}__stage_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(stage)

@@ -83,6 +83,19 @@ def session_counts(
     )
 
 
+# Executed micro-batch plans, appended by run_to_memory (explainInternal of
+# the finished streaming query) and by the foreachBatch sinks (executedPlan
+# of each batch DataFrame). The streaming hygiene gate
+# (tests/test_plans.py) scans these for the same anti-patterns as the batch
+# gate — st* queries execute a stream, so their plans can only be audited
+# from the run, not from an unexecuted DataFrame.
+EXECUTED_STREAM_PLANS: list[tuple[str, str]] = []
+
+
+def record_stream_plan(name: str, plan: str) -> None:
+    EXECUTED_STREAM_PLANS.append((name, plan))
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -118,6 +131,13 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination(120)
+        try:
+            # executed micro-batch plan (codegen explain) for the hygiene
+            # gate; the gate asserts >=1 plan per query, so a capture
+            # failure here cannot silently exempt a query
+            record_stream_plan(name, q._jsq.explainInternal(True))
+        except Exception:
+            pass
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -280,9 +280,9 @@ PY_ROW_ALLOWED = {
 
 def test_every_query_plan_is_hygienic(spark, sf_dir):
     """No cartesian products anywhere; nested-loop joins and row-wise Python
-    only on the documented allowlists. Streaming queries are skipped (their
-    fn() executes a stream; the batch shapes they reuse are covered by the
-    e*/a*/d* rows)."""
+    only on the documented allowlists. Streaming queries are audited
+    separately (test_streaming_micro_batch_plans_are_hygienic) — their fn()
+    executes a stream, so the plan must be captured from the run."""
     offenders = {}
     for name, spec in QUERIES.items():
         if name.startswith("st"):
@@ -298,6 +298,39 @@ def test_every_query_plan_is_hygienic(spark, sf_dir):
         if flags:
             offenders[name] = flags
     assert not offenders, f"plan anti-patterns: {offenders}"
+
+
+def test_streaming_micro_batch_plans_are_hygienic(spark, sf_dir):
+    """Run every st* query and audit the plans it ACTUALLY executed:
+    run_to_memory records the finished query's explainInternal (the
+    micro-batch physical plan, incl. stateful operators) and the
+    foreachBatch sinks record each batch DataFrame's executedPlan. A query
+    that records no plan fails — capture failure cannot exempt it."""
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        EXECUTED_STREAM_PLANS,
+    )
+
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if not name.startswith("st"):
+            continue
+        before = len(EXECUTED_STREAM_PLANS)
+        spec.fn(spark, sf_dir).count()
+        recorded = EXECUTED_STREAM_PLANS[before:]
+        if not recorded:
+            offenders[name] = ["no executed plan recorded"]
+            continue
+        flags = []
+        for pname, plan in recorded:
+            if "CartesianProduct" in plan:
+                flags.append(f"cartesian ({pname})")
+            if "BroadcastNestedLoopJoin" in plan:
+                flags.append(f"nested-loop join ({pname})")
+            if "BatchEvalPython" in plan:
+                flags.append(f"row-wise Python ({pname})")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"streaming plan anti-patterns: {offenders}"
 
 
 def test_seq3_has_no_single_partition_stage(spark, sf_dir):

@@ -305,3 +305,120 @@ def test_run_to_memory_restores_shuffle_partitions(spark, sf_dir):
         shuffle_partitions=4,
     )
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_interval_join_state_evicts_after_watermark(spark, tmp_path):
+    """st9's premise made measurable: the stream-stream interval join must
+    DROP buffered rows once the watermark passes the interval end — state
+    tracks the active window, not history. Feed three day-apart batches and
+    assert the state store reports removals and ends below total input."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+    )
+
+    sch = "event_id long, ts timestamp, user_id long, event_type string"
+    def mk(rows):
+        return spark.createDataFrame(
+            [(e, datetime.fromisoformat(ts), u, k) for e, ts, u, k in rows], sch
+        )
+
+    batches = [
+        mk([(1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:30:00", 1, "purchase")]),
+        mk([(3, "2024-01-02 00:00:00", 1, "view"),
+            (4, "2024-01-02 00:20:00", 1, "purchase")]),
+        mk([(5, "2024-01-03 00:00:00", 1, "view"),
+            (6, "2024-01-03 00:10:00", 1, "purchase")]),
+    ]
+    d = str(tmp_path / "ssj_in")
+    write_stream_chunks(batches, d)
+
+    def side(kind: str, prefix: str):
+        return (
+            events_stream(spark, schema=sch, path=d, maxFilesPerTrigger=1)
+            .filter(F.col("event_type") == kind)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    joined = side("view", "v").join(
+        side("purchase", "p"),
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 1 hour")),
+    )
+    q = run_to_memory(joined, "ssj_state_test", mode="append")
+    progs = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progs, "no state-operator progress recorded"
+    removed = sum(
+        op.get("numRowsRemoved", 0) for p in progs for op in p["stateOperators"]
+    )
+    final_total = sum(op["numRowsTotal"] for op in progs[-1]["stateOperators"])
+    assert removed > 0  # watermark passage really evicted buffered rows
+    assert final_total < 6  # 6 events fed; closed-interval rows are gone
+    # and the join still answered: one pair per day
+    assert spark.table("ssj_state_test").count() == 3
+
+
+def test_session_state_drops_closed_sessions(spark, tmp_path):
+    """st10's premise made measurable: in append mode, a session whose gap
+    has passed the watermark is emitted once and its merge state dropped —
+    state is bounded by OPEN sessions. (st10 itself runs complete mode as
+    an oracle fixture; production session rollups run append/update, which
+    is what this pins.)"""
+    from datetime import datetime
+
+    from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    sch = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    def day(n, eid):
+        return [
+            (eid, datetime(2024, 1, n, 0, 0), 1, "view", 1.0, "{}"),
+            (eid + 1, datetime(2024, 1, n, 0, 10), 1, "view", 1.0, "{}"),
+        ]
+
+    batches = [
+        spark.createDataFrame(day(1, 10), sch),
+        spark.createDataFrame(day(2, 20), sch),
+        spark.createDataFrame(day(3, 30), sch),
+    ]
+    d = str(tmp_path / "sess_in")
+    write_stream_chunks(batches, d)
+    q = run_to_memory(
+        session_counts(
+            events_stream(spark, path=d, maxFilesPerTrigger=1),
+            gap="30 minutes",
+            watermark="1 hour",
+        ),
+        "sess_state_test",
+        mode="append",
+    )
+    progs = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progs, "no state-operator progress recorded"
+    removed = sum(
+        op.get("numRowsRemoved", 0) for p in progs for op in p["stateOperators"]
+    )
+    final_total = sum(op["numRowsTotal"] for op in progs[-1]["stateOperators"])
+    assert removed > 0  # closed sessions were dropped from the state store
+    assert final_total <= 1  # at most the still-open day-3 session remains
+    # append emitted exactly the two closed sessions (day 3 still open)
+    rows = spark.table("sess_state_test").collect()
+    assert len(rows) == 2
+    assert all(r["n_events"] == 2 for r in rows)
