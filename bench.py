@@ -127,6 +127,7 @@ HEADLINE += [
     "q16_supplier_cnt",
     "q21_waiting_supplier",
     "s11_ivfpq_adc",
+    "q2_min_cost_supplier",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -1875,3 +1875,60 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(MIN(l_extendedprice / l_quantity) AS DOUBLE) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, ps.suppkey, s.s_name,
+           floor(ps.unit_cost * 1e6 + 0.5) / 1e6 AS unit_cost
+    FROM part p
+    JOIN ps ON ps.partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.suppkey
+    WHERE p.p_size = 7
+      AND ps.unit_cost = (SELECT MIN(ps2.unit_cost) FROM ps ps2
+                          WHERE ps2.partkey = p.p_partkey)
+    """,
+    survey_ref="§2.5 J4 / §2.6 (TPC-H Q2 shape: correlated scalar AGGREGATE "
+    "subquery — 'the supplier achieving the minimum cost per part' — "
+    "Catalyst's RewriteCorrelatedScalarSubquery turns the per-row MIN into "
+    "a grouped aggregate joined back on the correlation key; the per-group "
+    "companion to j4's uncorrelated scalar subquery)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: cheapest supplier per part. The correlated
+    ``(SELECT MIN(..) WHERE partkey = outer.partkey)`` cannot execute
+    per-row at scale; Catalyst rewrites it to MIN-per-partkey aggregated
+    once and joined back on the key — asserted in the plan test (no
+    nested loop, no cartesian). The part-size filter pushes to the scan,
+    supplier attaches by broadcast, and the derived supplier-cost table
+    aggregates l_partkey/l_suppkey once and is reused for both the
+    candidate rows and the minimum — at 100 TB that's two exchanges over
+    the derived table (|parts x suppliers| rows, far below the facts) and
+    one over lineitem. Unit costs are row-local divisions (deterministic);
+    only the output passes through the portable 6-dp rounding."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q2_lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("q2_part")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("q2_supplier")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 CAST(MIN(l_extendedprice / l_quantity) AS DOUBLE) AS unit_cost
+          FROM q2_lineitem GROUP BY 1, 2
+        )
+        SELECT p.p_partkey, ps.suppkey, s.s_name,
+               FLOOR(ps.unit_cost * 1e6 + 0.5) / 1e6 AS unit_cost
+        FROM q2_part p
+        JOIN ps ON ps.partkey = p.p_partkey
+        JOIN q2_supplier s ON s.s_suppkey = ps.suppkey
+        WHERE p.p_size = 7
+          AND ps.unit_cost = (SELECT MIN(ps2.unit_cost) FROM ps ps2
+                              WHERE ps2.partkey = p.p_partkey)
+        """
+    )

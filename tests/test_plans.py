@@ -228,6 +228,17 @@ def test_q16_not_in_plans_null_aware_anti_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q2_correlated_scalar_rewrites_to_agg_join(spark, sf_dir):
+    """The correlated MIN subquery must rewrite to a grouped aggregate
+    joined back on the correlation key — per-row subquery execution can't
+    exist in the plan, and neither may nested loops or cartesians."""
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert "Subquery" not in plan  # fully decorrelated
+    assert plan.count("HashAggregate") >= 2  # ps agg + correlated-min agg
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_s11_broadcasts_codebook_and_lut(spark, sf_dir):
     """IVF-PQ ADC must broadcast the codebook, LUT, and rerank candidate
     set (the BroadcastHashJoins below) — the only nested-loop is the
