@@ -50,20 +50,30 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
 
 def nbits_for_corpus(
     n_rows: int,
-    target_bucket_rows: int = 1000,
+    target_bucket_rows: int = 128,
     min_bits: int = 4,
     max_bits: int = 24,
 ) -> int:
     """Sign-LSH width sized to the corpus: 2^bits buckets so the EXPECTED
     bucket occupancy n/2^bits stays at ``target_bucket_rows``. A fixed bit
-    count is corpus-sized tuning — 6 bits (64 buckets) is right at 10^5
+    count is corpus-sized tuning — 6 bits (64 buckets) is right at 10^4
     vectors but quadratic-bucket-join wrong at 10^9; deriving bits from
     cardinality keeps within-bucket pair counts (and the verify join's
-    shuffle) bounded as the corpus grows 100x. ``n_rows`` may be an
-    estimate — a KMV/HLL distinct count (sk1) or parquet row-count
-    metadata; bucket occupancy only needs the right order of magnitude.
-    Clamped to [min_bits, max_bits]: 2^24 buckets ≈ 16M is enough for
-    10^10 rows at the default target."""
+    shuffle) bounded as the corpus grows 100x.
+
+    The verify stage compares ~n x B/2 pairs at occupancy B, so B is the
+    constant factor on EVERY corpus row — it must be small, not merely
+    bounded. Measured at 20k vectors / 64 dims (sf1 headroom run): B=1000
+    (5 bits) took 115.7 s, the oracle-pinned 6 bits 59.3 s, B=128 (8 bits)
+    13.1 s — 9x apart on the constant factor alone. More bits also means
+    lower single-band recall (a near-dup pair must agree on every bit);
+    when recall at high width matters, run R independent plane sets and
+    union candidates (the d4 MinHash banding construction) rather than
+    growing B.
+    ``n_rows`` may be an estimate — a KMV/HLL distinct count (sk1) or
+    parquet row-count metadata; bucket occupancy only needs the right
+    order of magnitude. Clamped to [min_bits, max_bits]: 2^24 buckets is
+    enough for 10^9.3 rows at the default target."""
     import math
 
     if n_rows <= target_bucket_rows:

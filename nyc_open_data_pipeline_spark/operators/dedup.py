@@ -294,7 +294,7 @@ def embedding_neardup_pairs(
     planes: list[list[float]] | None = None,
     nbits: int | None = None,
     n_rows_estimate: int | None = None,
-    target_bucket_rows: int = 1000,
+    target_bucket_rows: int = 128,
     bucket_cap: int = 2000,
     round_to: int = 6,
     observation=None,
