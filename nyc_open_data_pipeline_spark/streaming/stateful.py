@@ -170,3 +170,79 @@ def profile_stream_with_ttl(stream: DataFrame, ttl_ms: int = 60 * 60 * 1000) -> 
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x arbitrary-state API) — environment-gated
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, n_event_types long"
+
+
+def user_type_diversity_stream(stream: DataFrame) -> DataFrame:
+    """Per-user event count + distinct-event-type count via
+    ``transformWithStateInPandas`` (StatefulProcessor): a ValueState holds
+    the running count and a MapState the distinct-type set — the typed
+    composite state (maps/lists, per-state TTL, timers) that
+    applyInPandasWithState's single-tuple GroupState cannot express.
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks protobuf
+    to Spark's state server; ``google-protobuf`` is not installed in this
+    container, so construction raises NotImplementedError with the real
+    cause (verified live: the stream crashes with 'cannot import
+    google.protobuf.descriptor' otherwise). ``user_profile_stream``
+    (applyInPandasWithState) is the supported custom-stateful path here;
+    this operator is the forward API for environments that carry protobuf.
+    The caller must also pin the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — transformWithState
+    does not run on the default HDFS-backed provider.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the google-protobuf package "
+            "(its Python worker talks to the state server over protobuf), "
+            "which is absent in this environment; use user_profile_stream "
+            "(applyInPandasWithState) instead"
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeDiversityProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n_events", "n long")
+            self._types = handle.getMapState("types", "t string", "seen int")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for t in pdf["event_type"].dropna().unique():
+                    self._types.updateValue((str(t),), (1,))
+            self._n.update((n,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_event_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TypeDiversityProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -422,3 +422,59 @@ def test_session_state_drops_closed_sessions(spark, tmp_path):
     rows = spark.table("sess_state_test").collect()
     assert len(rows) == 2
     assert all(r["n_events"] == 2 for r in rows)
+
+
+def test_transform_with_state_gate_or_parity(spark, sf_dir, stream_dir):
+    """transformWithStateInPandas needs google-protobuf (its Python worker
+    talks to the state server over protobuf). Without it the operator must
+    refuse loudly at CONSTRUCTION time — never crash mid-stream; with it,
+    the final state must equal the batch GROUP BY."""
+    from pyspark.sql import functions as F
+    from nyc_open_data_pipeline_spark.streaming.stateful import (
+        user_type_diversity_stream,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    stream = events_stream(spark, path=stream_dir)
+    if not has_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_type_diversity_stream(stream)
+        return
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(user_type_diversity_stream(stream), "tws_parity", mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_event_types"])
+        for r in spark.table("tws_parity")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_event_types").alias("n_event_types"),
+        )
+        .collect()
+    }
+    from nyc_open_data_pipeline_spark.catalog import load_table
+
+    exp = {
+        r["user_id"]: (r["n"], r["nt"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.countDistinct("event_type").alias("nt"))
+        .collect()
+    }
+    assert got == exp
