@@ -128,6 +128,7 @@ HEADLINE += [
     "q21_waiting_supplier",
     "s11_ivfpq_adc",
     "q2_min_cost_supplier",
+    "d17_semantic_dedup",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -1252,6 +1252,64 @@ _KM_DIM = 64
 _KM_K = 8
 
 
+def _kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Two deterministic Lloyd iterations (K=_KM_K, init = first K vectors):
+    returns (a2, c1) where a2 = (vec_id, v, cid) final assignments
+    (persisted, session-cached) and c1 = the updated centroid list. Shared
+    by s6 (cluster stats) and d17 (SemDeDup within-cluster prune) so the
+    collect-driven fit runs once per (session, sf). Returns (None, []) on
+    an empty corpus."""
+    key = ("kmeans2", spark.sparkContext.applicationId, sf_dir)
+    hit = _HV_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = _shared_vectors(spark, sf_dir)
+
+    def assign(cents: list) -> DataFrame:
+        structs = []
+        for cid, cv in cents:
+            # one array literal per centroid (not dim element-literals:
+            # 64x fewer driver->JVM calls building the plan)
+            diff = F.zip_with(F.col("v"), F.lit(cv), lambda x, y: x - y)
+            structs.append(
+                F.struct(VEC.dot(diff, diff).alias("d"), F.lit(cid).alias("c"))
+            )
+        return e.withColumn("cid", F.array_min(F.array(*structs))["c"])
+
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < _KM_K).collect()
+    ]
+    if not cents:  # empty corpus (array() of zero struct candidates would
+        # not even analyze)
+        _HV_CACHE[key] = (None, [])
+        return _HV_CACHE[key]
+    a1 = assign(cents)
+    from nyc_open_data_pipeline_spark.plans.common import dec
+
+    # Per-dimension decimal means via contribution expansion (posexplode ->
+    # one simple decimal agg). The earlier 64-indexed-sums form shuffled the
+    # same K x dim partials but its 64-decimal-aggregate codegen ran ~2.5x
+    # slower than this single-agg shape; partial aggregation bounds the
+    # exchange to K*dim rows per partition either way (f5's pattern).
+    upd = (
+        a1.select("cid", F.posexplode("v").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(
+            F.sum(dec(F.col("x"), 38, 12)).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+    ).collect()
+    acc = {(r["cid"], r["i"]): (r["s"], r["n"]) for r in upd}
+    c1 = [
+        (cid, [acc[(cid, i)][0] / acc[(cid, i)][1] for i in range(_KM_DIM)])
+        for cid in sorted({r["cid"] for r in upd})
+    ]
+    a2 = assign(c1).persist()
+    _HV_CACHE[key] = (a2, c1)
+    return _HV_CACHE[key]
+
+
 def _sql_kmeans_assign(cents: str, out: str) -> str:
     """Assignment CTE: nearest centroid by squared L2 (same left-fold dot
     construction both engines), ties to the lowest cid."""
@@ -1318,50 +1376,11 @@ def s6_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion + map-side combine). The driver-side loop collects only
     K*dim doubles per round — same job topology as d7's label propagation,
     the canonical iterative-Spark shape."""
-    e = _shared_vectors(spark, sf_dir)
-
-    def assign(cents: list) -> DataFrame:
-        structs = []
-        for cid, cv in cents:
-            # one array literal per centroid (not dim element-literals:
-            # 64x fewer driver->JVM calls building the plan)
-            diff = F.zip_with(F.col("v"), F.lit(cv), lambda x, y: x - y)
-            structs.append(
-                F.struct(VEC.dot(diff, diff).alias("d"), F.lit(cid).alias("c"))
-            )
-        return e.withColumn("cid", F.array_min(F.array(*structs))["c"])
-
-    cents = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") < _KM_K).collect()
-    ]
-    if not cents:  # empty corpus: no clusters (array() of zero struct
-        # candidates would not even analyze)
+    a2, c1 = _kmeans_fit(spark, sf_dir)
+    if a2 is None:  # empty corpus: no clusters
         return spark.createDataFrame(
             [], "cid long, n_members bigint, centroid_norm double"
         ).select(F.col("cid").alias("cluster_id"), "n_members", "centroid_norm")
-    a1 = assign(cents)
-    from nyc_open_data_pipeline_spark.plans.common import dec
-
-    # Per-dimension decimal means via contribution expansion (posexplode ->
-    # one simple decimal agg). The earlier 64-indexed-sums form shuffled the
-    # same K x dim partials but its 64-decimal-aggregate codegen ran ~2.5x
-    # slower than this single-agg shape; partial aggregation bounds the
-    # exchange to K*dim rows per partition either way (f5's pattern).
-    upd = (
-        a1.select("cid", F.posexplode("v").alias("i", "x"))
-        .groupBy("cid", "i")
-        .agg(
-            F.sum(dec(F.col("x"), 38, 12)).cast("double").alias("s"),
-            F.count("*").alias("n"),
-        )
-    ).collect()
-    acc = {(r["cid"], r["i"]): (r["s"], r["n"]) for r in upd}
-    c1 = [
-        (cid, [acc[(cid, i)][0] / acc[(cid, i)][1] for i in range(_KM_DIM)])
-        for cid in sorted({r["cid"] for r in upd})
-    ]
-    a2 = assign(c1)
     cdf = spark.createDataFrame(
         [(cid, cv) for cid, cv in c1], "cid int, cv array<double>"
     )
@@ -3644,6 +3663,89 @@ def d16_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU = 0.3
+
+
+@register(
+    "d17_semantic_dedup",
+    oracle=f"""
+    WITH e_norm AS (
+      SELECT vec_id, {SQL_VEC} AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e_norm WHERE vec_id < {_KM_K}
+    ),
+    {_sql_kmeans_assign("c0", "a1")},
+    {_sql_kmeans_update("a1", "c1")},
+    {_sql_kmeans_assign("c1", "a2")},
+    m AS (
+      SELECT vec_id, cid, v, sqrt(list_dot_product(v, v)) AS nrm FROM a2
+    ),
+    pruned AS (
+      SELECT r.vec_id
+      FROM m r JOIN m l ON l.cid = r.cid AND l.vec_id < r.vec_id
+      WHERE {_sql_pround("list_dot_product(l.v, r.v) / (l.nrm * r.nrm)")}
+            >= {_SEMDEDUP_TAU}
+      GROUP BY r.vec_id
+    )
+    SELECT CAST(m.cid AS BIGINT) AS cluster_id, m.vec_id,
+           CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m LEFT JOIN pruned p ON p.vec_id = m.vec_id
+    """,
+    survey_ref="extension: SemDeDup-style semantic deduplication — k-means "
+    "cells as the blocking structure (s6's fit, shared), within-cluster "
+    "cosine prune keeping the lowest-id representative. The "
+    "learned-cluster companion to d6's random-hyperplane blocking: "
+    "clusters put semantically-close vectors together by construction, so "
+    "the quadratic verify runs where duplicates actually are.",
+)
+def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: reuse the session-shared 2-round
+    k-means assignment (_kmeans_fit; clusters = blocks), compare pairs only
+    within a cluster, and mark a vector pruned when a lower-id cluster-mate
+    sits above the cosine threshold — keep = the deduplicated corpus.
+
+    Scale shape: identical to d6's bucket-verify but with learned cells —
+    one shuffle on cid for the self-join, pair count bounded by cluster
+    occupancy (at production scale the fit uses more centroids, occupancy
+    n/K; skewed clusters get the d6 cap treatment). Threshold {tau} fits
+    the synthetic corpus (max pairwise cosine ~0.51); production near-dup
+    uses ~0.95. Cosines pass the portable 6-dp rounding before the
+    threshold compare so the keep/prune decision is engine-identical.
+    """
+    a2, _ = _kmeans_fit(spark, sf_dir)
+    if a2 is None:
+        return spark.createDataFrame([], "cluster_id long, vec_id long, keep long")
+    m = a2.select("vec_id", "cid", "v", VEC.norm(F.col("v")).alias("nrm"))
+    left = m.select(
+        F.col("cid").alias("l_cid"),
+        F.col("vec_id").alias("l_id"),
+        F.col("v").alias("lv"),
+        F.col("nrm").alias("lnrm"),
+    )
+    cos6 = _pround(
+        VEC.cosine_prenormed(F.col("lv"), F.col("v"), F.col("lnrm"), F.col("nrm"))
+    )
+    pruned = (
+        m.join(
+            left,
+            (F.col("l_cid") == F.col("cid")) & (F.col("l_id") < F.col("vec_id")),
+        )
+        .filter(cos6 >= _SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__p", F.lit(1))
+    )
+    return m.join(pruned, "vec_id", "left").select(
+        F.col("cid").cast("long").alias("cluster_id"),
+        "vec_id",
+        F.when(F.col("__p").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
+d17_semantic_dedup.__doc__ = d17_semantic_dedup.__doc__.format(tau=_SEMDEDUP_TAU)
+
+
 _EPOCH_BUDGET_TOKENS = 10_000
 _EPOCH_MAX = 4.0
 
@@ -3758,10 +3860,18 @@ def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_trained_codebook(spark: SparkSession, subs: DataFrame) -> DataFrame:
+def _pq_trained_codebook(
+    spark: SparkSession, subs: DataFrame, cache_key: str | None = None
+) -> DataFrame:
     """Per-subspace K-codeword codebook: init = first K vectors' slices,
     one decimal-exact Lloyd update. Only the MxKxSUB codebook doubles cross
-    the driver."""
+    the driver. With ``cache_key`` (an sf_dir), the trained codebook is
+    session-cached so s10 and s11 train once between them."""
+    if cache_key is not None:
+        key = ("pq_cb1", spark.sparkContext.applicationId, cache_key)
+        hit = _HV_CACHE.get(key)
+        if hit is not None:
+            return hit
     cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
         "m", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
     )
@@ -3777,13 +3887,16 @@ def _pq_trained_codebook(spark: SparkSession, subs: DataFrame) -> DataFrame:
     rows = {}
     for r in upd:
         rows.setdefault((r["m"], r["code"]), {})[r["pos"]] = r["mu"]
-    return spark.createDataFrame(
+    cb1 = spark.createDataFrame(
         [
             (m, code, [d[i] for i in range(_PQ_SUB)])
             for (m, code), d in sorted(rows.items())
         ],
         "m int, code long, cw array<double>",
     )
+    if cache_key is not None:
+        _HV_CACHE[("pq_cb1", spark.sparkContext.applicationId, cache_key)] = cb1
+    return cb1
 
 
 def _sql_pq_assign(cb: str, out: str) -> str:
@@ -3854,7 +3967,7 @@ def s10_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry float policy)."""
     e = _shared_vectors(spark, sf_dir)
     subs = _pq_subvectors(e)
-    cb1 = _pq_trained_codebook(spark, subs)
+    cb1 = _pq_trained_codebook(spark, subs, cache_key=sf_dir)
     a2 = _pq_assign(subs, cb1)
     return a2.groupBy(F.col("m").cast("long").alias("m"), "code").agg(
         F.count("*").alias("n_vectors"),
@@ -4006,7 +4119,7 @@ def s11_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qnrm", F.col("cid").alias("cell"))
     )
     subs = _pq_subvectors(e)
-    cb1 = _pq_trained_codebook(spark, subs)
+    cb1 = _pq_trained_codebook(spark, subs, cache_key=sf_dir)
     codes = _pq_assign(subs, cb1).select("vec_id", "m", "code")
     qsubs = _pq_subvectors(qe).select(
         F.col("vec_id").alias("query_id"), "m", "sub"
