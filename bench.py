@@ -129,6 +129,7 @@ HEADLINE += [
     "s11_ivfpq_adc",
     "q2_min_cost_supplier",
     "d17_semantic_dedup",
+    "mix5_unimax_budget",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -3664,6 +3664,113 @@ def d16_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_TAU = 0.3
+_UNIMAX_BUDGET = 10_000
+_UNIMAX_KMAX = 4.0
+
+
+@register(
+    "mix5_unimax_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_MIX_TOK_SQL} AS n_tokens FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS unique_tokens
+      FROM tok GROUP BY source
+    ),
+    caps AS (
+      SELECT source, unique_tokens,
+             unique_tokens * {_UNIMAX_KMAX} AS cap,
+             row_number() OVER (ORDER BY unique_tokens * {_UNIMAX_KMAX}, source)
+               AS j,
+             SUM(unique_tokens * {_UNIMAX_KMAX}) OVER (
+               ORDER BY unique_tokens * {_UNIMAX_KMAX}, source
+               ROWS UNBOUNDED PRECEDING) AS pfx,
+             COUNT(*) OVER () AS n
+      FROM agg
+    ),
+    cand AS (
+      SELECT j, cap,
+             COALESCE(LAG(cap) OVER (ORDER BY j), 0) AS prev_cap,
+             ({_UNIMAX_BUDGET} - (pfx - cap)) / (n - j + 1) AS th
+      FROM caps
+    ),
+    theta AS (
+      SELECT MIN(th) AS theta FROM cand
+      WHERE th >= prev_cap AND th <= cap
+    )
+    SELECT c.source, c.unique_tokens,
+           CAST(FLOOR(LEAST(c.cap, COALESCE(t.theta, c.cap))) AS BIGINT)
+             AS budget_tokens,
+           {_sql_pround("LEAST(c.cap, COALESCE(t.theta, c.cap)) / c.unique_tokens")}
+             AS epochs
+    FROM caps c, theta t
+    """,
+    survey_ref="extension: UniMax-style budget allocation — water-filling "
+    "the token budget across sources with a per-source epoch cap, solved "
+    "CLOSED-FORM as a sorted prefix-sum threshold search instead of the "
+    "paper's iterative loop. The uniform-coverage mix rule next to mix3's "
+    "temperature sampling and mix4's sqrt-weighted epoch planning.",
+)
+def mix5_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling: every source gets min(cap_i, theta) tokens
+    where cap_i = unique_tokens * kmax and theta is the water level at
+    which the budget is exactly spent (sum_i min(cap_i, theta) = B). The
+    iterative allocation collapses to a closed form: sort caps ascending,
+    prefix-sum, and for each boundary j test theta_j = (B - P_(j-1)) /
+    (n - j + 1); exactly one j satisfies prev_cap <= theta_j <= cap_j
+    (none when the budget covers every cap — theta = NULL, all saturated).
+
+    Scale shape: one token-count scan + groupBy on source; every window
+    here runs AFTER aggregation on the |sources|-row frame (a deliberate
+    single-partition window over ~10 rows, not the facts — the seq3
+    distinction); theta is a 1-row broadcast back onto the same frame.
+    Prefix sums evaluate in frame order (deterministic both engines);
+    epochs pass the portable rounding."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", TXT.token_count(F.col("text")).alias("n_tokens")
+    )
+    agg = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("unique_tokens")
+    )
+    wcap = Window.orderBy("cap", "source")
+    caps = (
+        agg.select(
+            "source",
+            "unique_tokens",
+            (F.col("unique_tokens") * F.lit(_UNIMAX_KMAX)).alias("cap"),
+        )
+        .withColumn("j", F.row_number().over(wcap))
+        .withColumn(
+            "pfx",
+            F.sum("cap").over(wcap.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "n", F.count("*").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        )
+    )
+    wj = Window.orderBy("j")
+    cand = caps.select(
+        "j",
+        "cap",
+        F.coalesce(F.lag("cap").over(wj), F.lit(0.0)).alias("prev_cap"),
+        (
+            (F.lit(float(_UNIMAX_BUDGET)) - (F.col("pfx") - F.col("cap")))
+            / (F.col("n") - F.col("j") + 1)
+        ).alias("th"),
+    )
+    theta = cand.filter(
+        (F.col("th") >= F.col("prev_cap")) & (F.col("th") <= F.col("cap"))
+    ).agg(F.min("th").alias("theta"))
+    alloc = F.least(F.col("cap"), F.coalesce(F.col("theta"), F.col("cap")))
+    return caps.crossJoin(F.broadcast(theta)).select(
+        "source",
+        "unique_tokens",
+        F.floor(alloc).cast("long").alias("budget_tokens"),
+        _pround(alloc / F.col("unique_tokens")).alias("epochs"),
+    )
+
+
 
 
 @register(
