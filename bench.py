@@ -130,6 +130,7 @@ HEADLINE += [
     "q2_min_cost_supplier",
     "d17_semantic_dedup",
     "mix5_unimax_budget",
+    "d18_cdc_chunk_dedup",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -564,3 +564,57 @@ def line_dedup(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+def cdc_chunk_dedup(docs: DataFrame, boundary_mod: int = 8) -> DataFrame:
+    """Content-defined chunking (CDC) dedup, keep-first.
+
+    ``line_dedup``'s fixed-width chunks break on insertion: one added word
+    shifts every later boundary and nothing downstream matches. CDC draws
+    boundaries from the CONTENT — a chunk ends after any word whose
+    portable 64-bit hash % ``boundary_mod`` == 0 (expected chunk length =
+    boundary_mod words) — so an edit perturbs only the chunks it touches,
+    the property rolling-hash chunkers (rsync/LBFS/Gear) exploit. Keeper
+    election and output shape mirror ``line_dedup``:
+    (doc_id, n_chunks, n_kept, cleaned_md5).
+
+    Plan shape: posexplode of the word array (map-side expansion), a
+    per-doc running sum over (doc_id, pos) to number chunks, a groupBy to
+    assemble chunk texts, the keeper window on chunk_text, and the per-doc
+    rebuild. Exchanges: doc_id (windows/groups share it) and chunk_text —
+    same two-shuffle budget as line_dedup plus the word explode, which at
+    100 TB argues for applying CDC after a cheap doc-level prefilter."""
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    is_b = (_hash64(F.col("word")) % boundary_mod == 0).cast("long")
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    words = w.withColumn(
+        "chunk_idx",
+        F.sum(is_b).over(wseq.rowsBetween(Window.unboundedPreceding, 0)) - is_b,
+    )
+    chunks = words.groupBy("doc_id", "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("chunk_text")
+    )
+    keeper = Window.partitionBy("chunk_text")
+    k = chunks.withColumn("kept", F.col("doc_id") == F.min("doc_id").over(keeper))
+    kept_struct = F.when(F.col("kept"), F.struct("chunk_idx", "chunk_text"))
+    return k.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if("kept").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -3462,6 +3462,59 @@ def d15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d18_cdc_chunk_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, i AS pos, words[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           UNNEST(generate_series(1, len(words))) AS t(i)
+    ),
+    m AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN {sql_hash64('word')} % 8 = 0 THEN 1 ELSE 0 END AS b
+      FROM w
+    ),
+    c0 AS (
+      SELECT doc_id, pos, word,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) - b AS chunk_idx
+      FROM m
+    ),
+    c AS (
+      SELECT doc_id, chunk_idx,
+             string_agg(word, ' ' ORDER BY pos) AS chunk_text
+      FROM c0 GROUP BY 1, 2
+    ),
+    k AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             doc_id = min(doc_id) OVER (PARTITION BY chunk_text) AS kept
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (kept) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                          FILTER (WHERE kept), '')) AS cleaned_md5
+    FROM k GROUP BY doc_id
+    """,
+    survey_ref="extension: content-defined chunking (CDC) dedup — chunk "
+    "boundaries drawn from word-hash content (rolling-chunker property: an "
+    "edit perturbs only the chunks it touches), corpus-wide keep-first "
+    "election, documents reassembled. The insertion-robust companion to "
+    "d15's fixed-width line dedup.",
+)
+def d18_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunk dedup (operators/dedup.cdc_chunk_dedup): a chunk ends at
+    any word whose portable hash % 8 == 0 (expected 8-word chunks), so
+    unlike d15 an inserted word cannot shift every later boundary — the
+    rsync/LBFS/Gear chunking property, at word granularity. Keep-first by
+    min doc_id; output mirrors d15 for side-by-side corpus-health reads.
+    At 100 TB the word explode makes this the most expensive dedup pass —
+    run it after the cheap doc-level gates (d1, d15), never first."""
+    return DD.cdc_chunk_dedup(t(spark, sf_dir, "documents"), boundary_mod=8)
+
+
+@register(
     "fz1_fuzzy_match",
     oracle="""
     WITH names AS (

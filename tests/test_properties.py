@@ -340,6 +340,71 @@ def test_line_dedup_matches_python_model(spark, texts):
         assert got[i] == (len(cs), len(kept), md5), f"doc {i}"
 
 
+@given(texts=st.lists(doc_texts, min_size=1, max_size=8))
+@SETTINGS
+def test_cdc_chunk_dedup_matches_python_model(spark, texts):
+    """cdc_chunk_dedup == an independent Python model: content-defined
+    boundaries (portable word hash % 2 == 0 here, so the 4-word vocabulary
+    actually produces boundaries), keep-first election by min doc_id."""
+    import hashlib
+
+    from nyc_open_data_pipeline_spark.operators.dedup import cdc_chunk_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["cleaned_md5"])
+        for r in cdc_chunk_dedup(docs, boundary_mod=2).collect()
+    }
+
+    def h64(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+    owner: dict[str, int] = {}
+    chunks_by_doc = {}
+    for i, t in rows:
+        cs, cur = [], []
+        for w in t.split(" "):
+            cur.append(w)
+            if h64(w) % 2 == 0:
+                cs.append(" ".join(cur))
+                cur = []
+        if cur:
+            cs.append(" ".join(cur))
+        chunks_by_doc[i] = cs
+        for c in cs:
+            owner.setdefault(c, min(owner.get(c, i), i))
+    for i, cs in chunks_by_doc.items():
+        kept = [c for c in cs if owner[c] == i]
+        md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got[i] == (len(cs), len(kept), md5), f"doc {i}"
+
+
+def test_cdc_chunks_survive_insertion(spark):
+    """The CDC selling point over fixed-width chunking: inserting one word
+    near the head of a duplicated document must leave every chunk after
+    the edit region identical (still deduplicated away), where d15's
+    fixed windows would shift and match nothing."""
+    from pyspark.sql import functions as F
+    from nyc_open_data_pipeline_spark.operators.dedup import (
+        cdc_chunk_dedup,
+        line_dedup,
+    )
+
+    text = " ".join(f"tok{j}" for j in range(60))
+    edited = "INSERTED " + text
+    docs = spark.createDataFrame(
+        [(0, text), (1, edited)], "doc_id long, text string"
+    )
+    cdc = {r["doc_id"]: r for r in cdc_chunk_dedup(docs, boundary_mod=4).collect()}
+    # the edited doc shares every post-edit-region chunk with doc 0 -> most
+    # of its chunks are owned by doc 0 and get deduplicated away
+    assert cdc[1]["n_kept"] < cdc[1]["n_chunks"] / 2
+    # fixed-width chunking keeps almost everything (boundaries all shifted)
+    fixed = {r["doc_id"]: r for r in line_dedup(docs, chunk_words=4).collect()}
+    assert fixed[1]["n_kept"] > cdc[1]["n_kept"]
+
+
 ff_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),   # key
