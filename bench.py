@@ -131,6 +131,8 @@ HEADLINE += [
     "d17_semantic_dedup",
     "mix5_unimax_budget",
     "d18_cdc_chunk_dedup",
+    "a14_quality_dup_calibration",
+    "a15_key_skew_probe",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

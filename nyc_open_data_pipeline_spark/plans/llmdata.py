@@ -460,9 +460,9 @@ def tx1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tx2_quality_score",
-    oracle=f"""
+# Per-doc quality heuristic (length/stopword/punctuation) — tx2's oracle,
+# also a CTE inside a14's calibration query.
+_SQL_QUALITY = f"""
     WITH s AS (
       SELECT doc_id,
              CAST(len({SQL_TOKENS}) AS DOUBLE) AS n,
@@ -479,7 +479,12 @@ def tx1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              * (0.5 + 0.5 * least(CASE WHEN n > 0 THEN sw / n ELSE 0 END * 5.0, 1.0))
              * (CASE WHEN np / nc > 0.2 THEN 0.5 ELSE 1.0 END) AS quality
     FROM s
-    """,
+"""
+
+
+@register(
+    "tx2_quality_score",
+    oracle=_SQL_QUALITY,
     survey_ref="extension: quality scoring (length/stopword/punctuation heuristics)",
 )
 def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4595,4 +4600,129 @@ def c4_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_tokens").cast("double") * F.col("epochs")).cast("long").alias(
             "effective_tokens"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus diagnostics: calibration and skew probes (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a14_quality_dup_calibration",
+    oracle=f"""
+    WITH q AS ({_SQL_QUALITY}),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5({SQL_NORM}))
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    ),
+    b AS (
+      SELECT {", ".join(
+        f"floor(quantile_cont(quality, 0.{i}) * 1e6 + 0.5) / 1e6 AS b{i}"
+        for i in range(1, 10)
+      )}
+      FROM q
+    ),
+    d AS (
+      SELECT q.doc_id, h.is_dup,
+             1 + {" + ".join(
+               f"(CASE WHEN q.quality > b.b{i} THEN 1 ELSE 0 END)"
+               for i in range(1, 10)
+             )} AS decile
+      FROM q JOIN h USING (doc_id), b
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           {_sql_pround("SUM(is_dup) * 1.0 / COUNT(*)")} AS dup_rate
+    FROM d GROUP BY 1
+    """,
+    survey_ref="extension: calibration diagnostics — does the quality "
+    "heuristic (tx2) actually separate duplicated content (d1's exact-dup "
+    "membership)? Decile buckets come from data-derived quantile "
+    "boundaries broadcast back (no global sort — the seq3-safe decile "
+    "construction), dup rate per bucket. The judge-the-filter eval next "
+    "to s7/d14/tx13.",
+)
+def a14_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-vs-duplication calibration: per-doc tx2 quality score and
+    d1 exact-dup membership, bucketed into deciles via nine broadcast
+    quantile boundaries (portably rounded before comparison, so a last-ulp
+    interpolation difference can't move a doc across buckets). A global
+    ntile would sort the corpus on one partition; boundary-join keeps the
+    scan parallel at any scale — swap ``percentile`` for
+    ``approx_percentile`` at 100 TB, shape unchanged."""
+    d = t(spark, sf_dir, "documents")
+    q = d.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+    wdup = Window.partitionBy("ch")
+    h = d.select(
+        "doc_id", F.md5(DD.normalized_text(F.col("text"))).alias("ch")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(wdup)).cast("int").alias("is_dup"),
+    )
+    bounds = q.agg(
+        *[
+            (
+                F.floor(F.percentile("quality", F.lit(i / 10.0)) * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (F.col("quality") > F.col(f"b{i}")).cast("int")
+    return (
+        q.join(h, "doc_id")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(decile.cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dups"),
+            _pround(F.sum("is_dup") * 1.0 / F.count("*")).alias("dup_rate"),
+        )
+    )
+
+
+@register(
+    "a15_key_skew_probe",
+    oracle=f"""
+    WITH k AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+           {_sql_pround("MAX(cnt) * 1.0 / SUM(cnt)")} AS max_share,
+           {_sql_pround("quantile_cont(cnt, 0.99) / quantile_cont(cnt, 0.5)")}
+             AS p99_over_p50
+    FROM k
+    """,
+    survey_ref="extension: join-key skew probe — per-key cardinality "
+    "distribution (top-key share, p99/p50 ratio) on the prospective "
+    "shuffle key. The measurement that decides between a plain hash join, "
+    "j8's hot-key salting, and AQE skew splitting — measure, don't guess, "
+    "as an operator.",
+)
+def a15_key_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics in one aggregate pass over the
+    per-key counts: how concentrated is l_suppkey before you join on it?
+    max_share ~ 1/n_keys and p99/p50 ~ 1 mean uniform (hash join fine);
+    a fat top key argues for j8's salting. Two map-side-combined
+    exchanges (key, then the 1-row rollup); the quantiles run over
+    |keys| rows, not facts — swap in approx_percentile at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count("*").alias("cnt"))
+    return k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        _pround(F.max("cnt") * 1.0 / F.sum("cnt")).alias("max_share"),
+        _pround(
+            F.percentile("cnt", F.lit(0.99)) / F.percentile("cnt", F.lit(0.5))
+        ).alias("p99_over_p50"),
     )
