@@ -384,3 +384,30 @@ def test_fz1_blocking_is_an_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "fz1_fuzzy_match")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "levenshtein" in plan.lower()
+
+
+def test_bench_headline_names_resolve():
+    """A typo'd bench HEADLINE name silently drops the query from every
+    future BENCH artifact; same for a renamed query leaving a stale entry
+    behind. Pin: every headline name resolves, and the frozen cross-round
+    subtotals are subsets of the headline."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert bench.CORE30 <= set(bench.HEADLINE)
+    assert bench.CORE58 <= set(bench.HEADLINE)
+
+
+def test_driver_green_names_resolve():
+    """driver_green.json drives the driver-check priority; a renamed query
+    leaving a stale entry would quietly demote its successor to the stale
+    slot. Every recorded name must still exist in the registry."""
+    import json
+    from pathlib import Path
+
+    green = json.loads(
+        (Path(__file__).resolve().parents[1] / "driver_green.json").read_text()
+    )
+    missing = [n for n in green if n not in QUERIES]
+    assert not missing, f"driver_green names not in registry: {missing}"
