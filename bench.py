@@ -133,6 +133,7 @@ HEADLINE += [
     "d18_cdc_chunk_dedup",
     "a14_quality_dup_calibration",
     "a15_key_skew_probe",
+    "q22_global_sales_opportunity",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

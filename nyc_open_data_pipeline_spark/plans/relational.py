@@ -1932,3 +1932,55 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE ps2.partkey = p.p_partkey)
         """
     )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+    survey_ref="§2.5 / §2.6 (TPC-H Q22 shape: uncorrelated scalar AVG "
+    "subquery as a filter threshold + correlated NOT EXISTS anti join in "
+    "one query — the two subquery rewrites composed; urgent-order "
+    "existence stands in for the reference corpus's universal customer-"
+    "order coverage)",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: wealthy customers with no urgent orders. Composes both
+    subquery rewrites in one plan: the scalar AVG computes once (tiny
+    aggregate reused as a literal, j4's shape) and the NOT EXISTS becomes
+    a LeftAnti hash join on custkey with the priority filter pushed to the
+    orders scan. The average routes through DECIMAL (exact sum, one
+    division) so the threshold comparison is order- and engine-
+    independent. At 100 TB: one broadcast scalar, one anti-join exchange
+    on custkey, one rollup on nationkey."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
+    return spark.sql(
+        """
+        SELECT c.c_nationkey AS nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                 AS totacctbal
+        FROM q22_customer c
+        WHERE c.c_acctbal > (
+                SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                       / COUNT(*)
+                FROM q22_customer c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM q22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY 1
+        """
+    )

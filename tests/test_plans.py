@@ -239,6 +239,17 @@ def test_q2_correlated_scalar_rewrites_to_agg_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q22_scalar_threshold_pushes_to_scan(spark, sf_dir):
+    """Q22's scalar AVG threshold must reach the customer scan as a pushed
+    filter (computed once, reused as a literal) and the NOT EXISTS must be
+    a hash anti join — the two subquery rewrites composed in one plan."""
+    plan = plan_of(spark, sf_dir, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "GreaterThan(c_acctbal,ScalarSubquery" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_s11_broadcasts_codebook_and_lut(spark, sf_dir):
     """IVF-PQ ADC must broadcast the codebook, LUT, and rerank candidate
     set (the BroadcastHashJoins below) — the only nested-loop is the
