@@ -134,6 +134,7 @@ HEADLINE += [
     "a14_quality_dup_calibration",
     "a15_key_skew_probe",
     "q22_global_sales_opportunity",
+    "bm1_bm25_topk",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -4726,3 +4726,117 @@ def a15_key_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("cnt", F.lit(0.99)) / F.percentile("cnt", F.lit(0.5))
         ).alias("p99_over_p50"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval: BM25 (the IR scorer RAG pipelines pair with ANN)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [(0, "fast table scan"), (1, "window merge batch"), (2, "customer query join")]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _sql_bm25_values() -> str:
+    return ", ".join(
+        f"(CAST({qid} AS BIGINT), '{term}')"
+        for qid, s in _BM25_QUERIES
+        for term in s.split()
+    )
+
+
+@register(
+    "bm1_bm25_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM ex GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dlen FROM d),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(dlen) / COUNT(*) AS avglen
+      FROM dl
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {_sql_bm25_values()}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST(
+               {_sql_pround("ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)")}
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / s.avglen))
+             AS DECIMAL(38,12))) AS DOUBLE) AS score
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id, stats s
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+           {_sql_pround("score")} AS bm25
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) <= 5
+    """,
+    survey_ref="extension: BM25 lexical retrieval — the inverted-index "
+    "scorer (tf, df, idf, length normalization; Okapi k1/b) as one "
+    "declarative plan, top-5 docs per query. The exact-match retrieval "
+    "half RAG pipelines pair with s1/s4/s11's embedding ANN.",
+)
+def bm1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the document corpus for a fixed query set. The
+    term-frequency explode IS the inverted-index build — at 100 TB you
+    materialize tf/dfreq once (DISTRIBUTE BY term) and amortize across
+    query batches; here it's inline for a self-contained oracle. The
+    9-row query-term table broadcasts onto the postings so only matching
+    terms' rows survive the first join (posting-list pruning); corpus
+    stats ride a 1-row broadcast. Determinism: idf is portably rounded
+    (ln differs at the last ulp across libm builds), per-term scores sum
+    through DECIMAL (order-free), ranks tie-break on doc_id."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TXT.tokens(F.col("text")).alias("toks")
+    )
+    ex = d.select("doc_id", F.explode("toks").alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dl = d.select("doc_id", F.size("toks").cast("double").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dlen") / F.count("*")).alias("avglen"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, term) for qid, s in _BM25_QUERIES for term in s.split()],
+        "query_id long, term string",
+    )
+    idf6 = _pround(
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+    term_score = (
+        idf6
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avglen"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(dec(term_score, 38, 12)).cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "rnk", _pround(F.col("score")).alias("bm25"))
+    )
