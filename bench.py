@@ -135,6 +135,7 @@ HEADLINE += [
     "a15_key_skew_probe",
     "q22_global_sales_opportunity",
     "bm1_bm25_topk",
+    "bm2_hybrid_rrf",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -4736,6 +4736,49 @@ _BM25_QUERIES = [(0, "fast table scan"), (1, "window merge batch"), (2, "custome
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score): BM25 scores for every (query, matching
+    doc) pair — shared by bm1 (lexical top-k) and bm2 (RRF fusion). The
+    query-term table broadcasts onto the postings so only matching terms
+    survive; per-term scores sum through DECIMAL."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TXT.tokens(F.col("text")).alias("toks")
+    )
+    ex = d.select("doc_id", F.explode("toks").alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dl = d.select("doc_id", F.size("toks").cast("double").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dlen") / F.count("*")).alias("avglen"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, term) for qid, s in _BM25_QUERIES for term in s.split()],
+        "query_id long, term string",
+    )
+    idf6 = _pround(
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+    term_score = (
+        idf6
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avglen"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(dec(term_score, 38, 12)).cast("double").alias("score"))
+    )
+
+
 def _sql_bm25_values() -> str:
     return ", ".join(
         f"(CAST({qid} AS BIGINT), '{term}')"
@@ -4798,45 +4841,139 @@ def bm1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats ride a 1-row broadcast. Determinism: idf is portably rounded
     (ln differs at the last ulp across libm builds), per-term scores sum
     through DECIMAL (order-free), ranks tie-break on doc_id."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", TXT.tokens(F.col("text")).alias("toks")
-    )
-    ex = d.select("doc_id", F.explode("toks").alias("term"))
-    tf = ex.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dl = d.select("doc_id", F.size("toks").cast("double").alias("dlen"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n"),
-        (F.sum("dlen") / F.count("*")).alias("avglen"),
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    qterms = spark.createDataFrame(
-        [(qid, term) for qid, s in _BM25_QUERIES for term in s.split()],
-        "query_id long, term string",
-    )
-    idf6 = _pround(
-        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    )
-    term_score = (
-        idf6
-        * F.col("tf")
-        * (_BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + _BM25_K1
-            * (1 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avglen"))
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(dec(term_score, 38, 12)).cast("double").alias("score"))
-    )
+    scored = _bm25_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
         .select("query_id", "doc_id", "rnk", _pround(F.col("score")).alias("bm25"))
+    )
+
+
+@register(
+    "bm2_hybrid_rrf",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM ex GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dlen FROM d),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(dlen) / COUNT(*) AS avglen
+      FROM dl
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {_sql_bm25_values()}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST(
+               {_sql_pround("ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)")}
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / s.avglen))
+             AS DECIMAL(38,12))) AS DOUBLE) AS score
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id, stats s
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS r
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) <= 20
+    ),
+    ev AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings),
+    nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+    vsc AS (
+      SELECT qv.vec_id AS query_id, b.vec_id AS doc_id,
+             list_dot_product(qv.v, b.v) / (qv.nrm * b.nrm) AS cs
+      FROM nn qv, nn b WHERE qv.vec_id < 3 AND b.vec_id <> qv.vec_id
+    ),
+    vr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, doc_id) AS r
+      FROM vsc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, doc_id) <= 20
+    ),
+    f AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + l.r), 0) + COALESCE(1.0 / (60 + v.r), 0)
+               AS rrf
+      FROM lex l FULL OUTER JOIN vr v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk,
+           {_sql_pround("rrf")} AS rrf_score
+    FROM f
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) <= 5
+    """,
+    survey_ref="extension: hybrid retrieval — reciprocal rank fusion "
+    "(k=60) of the BM25 lexical top-20 (bm1's scorer) and the embedding "
+    "cosine top-20 (s1's scorer) on the shared doc_id=vec_id corpus; the "
+    "standard lexical+vector blend, full-outer so either list alone can "
+    "carry a hit.",
+)
+def bm2_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF(60) over two independent top-20 rankings —
+    lexical (shared _bm25_scored frame) and vector cosine (3 broadcast
+    query vectors against the corpus, s1's shape). The full-outer merge on
+    (query_id, doc_id) lets a doc found by only one ranker still score
+    (the absent side contributes 0). Ranks, not scores, cross the fusion
+    boundary — RRF's point: no cross-scorer calibration needed, and the
+    integer ranks make the fused score exactly reproducible cross-engine
+    (sum of two rationals in fixed order). At 100 TB each ranker prunes to
+    its own top-k before the merge touches anything."""
+    scored = _bm25_scored(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        scored.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= 20)
+        .select("query_id", "doc_id", F.col("r").alias("lr"))
+    )
+    e = _shared_vectors(spark, sf_dir).withColumn("nrm", VEC.norm(F.col("v")))
+    qv = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qvv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    vsc = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            VEC.cosine_prenormed(
+                F.col("qvv"), F.col("v"), F.col("qnrm"), F.col("nrm")
+            ).alias("cs"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("doc_id"))
+    vr = (
+        vsc.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 20)
+        .select("query_id", "doc_id", F.col("r").alias("vrk"))
+    )
+    f = lex.join(vr, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (60 + F.col("lr")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (60 + F.col("vrk")), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        f.withColumn("rrf", rrf)
+        .withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "rnk", _pround(F.col("rrf")).alias("rrf_score"))
     )

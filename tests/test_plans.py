@@ -285,6 +285,7 @@ BNLJ_ALLOWED = {
     "mix5_unimax_budget",      # water-level theta (1 row)
     "a14_quality_dup_calibration",  # decile boundary row (1 row)
     "bm1_bm25_topk",           # corpus stats (1 row)
+    "bm2_hybrid_rrf",          # corpus stats (1 row) + 3 query vectors
     "c4_training_manifest",    # epoch-plan normalizer (1 row, mix4 shape)
     "tx10_token_surprisal",    # corpus token total (1 row)
     "s1_cosine_topk",          # 5 query vectors
