@@ -136,6 +136,9 @@ HEADLINE += [
     "q22_global_sales_opportunity",
     "bm1_bm25_topk",
     "bm2_hybrid_rrf",
+    "q4_priority_check",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

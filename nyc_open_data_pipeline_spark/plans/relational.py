@@ -1984,3 +1984,139 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+    survey_ref="§2.5 / §2.6 (TPC-H Q4 shape: plain correlated EXISTS over "
+    "the fact table → LeftSemi join, date window pushed to the orders "
+    "scan; return flag stands in for the corpus's missing commit/receipt "
+    "dates)",
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders in a quarter with at least one flagged line. The
+    EXISTS rewrites to a LeftSemi hash join on orderkey — one probe row
+    out per order regardless of line count, so the semi join cannot
+    expand. Date window pushes to the orders scan, the flag filter to the
+    lineitem scan; the rollup groups on |priorities| keys. At 100 TB: one
+    semi-join exchange on orderkey (or a broadcast of the quarter's
+    orders if small), one tiny aggregate."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM q4_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM q4_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,4)))
+                               AS DOUBLE) / COUNT(*))
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    survey_ref="§2.5 / §2.6 (TPC-H Q17 shape: correlated scalar AVG over "
+    "the FACT table itself — the per-part mean aggregates once and joins "
+    "back on partkey; small-order revenue for one brand)",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from below-average-quantity orders of one brand.
+    Unlike q2 (dim-sized derived table) the correlated aggregate here runs
+    over LINEITEM itself — Catalyst still decorrelates to one grouped mean
+    per partkey joined back on the key, so the fact table is scanned
+    twice, never once per outer row. The brand filter prunes the outer
+    side before the join; the mean routes through DECIMAL so the 0.2
+    threshold is engine-identical. At 100 TB both passes exchange on
+    partkey and Catalyst reuses the shuffle."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                 / 7.0 AS avg_yearly
+        FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+                SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,4)))
+                                   AS DOUBLE) / COUNT(*))
+                FROM q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 40
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    survey_ref="§2.5 (TPC-H Q19 shape: disjunctive multi-column join "
+    "predicate — OR of brand/size/quantity conjunctions; Catalyst must "
+    "extract the common equi-key and derive per-side residual filters "
+    "from the OR, the classic CNF-pushdown test)",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR of brand/size/quantity conjunctions.
+    The optimizer's job: keep the partkey equi-join hashed (never a
+    nested loop over the OR), push the derived quantity-range union
+    (1..40) to the lineitem scan and the brand/size union to the part
+    scan, and evaluate the full disjunction as a post-join filter. Part
+    projects 3 columns and broadcasts. Single-row decimal-exact output."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 40)
+        & F.col("l_quantity").between(20, 40)
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 28, 6)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -239,6 +239,36 @@ def test_q2_correlated_scalar_rewrites_to_agg_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q4_exists_plans_semi_join(spark, sf_dir):
+    """Q4's EXISTS must be a LeftSemi hash join (one output row per probe
+    row — no expansion) with the date window pushed to the orders scan."""
+    plan = plan_of(spark, sf_dir, "q4_priority_check")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_correlated_avg_decorrelates(spark, sf_dir):
+    """Q17's per-part mean over the fact table must aggregate once and
+    join back on partkey with the 0.2 threshold as a residual — never
+    execute per outer row."""
+    plan = plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "Subquery" not in plan  # fully decorrelated
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_stays_hash_join_with_pushdown(spark, sf_dir):
+    """Q19's OR of brand/size/quantity conjunctions must keep the partkey
+    hash join (no nested loop over the disjunction) and push the derived
+    quantity-range union into the lineitem scan."""
+    plan = plan_of(spark, sf_dir, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the OR-derived quantity bound reached the scan as a data filter
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+
+
 def test_q22_scalar_threshold_pushes_to_scan(spark, sf_dir):
     """Q22's scalar AVG threshold must reach the customer scan as a pushed
     filter (computed once, reused as a literal) and the NOT EXISTS must be
