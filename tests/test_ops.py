@@ -523,3 +523,47 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_unimax_waterfill_matches_python_model(spark, tmp_path, monkeypatch):
+    """mix5's closed-form threshold search == a brute-force Python
+    water-fill, in BOTH regimes: budget binds (water level below some
+    caps) and budget covers every cap (all sources saturated, theta
+    absent). Token counts are controlled via synthetic documents."""
+    import os
+
+    from nyc_open_data_pipeline_spark.plans import llmdata
+
+    # sources with 2, 4, 8, 16 tokens -> caps 8, 16, 32, 64
+    rows = []
+    did = 0
+    for i, n in enumerate([2, 4, 8, 16]):
+        rows.append((did, f"s{i}", " ".join(f"w{j}" for j in range(n))))
+        did += 1
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    def model(budget, kmax=4.0):
+        caps = {f"s{i}": n * kmax for i, n in enumerate([2, 4, 8, 16])}
+        lo, hi = 0.0, max(caps.values())
+        if sum(caps.values()) <= budget:
+            return caps
+        for _ in range(200):  # bisection on the water level
+            mid = (lo + hi) / 2
+            if sum(min(c, mid) for c in caps.values()) < budget:
+                lo = mid
+            else:
+                hi = mid
+        return {s: min(c, hi) for s, c in caps.items()}
+
+    for budget in (40, 1000):  # binds, saturates
+        monkeypatch.setattr(llmdata, "_UNIMAX_BUDGET", budget)
+        got = {
+            r["source"]: r["budget_tokens"]
+            for r in llmdata.mix5_unimax_budget(spark, d).collect()
+        }
+        exp = {s: int(v) for s, v in model(float(budget)).items()}
+        assert got == exp, (budget, got, exp)
