@@ -139,6 +139,7 @@ HEADLINE += [
     "q4_priority_check",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
+    "q11_important_stock",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

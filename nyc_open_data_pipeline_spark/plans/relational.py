@@ -2120,3 +2120,47 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS part_value
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS total
+      FROM lineitem
+    )
+    SELECT val.partkey, val.part_value
+    FROM val, tot
+    WHERE val.part_value > tot.total * 0.0006
+    """,
+    survey_ref="§2.6 (TPC-H Q11 shape: per-group value filtered against a "
+    "FRACTION OF THE GLOBAL total — the group-vs-grand-total HAVING, "
+    "both aggregates decimal-exact from the same base scan so the "
+    "threshold comparison is engine-identical)",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose stock value exceeds a fraction of the global
+    total. Both the per-part values and the grand total aggregate the SAME
+    decimal expression from the base table (never re-summing the double
+    group values, which would be order-dependent); the 1-row total
+    broadcasts back as the threshold. At 100 TB: two map-side-combined
+    passes over lineitem — Catalyst reuses the scan — plus a 1-row
+    broadcast; output is the surviving groups only."""
+    li = t(spark, sf_dir, "lineitem")
+    v = dec(F.col("l_extendedprice") * F.col("l_quantity"), 28, 6)
+    val = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(v).cast("double").alias("part_value")
+    )
+    tot = li.agg(F.sum(v).cast("double").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("total") * 0.0006)
+        .select("partkey", "part_value")
+    )

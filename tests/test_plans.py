@@ -316,6 +316,7 @@ BNLJ_ALLOWED = {
     "a14_quality_dup_calibration",  # decile boundary row (1 row)
     "bm1_bm25_topk",           # corpus stats (1 row)
     "bm2_hybrid_rrf",          # corpus stats (1 row) + 3 query vectors
+    "q11_important_stock",     # grand-total threshold (1 row)
     "c4_training_manifest",    # epoch-plan normalizer (1 row, mix4 shape)
     "tx10_token_surprisal",    # corpus token total (1 row)
     "s1_cosine_topk",          # 5 query vectors
