@@ -41,16 +41,53 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # -curated slots 51-55 and got no driver row.
 
 
+def impl_hash(spec: "QuerySpec") -> str:
+    """Fingerprint a query's behavior-bearing text: oracle SQL + fn source.
+
+    Used by scripts/update_driver_green.py to stamp driver_green.json; a
+    mismatch at load time means the query changed since its last green driver
+    row, so its priority resets to never-checked.
+    """
+    import hashlib
+    import inspect
+
+    h = hashlib.md5((spec.oracle or "").encode())
+    try:
+        h.update(inspect.getsource(spec.fn).encode())
+    except (OSError, TypeError):  # builtins / dynamically-generated fns
+        pass
+    return h.hexdigest()[:12]
+
+
 def _driver_green_rounds() -> dict[str, int]:
-    """Load query -> last-green-round history (empty dict if absent)."""
+    """Load query -> last-green-round history (empty dict if absent).
+
+    Entries are ``{"round": N, "impl_md5": h}``; a query whose current
+    ``impl_hash`` no longer matches the stamped hash is treated as
+    never-green (round 0) so behavior changes re-enter the driver window.
+    Bare-int entries (pre-round-5 format) are accepted without hash checks.
+    """
     import json
     from pathlib import Path
 
     path = Path(__file__).resolve().parents[2] / "driver_green.json"
     try:
-        return {str(k): int(v) for k, v in json.loads(path.read_text()).items()}
+        raw = json.loads(path.read_text())
     except (OSError, ValueError):
         return {}
+    out: dict[str, int] = {}
+    for k, v in raw.items():
+        name = str(k)
+        if isinstance(v, dict):
+            rnd = int(v.get("round", 0))
+            stamped = v.get("impl_md5")
+            spec = _REGISTRY.get(name)
+            if stamped and spec is not None and impl_hash(spec) != stamped:
+                rnd = 0  # implementation changed since last green -> re-check
+            out[name] = rnd
+        else:
+            out[name] = int(v)
+    return out
 
 
 def register(
