@@ -614,11 +614,18 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PLANES6 = VEC.hyperplanes(64, 6)
+# Static max-width plane set for oracles that mirror the DERIVED width:
+# hyperplanes() is a sequential LCG stream, so hyperplanes(d, k) ==
+# hyperplanes(d, 16)[:k] for any k <= 16, and a bucket built from the first
+# k planes equals the 16-plane bucket masked to its low k bits
+# (bucket_k = bucket_16 % 2^k). That lets one static SQL expression
+# reproduce vectors.nbits_for_corpus's width at any scale factor.
+_PLANES16 = VEC.hyperplanes(64, 16)
 
 
-def _sql_bucket6() -> str:
+def _sql_bucket(planes: list[list[float]]) -> str:
     terms = []
-    for i, p in enumerate(_PLANES6):
+    for i, p in enumerate(planes):
         arr = "[" + ", ".join(str(x) for x in p) + "]"
         terms.append(
             f"CASE WHEN list_dot_product({SQL_VEC}, {arr}) > 0 "
@@ -627,11 +634,24 @@ def _sql_bucket6() -> str:
     return " + ".join(terms)
 
 
+def _sql_bucket6() -> str:
+    return _sql_bucket(_PLANES6)
+
+
+# SQL mirror of vectors.nbits_for_corpus(n, target=128, min=4, max=16):
+# expected bucket occupancy n/2^bits held at ~128 rows regardless of SF.
+_SQL_NBITS = "GREATEST(4, LEAST(16, CAST(ceil(log2(count(*) / 128.0)) AS INT)))"
+
+
 @register(
     "d6_embedding_neardup",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, {SQL_VEC} AS v, {_sql_bucket6()} AS bucket FROM embeddings
+    WITH w AS (SELECT {_SQL_NBITS} AS nbits FROM embeddings),
+    b AS (
+      SELECT vec_id, {SQL_VEC} AS v,
+             ({_sql_bucket(_PLANES16)})
+               % (CAST(1 AS BIGINT) << (SELECT nbits FROM w)) AS bucket
+      FROM embeddings
       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
               <= {EMB_BUCKET_CAP}
     ),
@@ -648,16 +668,21 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH blocks the corpus, exact cosine only within a bucket
     (sub-quadratic; EMB_BUCKET_CAP bounds a degenerate bucket — capped rows
     are counted via an observed metric, and the oracle mirrors the cap).
-    The hyperplane width is PINNED to 6 bits here so the DuckDB oracle can
-    replicate the construction verbatim; production calls leave
-    ``planes``/``nbits`` unset and the operator derives the width from corpus
-    cardinality (vectors.nbits_for_corpus) so bucket occupancy stays bounded
-    at 100x the data. Threshold 0.3 fits the synthetic corpus, whose max
-    pairwise cosine is ~0.51; production near-dup would use ~0.95."""
+    The hyperplane width is DERIVED from corpus cardinality
+    (vectors.nbits_for_corpus: expected occupancy ~128 rows/bucket) — the
+    round-4 sf1 headroom run showed the previously-pinned 6-bit width was a
+    9x constant-factor hazard at 20k vectors (59.3 s vs 13.1 s at B=128).
+    The oracle reproduces the derivation with a static 16-plane bucket
+    masked to the SQL-computed width (prefix property of the LCG plane
+    stream; see _PLANES16), so the oracled/benched path IS the production
+    path at every scale factor. Threshold 0.3 fits the synthetic corpus,
+    whose max pairwise cosine is ~0.51; production near-dup would use ~0.95."""
+    e = t(spark, sf_dir, "embeddings")
+    nbits = VEC.nbits_for_corpus(e.count(), max_bits=16)
     return DD.embedding_neardup_pairs(
-        t(spark, sf_dir, "embeddings"),
+        e,
         threshold=0.3,
-        planes=_PLANES6,
+        nbits=nbits,
         bucket_cap=EMB_BUCKET_CAP,
     )
 
@@ -3760,7 +3785,10 @@ _UNIMAX_KMAX = 4.0
     SELECT c.source, c.unique_tokens,
            CAST(FLOOR(LEAST(c.cap, COALESCE(t.theta, c.cap))) AS BIGINT)
              AS budget_tokens,
-           {_sql_pround("LEAST(c.cap, COALESCE(t.theta, c.cap)) / c.unique_tokens")}
+           {_sql_pround(
+               "LEAST(c.cap, COALESCE(t.theta, c.cap))"
+               " / NULLIF(CAST(c.unique_tokens AS DOUBLE), 0.0)"
+           )}
              AS epochs
     FROM caps c, theta t
     """,
@@ -3825,7 +3853,12 @@ def mix5_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "unique_tokens",
         F.floor(alloc).cast("long").alias("budget_tokens"),
-        _pround(alloc / F.col("unique_tokens")).alias("epochs"),
+        # NULLIF guard: a zero-token source divides by 0 — Spark's non-ANSI
+        # 0.0/0 yields NULL but DuckDB yields NaN/inf; NULL on both sides
+        # keeps the cross-engine hash stable (same guard as t11_zscore).
+        _pround(
+            alloc / F.nullif(F.col("unique_tokens").cast("double"), F.lit(0.0))
+        ).alias("epochs"),
     )
 
 

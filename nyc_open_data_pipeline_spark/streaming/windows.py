@@ -9,6 +9,8 @@ results for on-time data.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -90,10 +92,24 @@ def session_counts(
 # gate — st* queries execute a stream, so their plans can only be audited
 # from the run, not from an unexecuted DataFrame.
 EXECUTED_STREAM_PLANS: list[tuple[str, str]] = []
+# A full physical-plan string per micro-batch adds up in a long-lived
+# session (multi-round bench, notebook); the gate only ever needs the plans
+# of the query it just ran, so keep a bounded recent window.
+_STREAM_PLAN_CAP = 256
 
 
 def record_stream_plan(name: str, plan: str) -> None:
     EXECUTED_STREAM_PLANS.append((name, plan))
+    if len(EXECUTED_STREAM_PLANS) > _STREAM_PLAN_CAP:
+        del EXECUTED_STREAM_PLANS[: len(EXECUTED_STREAM_PLANS) - _STREAM_PLAN_CAP]
+
+
+def drain_stream_plans() -> list[tuple[str, str]]:
+    """Return and clear the recorded plans (hygiene-gate consumption API —
+    index-slicing the shared list breaks once the cap evicts entries)."""
+    out = list(EXECUTED_STREAM_PLANS)
+    EXECUTED_STREAM_PLANS.clear()
+    return out
 
 
 def run_to_memory(
@@ -157,16 +173,9 @@ def run_to_memory(
 # but nothing in the API promises that) and its temp dirs are removed at
 # interpreter exit so long multi-sf sessions don't accumulate parquet copies.
 _FIXTURE_CACHE: dict = {}
-_FIXTURE_LOCK = None  # created lazily to keep module import side-effect free
-
-
-def _fixture_lock():
-    global _FIXTURE_LOCK
-    if _FIXTURE_LOCK is None:
-        import threading
-
-        _FIXTURE_LOCK = threading.Lock()
-    return _FIXTURE_LOCK
+# Eager: a lazily-created lock would itself need a lock (two threads can both
+# see None and build separate Lock objects); Lock() has no import side effects.
+_FIXTURE_LOCK = threading.Lock()
 
 
 def _cleanup_fixtures() -> None:
@@ -184,7 +193,7 @@ def cached_fixture(spark, sf_dir: str, tag: str, build) -> str:
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir, tag)
-    with _fixture_lock():
+    with _FIXTURE_LOCK:
         d = _FIXTURE_CACHE.get(key)
         if d is None:
             if not _FIXTURE_CACHE:

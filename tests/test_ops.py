@@ -567,3 +567,57 @@ def test_unimax_waterfill_matches_python_model(spark, tmp_path, monkeypatch):
         }
         exp = {s: int(v) for s, v in model(float(budget)).items()}
         assert got == exp, (budget, got, exp)
+
+
+def test_unimax_zero_token_source_yields_null_epochs(spark, tmp_path, monkeypatch):
+    """A source whose documents total 0 tokens divides 0.0/0 in epochs:
+    Spark's non-ANSI division yields NULL but DuckDB yields NaN — the
+    NULLIF guard must pin BOTH engines to NULL (same cross-engine hazard
+    t11_zscore guards). The whitespace tokenizer can't actually produce 0
+    (split('') is ['']; min count 1), so the zero is injected with a
+    deterministic fake counter on the Spark side, and the oracle's guarded
+    epochs expression is evaluated directly in DuckDB."""
+    import os
+
+    import duckdb
+
+    from nyc_open_data_pipeline_spark.functions import text as TXT
+    from nyc_open_data_pipeline_spark.plans import llmdata
+    from pyspark.sql import functions as F
+
+    rows = [(0, "a", "w0 w1 w2"), (1, "b", "")]
+    d = str(tmp_path / "sfz")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    # FAKE (test-only): empty text counts 0 tokens so source b totals 0
+    real_token_count = TXT.token_count
+
+    def zero_on_empty(col):
+        return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(
+            real_token_count(col)
+        )
+
+    monkeypatch.setattr(llmdata.TXT, "token_count", zero_on_empty)
+    got = {r["source"]: r for r in llmdata.mix5_unimax_budget(spark, d).collect()}
+    assert got["b"]["budget_tokens"] == 0
+    assert got["b"]["epochs"] is None, got["b"]["epochs"]  # NULL, not NaN/inf
+
+    # Oracle side: the exact guarded expression from the registered SQL
+    # must yield NULL (unguarded DuckDB 0.0/0.0 yields NaN). fetchone (not
+    # .df()) so SQL NULL arrives as None instead of folding into NaN.
+    con = duckdb.connect()
+    guarded = con.execute(
+        "SELECT LEAST(0.0, 0.0) / NULLIF(CAST(0 AS DOUBLE), 0.0)"
+    ).fetchone()[0]
+    assert guarded is None, guarded
+    # (Unguarded x/0 is NULL in this DuckDB build but NaN/inf under the
+    # ieee_floating_point_ops setting of other builds — the NULLIF guard
+    # pins NULL regardless of version or setting.)
+    from nyc_open_data_pipeline_spark.plans.registry import all_queries
+
+    assert "NULLIF(CAST(c.unique_tokens AS DOUBLE), 0.0)" in (
+        all_queries()["mix5_unimax_budget"].oracle
+    )
