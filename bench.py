@@ -140,6 +140,9 @@ HEADLINE += [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q11_important_stock",
+    # round 5
+    "q20_part_promotion_suppliers",
+    "q15_top_supplier",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -1850,7 +1850,11 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders. The correlated EXISTS becomes a LeftSemi and the NOT EXISTS a
     LeftAnti self-join on l_orderkey, each carrying the l2.suppkey <>
     l1.suppkey residual — equi-keyed, so both plan as hash/sort-merge
-    joins, never nested loops. All three lineitem passes hash on the same
+    joins, never nested loops. Stays spark.sql deliberately: the operator
+    under test is RewritePredicateSubquery composing a correlated EXISTS
+    and NOT EXISTS with non-equi residuals in ONE query — a code path the
+    DataFrame ``left_semi``/``left_anti`` shortcuts bypass (contrast q4,
+    ported to the DataFrame API, where plain EXISTS loses nothing). All three lineitem passes hash on the same
     orderkey and Catalyst reuses the exchange. Supplier attaches by
     broadcast. At 100 TB: two fact-sized semi/anti exchanges on orderkey,
     no blow-up (semi/anti emit at most one row per probe row)."""
@@ -1961,7 +1965,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery rewrites in one plan: the scalar AVG computes once (tiny
     aggregate reused as a literal, j4's shape) and the NOT EXISTS becomes
     a LeftAnti hash join on custkey with the priority filter pushed to the
-    orders scan. The average routes through DECIMAL (exact sum, one
+    orders scan. Stays spark.sql deliberately: the scalar-subquery-as-
+    pushed-scan-filter path (``GreaterThan(c_acctbal, ScalarSubquery)``
+    reaching the FileScan, asserted in the plan test) only exists via the
+    SQL subquery planner — a DataFrame crossJoin-on-aggregate would
+    compute the same rows without exercising it (contrast q4, ported). The average routes through DECIMAL (exact sum, one
     division) so the threshold comparison is order- and engine-
     independent. At 100 TB: one broadcast scalar, one anti-join exchange
     on custkey, one rollup on nationkey."""
@@ -2007,23 +2015,26 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4: orders in a quarter with at least one flagged line. The
     EXISTS rewrites to a LeftSemi hash join on orderkey — one probe row
     out per order regardless of line count, so the semi join cannot
-    expand. Date window pushes to the orders scan, the flag filter to the
-    lineitem scan; the rollup groups on |priorities| keys. At 100 TB: one
-    semi-join exchange on orderkey (or a broadcast of the quarter's
-    orders if small), one tiny aggregate."""
-    t(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
-    return spark.sql(
-        """
-        SELECT o_orderpriority, COUNT(*) AS order_count
-        FROM q4_orders o
-        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-          AND EXISTS (SELECT 1 FROM q4_lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey
-                        AND l.l_returnflag = 'R')
-        GROUP BY 1
-        """
+    expand. DataFrame API deliberately (round-5 port from spark.sql):
+    EXISTS ≡ ``left_semi`` exactly — unlike NOT IN, plain EXISTS has no
+    NULL-semantics gap, so nothing is lost by skipping the subquery
+    rewriter, and the Spark program stops mirroring the oracle's SQL text
+    (two-independent-programs property; q16/q20/q21/q22 stay SQL because
+    their REWRITE path is the point). Plan verified identical to the SQL
+    form: same LeftSemi BroadcastHashJoin, same pushed date/flag scan
+    filters, same two-phase count. Date window pushes to the orders scan,
+    the flag filter to the lineitem scan; the rollup groups on
+    |priorities| keys. At 100 TB: one semi-join exchange on orderkey (or
+    a broadcast of the quarter's orders if small), one tiny aggregate."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    flagged = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
     )
 
 
@@ -2163,4 +2174,147 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         val.crossJoin(F.broadcast(tot))
         .filter(F.col("part_value") > F.col("total") * 0.0006)
         .select("partkey", "part_value")
+    )
+
+
+@register(
+    "q20_part_promotion_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+                           THEN CAST(l_quantity AS DECIMAL(28,4))
+                           ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+               AS availqty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                       'NATION_4')
+      AND s.s_suppkey IN (
+        SELECT ps.suppkey FROM ps
+        WHERE ps.partkey IN (SELECT p_partkey FROM part WHERE p_size = 7)
+          AND ps.availqty > (
+            SELECT 0.5 * CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,4)))
+                              AS DOUBLE)
+            FROM lineitem l
+            WHERE l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey)
+      )
+    """,
+    survey_ref="§2.5 / §2.6 (TPC-H Q20 shape: IN-subquery whose body nests "
+    "BOTH remaining rewrites — an inner uncorrelated IN on partkey AND a "
+    "correlated scalar-aggregate threshold on (partkey, suppkey) — q2's "
+    "decorrelation composed inside q4's semi-join rewrite in one plan; "
+    "early-period shipment volume stands in for the missing partsupp "
+    "availqty)",
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers holding excess stock of promoted parts, in a
+    nation subset. The deepest subquery composition on the surface: the
+    outer ``s_suppkey IN`` becomes a LeftSemi join; its body filters a
+    derived supply table by an inner ``partkey IN`` (second semi join) AND
+    a correlated scalar SUM over lineitem, which Catalyst decorrelates to
+    a grouped aggregate joined back on (partkey, suppkey) — asserted in
+    the plan test (no Subquery node, no nested loop, no cartesian).
+    Written as SQL deliberately: the nested-subquery REWRITE PATH is the
+    operator under test (same rationale as q16's NAAJ); the DataFrame-API
+    siblings (q15, q13, q19, q11) keep the two-independent-programs
+    property for this family. ``availqty`` (early-period shipped volume)
+    stands in for partsupp availability, keeping the canonical
+    half-of-total-demand comparison. At 100 TB: two exchanges over the
+    derived (partkey, suppkey) table — far below the facts — one lineitem
+    aggregation feeding both, the part semi join prunes before the scalar
+    threshold applies, and supplier/nation attach by broadcast."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("q20_part")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("q20_supplier")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("q20_nation")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1999-01-01'
+                               THEN CAST(l_quantity AS DECIMAL(28,4))
+                               ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                   AS availqty
+          FROM q20_lineitem GROUP BY 1, 2
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM q20_supplier s JOIN q20_nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                           'NATION_4')
+          AND s.s_suppkey IN (
+            SELECT ps.suppkey FROM ps
+            WHERE ps.partkey IN (SELECT p_partkey FROM q20_part
+                                 WHERE p_size = 7)
+              AND ps.availqty > (
+                SELECT 0.5 * CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,4)))
+                                  AS DOUBLE)
+                FROM q20_lineitem l
+                WHERE l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey)
+          )
+        """
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    survey_ref="§2.6 / §2.9 (TPC-H Q15 shape: the revenue VIEW consumed "
+    "twice — once for the supplier rows, once for its own MAX — the "
+    "max-of-group-vs-group companion to q11's group-vs-grand-total; "
+    "Q2's cheap sibling per the round-4 plan)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with the maximum windowed revenue. The
+    classic VIEW-reuse query: the per-supplier revenue aggregate feeds
+    both the candidate rows and the global MAX. Reuse is made EXPLICIT
+    with a lazy localCheckpoint (the d6/_shared_scored_pairs discipline)
+    — Catalyst's ReuseExchange does not fire across the broadcast-
+    subquery boundary here (observed: two full lineitem scans without
+    it), and at 100 TB a duplicated fact scan is the expensive half of
+    the query; the checkpoint pins the |suppliers|-row aggregate,
+    asserted single-scan in the plan test. DataFrame API deliberately
+    (the two-independent-programs side of this family; contrast q20/q16
+    where the SQL rewrite path is the point). Revenue routes through
+    DECIMAL, so the MAX-equality comparison is exact and engine-
+    identical — safe on doubles ONLY because both sides reduce the same
+    exact decimal. At 100 TB: one map-side-combined exchange on suppkey
+    over the date-pruned scan, a 1-row MAX broadcast back, supplier
+    attaches by broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 28, 6))
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -290,6 +290,35 @@ def test_q22_scalar_threshold_pushes_to_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q20_nested_subqueries_fully_decorrelate(spark, sf_dir):
+    """Q20's outer IN must plan as a LeftSemi join, the inner partkey IN
+    as a second semi join, and the correlated scalar SUM as a grouped
+    aggregate joined back on (partkey, suppkey) — no Subquery node may
+    survive, and the composition may not fall back to nested loops or a
+    cartesian."""
+    plan = plan_of(spark, sf_dir, "q20_part_promotion_suppliers")
+    assert "Subquery" not in plan  # fully decorrelated
+    assert plan.count("LeftSemi") >= 2  # outer suppkey IN + inner partkey IN
+    assert plan.count("HashAggregate") >= 2  # ps agg + correlated-sum agg
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_scans_lineitem_once(spark, sf_dir):
+    """Q15's revenue view feeds both the candidate rows and the global
+    MAX; the lazy localCheckpoint must pin it so the FINAL plan contains
+    no lineitem scan at all (both consumers read the materialized
+    |suppliers|-row aggregate) — without it the fact table is scanned
+    twice (ReuseExchange does not fire across the broadcast boundary).
+    The MAX-equality filter must stay a hash join, not a nested loop."""
+    df = QUERIES["q15_top_supplier"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_s11_broadcasts_codebook_and_lut(spark, sf_dir):
     """IVF-PQ ADC must broadcast the codebook, LUT, and rerank candidate
     set (the BroadcastHashJoins below) — the only nested-loop is the
