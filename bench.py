@@ -170,11 +170,26 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
 
+    # --full: time EVERY registered query, not just HEADLINE — the coverage
+    # run that proves "no cliff hides in the unbenched micro-queries" with a
+    # measurement instead of an assumption (SCALE.md records the artifact).
+    # Headline stays the default so the per-round driver artifact remains
+    # cross-round comparable; core30/core58 membership is unaffected.
+    bench_names = list(HEADLINE)
+    if "--full" in sys.argv[1:]:
+        bench_names += [n for n in specs if n not in set(HEADLINE)]
+    # SPARK_GRAFT_BENCH_NAMES="a,b,c": bench exactly these queries — the
+    # targeted-headroom knob (e.g. core30 + known-expensive set at sf10)
+    # so a scale pass doesn't pay the full headline wall-clock.
+    only = os.environ.get("SPARK_GRAFT_BENCH_NAMES")
+    if only:
+        bench_names = [n.strip() for n in only.split(",") if n.strip()]
+
     # Warm-up: run every headline query once on the smallest corpus so the
     # timed pass measures execution at sf, not one-time JVM JIT + whole-stage
     # codegen compilation of each plan shape (standard steady-state practice).
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in bench_names:
         if name in specs:
             try:
                 specs[name].fn(spark, warm_dir).count()
@@ -191,7 +206,7 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for _ in range(2):
-        for name in HEADLINE:
+        for name in bench_names:
             if name not in specs or name in errors:
                 continue
             t0 = time.perf_counter()
@@ -223,7 +238,9 @@ def main() -> None:
     families = {k: round(v, 3) for k, v in sorted(families.items())}
 
     out = {
-        "metric": f"total wall-clock of {len(ok)} headline queries",
+        "metric": f"total wall-clock of {len(ok)} "
+                  + ("registered" if "--full" in sys.argv[1:] else "headline")
+                  + " queries",
         "value": round(total, 3),
         "unit": "sec",
         "core30_sec": round(core30, 3),
