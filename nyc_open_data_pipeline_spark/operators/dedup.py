@@ -310,6 +310,18 @@ def embedding_neardup_pairs(
     ``bucket_cap`` still bounds the adversarial bucket (kept lowest-id rows,
     overflow counted via the observed metric ``emb_rows_over_cap``, never
     silent). Returns (id_a, id_b, cos_sim) with id_a < id_b.
+
+    Exact-duplicate factoring (round 5): cos(v_i, v_j) depends only on the
+    vector VALUES, so identical vectors are grouped per bucket and the
+    cosine is evaluated once per distinct representative pair, then
+    expanded back to id pairs — the standard exact-dedup-before-near-dup
+    pipeline ordering (c1), applied inside the operator. The result SET is
+    bit-identical to the unfactored pairwise join (same expression, same
+    inputs, one eval instead of |copies_a| x |copies_b|), so the DuckDB
+    oracle is unchanged. Real corpora carry heavy exact duplication; the
+    sf10 headroom run measured the unfactored join at 225 s on 200k
+    vectors with 2k distinct (23M interpreted cosine evals) — factoring
+    removes the O(copies^2) blow-up entirely (SCALE.md round 5).
     """
     from nyc_open_data_pipeline_spark.functions import vectors as VEC
 
@@ -334,40 +346,70 @@ def embedding_neardup_pairs(
         # metrics-reading mode (tests/audits): Observation requires the
         # CollectMetrics node inside an ordinary action's subtree — a
         # checkpoint materialization would not fire the listener
-        b = (
-            b.observe(observation, over)
-            .filter(F.col("__rn") <= bucket_cap)
-            .drop("__rn")
-        )
+        b = b.observe(observation, over).filter(F.col("__rn") <= bucket_cap).drop("__rn")
     else:
-        b = (
-            b.observe("emb_bucket_cap", over)
-            .filter(F.col("__rn") <= bucket_cap)
-            .drop("__rn")
-            # materialize once: both self-join sides would otherwise re-run
-            # the bucket window (lazy local checkpoint, computed on first use)
-            .localCheckpoint(eager=False)
-        )
-    left, right = b.alias("l"), b.alias("r")
+        b = b.observe("emb_bucket_cap", over).filter(F.col("__rn") <= bucket_cap).drop("__rn")
+    # One representative per distinct vector per bucket (identical vectors
+    # always share a bucket — the bucket is a function of v). collect_list
+    # order is nondeterministic, but every downstream consumer expands the
+    # full id set, so the output is order-independent.
+    reps = b.groupBy("bucket", "v").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.first("nrm").alias("nrm"),
+        F.collect_list("vec_id").alias("ids"),
+    )
+    if observation is None:
+        # materialize once: the rep frame feeds both self-join sides and the
+        # same-rep expansion (lazy local checkpoint, computed on first use)
+        reps = reps.localCheckpoint(eager=False)
+    left, right = reps.alias("l"), reps.alias("r")
     cos = F.round(
         VEC.cosine_prenormed(
             F.col("l.v"), F.col("r.v"), F.col("l.nrm"), F.col("r.nrm")
         ),
         round_to,
     )
-    return (
+    # Cross-rep pairs: one cosine per distinct pair, THEN expand to ids —
+    # the threshold prunes before the |copies_a| x |copies_b| explode.
+    cross = (
         left.join(
             right,
             (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
+            & (F.col("l.rep_id") < F.col("r.rep_id")),
         )
         .select(
-            F.col("l.vec_id").alias("id_a"),
-            F.col("r.vec_id").alias("id_b"),
+            F.col("l.ids").alias("ids_a"),
+            F.col("r.ids").alias("ids_b"),
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "cos_sim")
+        .select("ia", F.explode("ids_b").alias("ib"), "cos_sim")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "cos_sim",
+        )
     )
+    # Same-rep pairs (exact copies): cos(v, v) via the SAME expression the
+    # unfactored join evaluated between two copies, kept threshold-guarded
+    # for exactness rather than assuming 1.0.
+    self_cos = F.round(
+        VEC.cosine_prenormed(F.col("v"), F.col("v"), F.col("nrm"), F.col("nrm")),
+        round_to,
+    )
+    same = (
+        reps.filter(F.size("ids") >= 2)
+        .select("ids", self_cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.explode("ids").alias("ia"), "ids", "cos_sim")
+        .select("ia", F.explode("ids").alias("ib"), "cos_sim")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos_sim"
+        )
+    )
+    return cross.unionByName(same)
 
 
 def jaccard_pairs(

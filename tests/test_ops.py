@@ -422,6 +422,67 @@ def test_embedding_neardup_auto_width_finds_planted_dup(spark):
     assert (0, 63) in got and got[(0, 63)] == 1.0
 
 
+def test_embedding_neardup_factoring_matches_bruteforce_on_duplicated_corpus(spark):
+    """The rep-factored pairwise stage (cos once per distinct vector pair,
+    expanded back to id pairs) must produce the EXACT row set of the
+    unfactored within-bucket self-join on a corpus with heavy exact
+    duplication — covering both branches the all-distinct driver corpus
+    never exercises: same-rep expansion (copy-copy pairs) and cross-rep
+    id-set expansion. The brute-force model below IS the pre-round-5
+    construction, evaluated with the same expressions."""
+    import numpy as np
+
+    from nyc_open_data_pipeline_spark.functions import vectors as VEC
+    from nyc_open_data_pipeline_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    base = [rng.randn(16).tolist() for _ in range(40)]
+    vecs = []
+    for copy in range(5):  # 5 exact copies of each of 40 distinct vectors
+        vecs.extend(base)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    nbits = VEC.nbits_for_corpus(df.count(), target_bucket_rows=16)
+    planes = VEC.hyperplanes(16, nbits)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(df, threshold=0.2, planes=planes).collect()
+    }
+
+    b = df.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+        VEC.hyperplane_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cos = F.round(
+        VEC.cosine_prenormed(F.col("l.v"), F.col("r.v"), F.col("l.nrm"), F.col("r.nrm")),
+        6,
+    )
+    exp = {
+        (row["id_a"], row["id_b"]): row["cos_sim"]
+        for row in (
+            l.join(
+                r,
+                (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.vec_id") < F.col("r.vec_id")),
+            )
+            .select(
+                F.col("l.vec_id").alias("id_a"),
+                F.col("r.vec_id").alias("id_b"),
+                cos.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= 0.2)
+        ).collect()
+    }
+    assert got == exp
+    # sanity: the duplicate structure actually exercised both branches
+    assert any(a % 40 == b % 40 for a, b in got)  # same-rep (copy) pairs
+    assert any(a % 40 != b % 40 for a, b in got)  # cross-rep pairs
+
+
 def test_cap_metrics_zero_at_gate_scale(spark):
     """The d4/d6 oracles intentionally mirror the bucket caps; if a cap ever
     binds at the correctness-gate scale, a hash match would be comparing two
