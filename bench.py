@@ -143,6 +143,8 @@ HEADLINE += [
     # round 5
     "q20_part_promotion_suppliers",
     "q15_top_supplier",
+    "d19_multiprobe_neardup",
+    "d20_multiprobe_recall",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

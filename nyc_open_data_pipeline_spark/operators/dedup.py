@@ -412,6 +412,57 @@ def embedding_neardup_pairs(
     return cross.unionByName(same)
 
 
+def multiprobe_candidate_pairs(
+    e: DataFrame,
+    planes_sets: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """Multi-probe sign-LSH candidates: R INDEPENDENT plane sets, each
+    bucketing the corpus on its own key; a pair is a candidate if it
+    collides in ANY set. Union of the R within-bucket pair sets, distinct.
+
+    This is the recall amplifier the width derivation points at
+    (vectors.nbits_for_corpus): growing bits keeps buckets small but a
+    near-pair must agree on EVERY bit of a set, so single-set recall at
+    threshold tau is p(tau)^nbits; with R sets it is 1-(1-p^nbits)^R —
+    recall scales with R at constant per-set cost, the d4 MinHash banding
+    construction transplanted to embeddings. Scale shape: one narrow scan
+    computes all R bucket ids; each set shuffles only (id, bucket) pairs;
+    per-set caps bound adversarial buckets (lowest ids kept, same policy
+    as the single-set operator); vectors are NOT carried — the verify
+    stage fetches them by id for the distinct candidate set only.
+    Production composition: exact-dedup FIRST (c1 cleanroom ordering), so
+    copy-explosion never reaches the candidate stage."""
+    from nyc_open_data_pipeline_spark.functions import vectors as VEC
+
+    b = e.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            VEC.hyperplane_bucket(F.col(vec_col), planes).alias(f"b{r}")
+            for r, planes in enumerate(planes_sets)
+        ],
+    )
+    cands = None
+    for r in range(len(planes_sets)):
+        br = b.select("vec_id", F.col(f"b{r}").alias("bucket"))
+        wcap = Window.partitionBy("bucket").orderBy("vec_id")
+        br = (
+            br.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+        left, right = br.alias("l"), br.alias("r")
+        pair_r = left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        ).select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
+        cands = pair_r if cands is None else cands.unionByName(pair_r)
+    return cands.distinct()
+
+
 def jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

@@ -297,6 +297,23 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 
+def _pround(col, scale: int = 6):
+    """Portable 6-decimal round: floor(x*1e6 + 0.5)/1e6, the SAME IEEE op
+    sequence in Spark and DuckDB (see _SQL_PROUND) — native round() differs
+    between the engines at half-boundaries (Spark rounds the exact binary
+    expansion via BigDecimal HALF_UP; DuckDB rounds in floating point), which
+    flipped one document's last digit at sf0.1."""
+    m = F.lit(float(10 ** scale))
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def _sql_pround(expr: str, scale: int = 6) -> str:
+    m = float(10 ** scale)
+    return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
+
+
 @register(
     "s1_cosine_topk",
     oracle=f"""
@@ -684,6 +701,201 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         nbits=nbits,
         bucket_cap=EMB_BUCKET_CAP,
+    )
+
+
+# Multi-probe LSH: R independent plane sets drawn from ONE LCG stream in
+# 16-plane blocks — block r masked to the derived width is set r (the same
+# prefix/mask trick _PLANES16 documents, once per block).
+_MP_R = 3
+_PLANES48 = VEC.hyperplanes(64, 16 * _MP_R)
+
+
+def _mp_planes_sets(nbits: int) -> list[list[list[float]]]:
+    return [_PLANES48[16 * r : 16 * r + nbits] for r in range(_MP_R)]
+
+
+def _sql_mp_buckets() -> str:
+    """SQL column exprs b0..b{R-1}: per-block 16-plane bucket masked to the
+    derived width (mirrors _mp_planes_sets exactly)."""
+    cols = []
+    for r in range(_MP_R):
+        block = _PLANES48[16 * r : 16 * (r + 1)]
+        cols.append(
+            f"({_sql_bucket(block)})"
+            f" % (CAST(1 AS BIGINT) << (SELECT nbits FROM w)) AS b{r}"
+        )
+    return ",\n             ".join(cols)
+
+
+def _sql_mp_cand() -> str:
+    """SQL CTE body for the capped, distinct multi-probe candidate pairs."""
+    branches = []
+    for r in range(_MP_R):
+        branches.append(
+            f"""SELECT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM (SELECT vec_id, b{r} FROM mb
+            QUALIFY row_number() OVER (PARTITION BY b{r} ORDER BY vec_id)
+                    <= {EMB_BUCKET_CAP}) l
+      JOIN (SELECT vec_id, b{r} FROM mb
+            QUALIFY row_number() OVER (PARTITION BY b{r} ORDER BY vec_id)
+                    <= {EMB_BUCKET_CAP}) r
+        ON l.b{r} = r.b{r} AND l.vec_id < r.vec_id"""
+        )
+    return "\n      UNION\n      ".join(branches)
+
+
+def _shared_multiprobe_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct multi-probe candidate id pairs, persisted once per
+    (session, sf_dir) — shared by d19 (verify) and d20 (recall audit)."""
+    key = ("mp_cands", spark.sparkContext.applicationId, sf_dir)
+    c = _HV_CACHE.get(key)
+    if c is None:
+        e = t(spark, sf_dir, "embeddings")
+        nbits = VEC.nbits_for_corpus(e.count(), max_bits=16)
+        c = DD.multiprobe_candidate_pairs(
+            e, _mp_planes_sets(nbits), bucket_cap=EMB_BUCKET_CAP
+        ).persist()
+        _HV_CACHE[key] = c
+    return c
+
+
+@register(
+    "d19_multiprobe_neardup",
+    oracle=f"""
+    WITH w AS (SELECT {_SQL_NBITS} AS nbits FROM embeddings),
+    mb AS (
+      SELECT vec_id, {SQL_VEC} AS v,
+             {_sql_mp_buckets()}
+      FROM embeddings
+    ),
+    cand AS (
+      {_sql_mp_cand()}
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM mb)
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM cand c JOIN n a ON c.id_a = a.vec_id JOIN n b ON c.id_b = b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+    """,
+    survey_ref="extension: multi-probe embedding near-dup — R independent "
+    "sign-LSH plane sets unioned (the d4 MinHash banding construction "
+    "transplanted to embeddings); the recall amplifier the width "
+    "derivation's docstring promises, now implemented and measured (d20)",
+)
+def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with recall amplification: candidates collide in ANY
+    of R=3 independent plane sets (each at the d6-derived width), then one
+    exact-cosine verify over the DISTINCT candidate set. Single-set recall
+    at threshold tau is p(tau)^nbits; with R sets 1-(1-p^nbits)^R — d20
+    measures the gain against exhaustive truth on a sampled query set.
+    Scale shape: the candidate stage shuffles only (id, bucket) pairs per
+    set with per-set caps; vectors are fetched by id for candidates only
+    (two hash joins); production runs exact-dedup first (c1 ordering) so
+    copy-explosion never reaches the candidate stage. Verify values follow
+    d6's round-6 convention, so a pair surfaced by both operators carries
+    the identical cos_sim."""
+    cand = _shared_multiprobe_cands(spark, sf_dir)
+    n = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.round(
+        VEC.cosine_prenormed(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+        ),
+        6,
+    )
+    return (
+        cand.join(a, cand.id_a == F.col("a.vec_id"))
+        .join(b, cand.id_b == F.col("b.vec_id"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+@register(
+    "d20_multiprobe_recall",
+    oracle=f"""
+    WITH w AS (SELECT {_SQL_NBITS} AS nbits FROM embeddings),
+    mb AS (
+      SELECT vec_id, {SQL_VEC} AS v,
+             {_sql_mp_buckets()}
+      FROM embeddings
+    ),
+    cand AS (
+      {_sql_mp_cand()}
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM mb),
+    s AS (SELECT * FROM n WHERE vec_id % 40 = 0),
+    truth AS (
+      SELECT DISTINCT LEAST(s.vec_id, o.vec_id) AS id_a,
+                      GREATEST(s.vec_id, o.vec_id) AS id_b
+      FROM s JOIN n o ON o.vec_id <> s.vec_id
+      WHERE round(list_dot_product(s.v, o.v) / (s.nrm * o.nrm), 6) >= 0.3
+    ),
+    tt AS (SELECT COUNT(*) AS n_true FROM truth),
+    f AS (
+      SELECT COUNT(*) AS n_found
+      FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT CAST(tt.n_true AS BIGINT) AS n_true,
+           CAST(f.n_found AS BIGINT) AS n_found,
+           {_sql_pround("f.n_found / NULLIF(CAST(tt.n_true AS DOUBLE), 0.0)")}
+             AS recall
+    FROM tt, f
+    """,
+    survey_ref="extension: multi-probe LSH EVALUATION — candidate recall of "
+    "d19's R-set union against exhaustive cosine truth on a deterministic "
+    "sample of query vectors (s7's measurement discipline applied to the "
+    "near-dup blocking structure)",
+)
+def d20_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall audit: for a deterministic sample (vec_id % 40 == 0)
+    compute ALL true near-pairs (>= 0.3) exhaustively — sample x corpus,
+    bounded by the sample size, the s7 discipline — and measure what
+    fraction the multi-probe candidate union surfaces. One output row
+    (n_true, n_found, recall); recall NULLIF-guarded for an empty truth
+    set. At 100 TB this runs on the same sampled shape: the sample
+    broadcasts, the corpus is scanned once, candidates semi-join by id
+    pair."""
+    n = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+    )
+    s = n.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("s_id"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("snrm"),
+    )
+    cos = F.round(
+        VEC.cosine_prenormed(
+            F.col("sv"), F.col("v"), F.col("snrm"), F.col("nrm")
+        ),
+        6,
+    )
+    truth = (
+        n.join(F.broadcast(s), F.col("vec_id") != F.col("s_id"))
+        .filter(cos >= 0.3)
+        .select(
+            F.least("s_id", "vec_id").alias("id_a"),
+            F.greatest("s_id", "vec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = _shared_multiprobe_cands(spark, sf_dir)
+    tt = truth.agg(F.count("*").alias("n_true"))
+    f = truth.join(cand, ["id_a", "id_b"]).agg(F.count("*").alias("n_found"))
+    return tt.crossJoin(F.broadcast(f)).select(
+        "n_true",
+        "n_found",
+        _pround(
+            F.col("n_found")
+            / F.nullif(F.col("n_true").cast("double"), F.lit(0.0))
+        ).alias("recall"),
     )
 
 
@@ -1921,21 +2133,6 @@ def mix2_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Corpus-statistics quality signals: unigram surprisal + character entropy
 # ---------------------------------------------------------------------------
-
-
-def _pround(col, scale: int = 6):
-    """Portable 6-decimal round: floor(x*1e6 + 0.5)/1e6, the SAME IEEE op
-    sequence in Spark and DuckDB (see _SQL_PROUND) — native round() differs
-    between the engines at half-boundaries (Spark rounds the exact binary
-    expansion via BigDecimal HALF_UP; DuckDB rounds in floating point), which
-    flipped one document's last digit at sf0.1."""
-    m = F.lit(float(10 ** scale))
-    return F.floor(col * m + F.lit(0.5)) / m
-
-
-def _sql_pround(expr: str, scale: int = 6) -> str:
-    m = float(10 ** scale)
-    return f"floor(({expr}) * {m} + 0.5) / {m}"
 
 
 def _run_counts(arr):

@@ -483,6 +483,30 @@ def test_embedding_neardup_factoring_matches_bruteforce_on_duplicated_corpus(spa
     assert any(a % 40 != b % 40 for a, b in got)  # cross-rep pairs
 
 
+def test_multiprobe_supersets_single_set_and_amplifies_recall(spark, sf_dir):
+    """d19's plane set 0 IS d6's derived-width set (block 0 of the shared
+    LCG stream with the same mask and the same per-set cap), so every d6
+    pair must appear in d19 with the identical cos_sim — and the R=3 union
+    must surface strictly more pairs on this corpus (the recall
+    amplification the operator exists for)."""
+    from nyc_open_data_pipeline_spark.plans.llmdata import (
+        d6_embedding_neardup,
+        d19_multiprobe_neardup,
+    )
+
+    d6 = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in d6_embedding_neardup(spark, sf_dir).collect()
+    }
+    d19 = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in d19_multiprobe_neardup(spark, sf_dir).collect()
+    }
+    assert set(d6) <= set(d19)
+    assert all(d19[k] == v for k, v in d6.items())
+    assert len(d19) > len(d6)
+
+
 def test_cap_metrics_zero_at_gate_scale(spark):
     """The d4/d6 oracles intentionally mirror the bucket caps; if a cap ever
     binds at the correctness-gate scale, a hash match would be comparing two
