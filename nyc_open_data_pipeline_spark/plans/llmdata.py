@@ -790,30 +790,59 @@ def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at threshold tau is p(tau)^nbits; with R sets 1-(1-p^nbits)^R — d20
     measures the gain against exhaustive truth on a sampled query set.
     Scale shape: the candidate stage shuffles only (id, bucket) pairs per
-    set with per-set caps; vectors are fetched by id for candidates only
-    (two hash joins); production runs exact-dedup first (c1 ordering) so
-    copy-explosion never reaches the candidate stage. Verify values follow
-    d6's round-6 convention, so a pair surfaced by both operators carries
-    the identical cos_sim."""
+    set with per-set caps; the verify stage applies the same exact-
+    duplicate factoring as d6 — candidate id pairs map to distinct-vector
+    representatives, the cosine is evaluated ONCE per distinct rep pair,
+    and the verdict joins back to the id pairs — so a copy-heavy corpus
+    (the sf10 shape: 200k ids, 2k distinct) pays folds proportional to
+    distinct pairs, not candidate pairs. Bit-identical to the unfactored
+    verify (same expression, same inputs). Verify values follow d6's
+    round-6 convention, so a pair surfaced by both operators carries the
+    identical cos_sim."""
     cand = _shared_multiprobe_cands(spark, sf_dir)
     n = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
         VEC.norm(F.col("embedding")).alias("nrm"),
     )
-    a, b = n.alias("a"), n.alias("b")
+    rep = n.groupBy("v").agg(F.min("vec_id").alias("rep_id"))
+    idmap = n.join(rep, "v").select("vec_id", "rep_id")
+    cr = (
+        cand.join(
+            idmap.select(
+                F.col("vec_id").alias("id_a"), F.col("rep_id").alias("ra0")
+            ),
+            "id_a",
+        )
+        .join(
+            idmap.select(
+                F.col("vec_id").alias("id_b"), F.col("rep_id").alias("rb0")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.least("ra0", "rb0").alias("ra"),
+            F.greatest("ra0", "rb0").alias("rb"),
+        )
+    )
+    rv = n.select(F.col("vec_id").alias("rid"), "v", "nrm")
     cos = F.round(
         VEC.cosine_prenormed(
             F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
         ),
         6,
     )
-    return (
-        cand.join(a, cand.id_a == F.col("a.vec_id"))
-        .join(b, cand.id_b == F.col("b.vec_id"))
-        .select("id_a", "id_b", cos.alias("cos_sim"))
+    scored = (
+        cr.select("ra", "rb")
+        .distinct()
+        .join(rv.alias("a"), F.col("ra") == F.col("a.rid"))
+        .join(rv.alias("b"), F.col("rb") == F.col("b.rid"))
+        .select("ra", "rb", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)
     )
+    return cr.join(scored, ["ra", "rb"]).select("id_a", "id_b", "cos_sim")
 
 
 @register(
@@ -829,7 +858,7 @@ def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       {_sql_mp_cand()}
     ),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM mb),
-    s AS (SELECT * FROM n WHERE vec_id % 40 = 0),
+    s AS (SELECT * FROM n WHERE vec_id < 16),
     truth AS (
       SELECT DISTINCT LEAST(s.vec_id, o.vec_id) AS id_a,
                       GREATEST(s.vec_id, o.vec_id) AS id_b
@@ -853,20 +882,20 @@ def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup blocking structure)",
 )
 def d20_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate recall audit: for a deterministic sample (vec_id % 40 == 0)
-    compute ALL true near-pairs (>= 0.3) exhaustively — sample x corpus,
-    bounded by the sample size, the s7 discipline — and measure what
-    fraction the multi-probe candidate union surfaces. One output row
-    (n_true, n_found, recall); recall NULLIF-guarded for an empty truth
-    set. At 100 TB this runs on the same sampled shape: the sample
-    broadcasts, the corpus is scanned once, candidates semi-join by id
-    pair."""
+    """Candidate recall audit: for a FIXED-SIZE deterministic sample
+    (vec_id < 16 — ids that exist at every SF, s7's discipline) compute
+    ALL true near-pairs (>= 0.3) exhaustively and measure what fraction
+    the multi-probe candidate union surfaces. Fixed size matters at
+    scale: a fixed RATE sample (id % k) grows with the corpus and turns
+    the exhaustive truth stage quadratic overall; 16 queries keep it one
+    linear broadcast pass at any SF. One output row (n_true, n_found,
+    recall); recall NULLIF-guarded for an empty truth set."""
     n = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
         VEC.norm(F.col("embedding")).alias("nrm"),
     )
-    s = n.filter(F.col("vec_id") % 40 == 0).select(
+    s = n.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("s_id"),
         F.col("v").alias("sv"),
         F.col("nrm").alias("snrm"),

@@ -356,7 +356,7 @@ BNLJ_ALLOWED = {
     "bm1_bm25_topk",           # corpus stats (1 row)
     "bm2_hybrid_rrf",          # corpus stats (1 row) + 3 query vectors
     "q11_important_stock",     # grand-total threshold (1 row)
-    "d20_multiprobe_recall",   # n_true x n_found aggregates (1 row x 1 row)
+    "d20_multiprobe_recall",   # 16 query vectors + 1-row x 1-row aggregates
     "c4_training_manifest",    # epoch-plan normalizer (1 row, mix4 shape)
     "tx10_token_surprisal",    # corpus token total (1 row)
     "s1_cosine_topk",          # 5 query vectors
