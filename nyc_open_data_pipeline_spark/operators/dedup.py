@@ -329,7 +329,12 @@ def embedding_neardup_pairs(
         if nbits is None:
             n = n_rows_estimate if n_rows_estimate is not None else e.count()
             nbits = VEC.nbits_for_corpus(n, target_bucket_rows)
-        dim = len(e.select(vec_col).first()[0])
+        row = e.select(vec_col).first()
+        if row is None:  # empty corpus: no pairs, and no dim to derive from
+            return e.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double"
+            )
+        dim = len(row[0])
         planes = VEC.hyperplanes(dim, nbits)
     b = e.select(
         F.col(id_col).alias("vec_id"),
