@@ -145,6 +145,8 @@ HEADLINE += [
     "q15_top_supplier",
     "d19_multiprobe_neardup",
     "d20_multiprobe_recall",
+    "d21_boilerplate_strip",
+    "tx14_hashed_ngram_quality",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -716,3 +716,86 @@ def cdc_chunk_dedup(docs: DataFrame, boundary_mod: int = 8) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    df_num: int = 1,
+    df_den: int = 20,
+) -> DataFrame:
+    """Per-source boilerplate removal (CCNet/RefinedWeb-style template strip).
+
+    A fixed ``chunk_words``-word chunk is boilerplate WITHIN ITS SOURCE when
+    it appears in at least ``df_num/df_den`` of that source's documents —
+    the header/footer/nav-bar signature of templated crawl data, which
+    whole-document dedup (d1) and global keep-first chunk dedup (d15) both
+    miss: boilerplate should be removed from EVERY document, keeper
+    included. Returns one row per doc:
+    (doc_id, n_chunks, n_boiler, cleaned_md5) where cleaned_md5 hashes the
+    document reassembled from its non-boilerplate chunks ('' when nothing
+    survives).
+
+    The threshold compares integers (chunk_df * df_den >= source_docs *
+    df_num) so both engines decide borderline chunks identically with no
+    float in the predicate, and the fraction is scale-invariant: replicating
+    a corpus N-fold multiplies chunk df and source size alike.
+
+    Plan shape: chunking is array math in the scan stage (sequence + slice +
+    array_join, as line_dedup); the per-source doc counts collapse to
+    |sources| rows and broadcast; the chunk document-frequency table groups
+    the distinct (source, chunk_text, doc_id) triples and joins back on
+    (source, chunk_text) — a plain shuffle join on the same key the df
+    aggregation just hashed on. At 100 TB that one chunk-key exchange is the
+    whole cost; state per key is one count."""
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
+    n_chunks = F.ceil(F.size("words") / F.lit(float(chunk_words))).cast("long")
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "words",
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.array_join(
+            F.slice(
+                "words",
+                (F.col("chunk_idx") * chunk_words + 1).cast("int"),
+                chunk_words,
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    src_docs = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    chunk_df = (
+        chunks.select("source", "chunk_text", "doc_id")
+        .distinct()
+        .groupBy("source", "chunk_text")
+        .agg(F.count("*").alias("df"))
+    )
+    flagged = (
+        chunks.join(chunk_df, ["source", "chunk_text"])
+        .join(F.broadcast(src_docs), "source")
+        .withColumn(
+            "boiler",
+            F.col("df") * F.lit(df_den) >= F.col("n_docs") * F.lit(df_num),
+        )
+    )
+    kept_struct = F.when(~F.col("boiler"), F.struct("chunk_idx", "chunk_text"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if("boiler").alias("n_boiler"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )

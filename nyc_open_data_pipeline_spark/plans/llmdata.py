@@ -5263,3 +5263,135 @@ def bm2_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "doc_id", "rnk", _pround(F.col("rrf")).alias("rrf_score"))
     )
+
+
+@register(
+    "d21_boilerplate_strip",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, i AS chunk_idx,
+             array_to_string(words[(i*10+1):(i*10+10)], ' ') AS chunk_text
+      FROM w, UNNEST(generate_series(
+            0, CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    sd AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    cdf AS (
+      SELECT source, chunk_text, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM c GROUP BY 1, 2
+    ),
+    k AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk_text,
+             (cdf.df * 20 >= sd.n_docs * 1) AS boiler
+      FROM c JOIN cdf USING (source, chunk_text) JOIN sd USING (source)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (boiler) AS BIGINT) AS n_boiler,
+           md5(COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                          FILTER (WHERE NOT boiler), '')) AS cleaned_md5
+    FROM k GROUP BY doc_id
+    """,
+    survey_ref="extension: per-source boilerplate strip — a chunk present in "
+    ">=5% of its source's documents is template text (header/footer/nav) and "
+    "is removed from EVERY document, keeper included; the CCNet/RefinedWeb "
+    "companion to d15's global keep-first chunk dedup.",
+)
+def d21_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate removal (operators/dedup.boilerplate_strip):
+    fixed 10-word chunks, a chunk is boilerplate when >=1/20 of its source's
+    documents contain it. Unlike d15 (which keeps one copy of a duplicated
+    chunk), boilerplate is dropped everywhere — template text carries no
+    training signal in any document. The threshold is integer-compared
+    (df*20 >= n_docs) so borderline chunks decide identically cross-engine,
+    and it is replication-invariant (df and n_docs scale together), which
+    the sf1/sf10 replicated corpora exercise directly. Plan: per-source doc
+    counts broadcast (|sources| rows); the chunk document-frequency join is
+    the single chunk-key exchange."""
+    return DD.boilerplate_strip(
+        t(spark, sf_dir, "documents"), chunk_words=10, df_num=1, df_den=20
+    )
+
+
+@register(
+    "tx14_hashed_ngram_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tk[i] AS g
+      FROM toks, UNNEST(generate_series(1, len(tk))) AS t(i)
+      UNION ALL
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+      FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+    ),
+    sc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(({sql_hash64(
+                 "'w#' || CAST((" + sql_hash64("g") + " % 1024) AS VARCHAR)"
+             )} % 2001) - 1000) AS BIGINT) AS s_milli
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_ngrams,
+           {_sql_pround('CAST(s_milli AS DOUBLE) / (1000.0 * n_ngrams)')}
+             AS quality_score,
+           s_milli >= 0 AS label_keep
+    FROM sc
+    """,
+    survey_ref="extension: hashed n-gram linear quality classifier — the "
+    "fastText-style inference path (word uni+bigrams -> hash buckets -> "
+    "linear score -> threshold) used as the model-based quality gate in "
+    "LLM data pipelines, alongside tx2's heuristic score.",
+)
+def tx14_hashed_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed n-gram linear classifier inference over every document: word
+    unigrams and bigrams hash into 1024 buckets; each bucket carries an
+    integer milli-weight in [-1000, 1000] derived here from the portable
+    hash of the bucket id (a deterministic stand-in — in production the
+    weight table comes from a trained fastText/logistic model and joins as
+    a broadcast of 1024 rows; the plan shape is identical, and here the
+    lookup folds into the hash expression so there is NO join at all).
+    score = sum(milli) / (1000 * n_ngrams); label thresholds the sigmoid at
+    0.5, which by monotonicity is exactly s_milli >= 0 — an integer
+    comparison, so cross-engine parity needs no transcendental math.
+
+    Determinism: the per-doc sum is a BIGINT of exact integers; the only
+    float op is one IEEE division, then portable rounding. Plan: scan ->
+    array math (uni+bigram arrays concatenated) -> explode -> partial
+    hash-agg before the single doc_id exchange; whole-stage codegen
+    end-to-end, no Python, no join. At 100 TB this is a one-pass map-side
+    scorer — the cheapest model-based gate a pipeline can run."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TXT.tokens(F.col("text")).alias("tk")
+    )
+    bi = F.when(
+        F.size("tk") >= 2,
+        F.expr(
+            "transform(sequence(1, size(tk) - 1), "
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(F.concat(F.col("tk"), bi)).alias("g"))
+    bucket = DD._hash64(F.col("g")) % 1024
+    milli = (
+        DD._hash64(F.concat(F.lit("w#"), bucket.cast("string"))) % 2001
+    ) - 1000
+    sc = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum(milli).cast("long").alias("s_milli"),
+    )
+    return sc.select(
+        "doc_id",
+        "n_ngrams",
+        _pround(
+            F.col("s_milli").cast("double") / (F.lit(1000.0) * F.col("n_ngrams"))
+        ).alias("quality_score"),
+        (F.col("s_milli") >= F.lit(0)).alias("label_keep"),
+    )
