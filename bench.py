@@ -147,6 +147,7 @@ HEADLINE += [
     "d20_multiprobe_recall",
     "d21_boilerplate_strip",
     "tx14_hashed_ngram_quality",
+    "mix6_dsir_importance",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -5395,3 +5395,137 @@ def tx14_hashed_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality_score"),
         (F.col("s_milli") >= F.lit(0)).alias("label_keep"),
     )
+
+
+_DSIR_B = 1024
+_DSIR_TARGET = "src0"
+_DSIR_KEEP = 100
+_DSIR_SQL_LOGR = _sql_pround(
+    f"ln((CAST(ct AS DOUBLE) + 1.0) / (nt + {_DSIR_B}.0)) - "
+    f"ln((CAST(cr AS DOUBLE) + 1.0) / (nr + {_DSIR_B}.0))"
+)
+
+
+@register(
+    "mix6_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {SQL_TOKENS} AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, ({sql_hash64('g')} % {_DSIR_B}) AS b
+      FROM (
+        SELECT doc_id, source, tk[i] AS g
+        FROM toks, UNNEST(generate_series(1, len(tk))) AS t(i)
+        UNION ALL
+        SELECT doc_id, source, tk[i] || ' ' || tk[i+1] AS g
+        FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+      )
+    ),
+    bc AS (
+      SELECT b,
+             CAST(COUNT(*) FILTER (source = '{_DSIR_TARGET}') AS BIGINT) AS ct,
+             CAST(COUNT(*) AS BIGINT) AS cr
+      FROM grams GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+      FROM bc
+    ),
+    w AS (
+      SELECT b, {_DSIR_SQL_LOGR} AS logr FROM bc, tot
+    ),
+    per AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(CAST(w.logr AS DECIMAL(28,10))) AS DOUBLE) AS s
+      FROM grams g JOIN w USING (b)
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT doc_id, n_ngrams, {_sql_pround('s')} AS log_importance,
+             row_number() OVER (ORDER BY {_sql_pround('s')} DESC, doc_id) AS rk
+      FROM per
+    )
+    SELECT doc_id, n_ngrams, log_importance,
+           rk <= {_DSIR_KEEP} AS selected
+    FROM r
+    """,
+    survey_ref="extension: DSIR-style importance weighting (Data Selection "
+    "via Importance Resampling, Xie et al. 2023) — hashed uni+bigram bucket "
+    "distributions for a target domain vs the raw corpus, per-document "
+    "log importance = sum of per-bucket log-ratios, top-k selection. The "
+    "domain-targeted companion to tx14's generic quality gate.",
+)
+def mix6_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over hashed n-gram features: documents of
+    the target domain (source = 'src0' stands in for the Wikipedia-like
+    seed set) define p_target over 1024 hash buckets; the whole corpus
+    defines p_raw; log w(doc) = sum over the doc's gram instances of
+    log(p_target[b]/p_raw[b]), Laplace-smoothed (+1 / +B) so unseen
+    buckets stay finite. The top _DSIR_KEEP docs by weight are flagged
+    `selected` — the resampling step made deterministic (rank, doc_id
+    tiebreak) instead of Gumbel noise.
+
+    Determinism: each bucket's log-ratio is portably rounded FIRST, the
+    per-doc sum runs through exact DECIMAL(28,10) (tx12's recipe), and the
+    selection joins on ids from a distributed top-k, so no global-order
+    float comparison is engine-sensitive. Plan: one gram explode feeds the
+    1024-row bucket table (groupBy b, conditional partial aggs); totals are
+    a 1-row broadcast cross join (BNLJ_ALLOWED); the weight table
+    broadcast-joins back into the gram stream; per-doc reduction exchanges
+    on doc_id; top-k is TakeOrderedAndProject (per-partition heads, no
+    single-partition sort) whose 100 ids broadcast into a left-semi flag
+    join. At 100 TB nothing beyond the gram explode touches more than
+    |buckets| + |docs| rows."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TXT.tokens(F.col("text")).alias("tk")
+    )
+    bi = F.when(
+        F.size("tk") >= 2,
+        F.expr(
+            "transform(sequence(1, size(tk) - 1), "
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.col("tk"), bi)).alias("g"),
+    ).select(
+        "doc_id", "source", (DD._hash64(F.col("g")) % _DSIR_B).alias("b")
+    )
+    bc = grams.groupBy("b").agg(
+        F.count_if(F.col("source") == _DSIR_TARGET).cast("long").alias("ct"),
+        F.count("*").cast("long").alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
+    )
+    logr = _pround(
+        F.log((F.col("ct").cast("double") + F.lit(1.0)) / (F.col("nt") + F.lit(float(_DSIR_B))))
+        - F.log((F.col("cr").cast("double") + F.lit(1.0)) / (F.col("nr") + F.lit(float(_DSIR_B))))
+    )
+    w = bc.crossJoin(F.broadcast(tot)).select("b", logr.alias("logr"))
+    per = (
+        grams.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(dec(F.col("logr"), 28, 10)).cast("double").alias("s"),
+        )
+        .select("doc_id", "n_ngrams", _pround(F.col("s")).alias("log_importance"))
+    )
+    top = (
+        per.orderBy(F.col("log_importance").desc(), "doc_id")
+        .limit(_DSIR_KEEP)
+        .select("doc_id")
+    )
+    return per.join(
+        F.broadcast(top.withColumn("selected", F.lit(True))), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_ngrams",
+        "log_importance",
+        F.coalesce("selected", F.lit(False)).alias("selected"),
+    )

@@ -352,6 +352,7 @@ BNLJ_ALLOWED = {
     "mix3_temperature_sampling",  # mix normalizer (1 row)
     "mix4_epoch_repeat",       # epoch-plan normalizer (1 row)
     "mix5_unimax_budget",      # water-level theta (1 row)
+    "mix6_dsir_importance",    # bucket-count totals (1 row)
     "a14_quality_dup_calibration",  # decile boundary row (1 row)
     "bm1_bm25_topk",           # corpus stats (1 row)
     "bm2_hybrid_rrf",          # corpus stats (1 row) + 3 query vectors
