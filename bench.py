@@ -148,6 +148,8 @@ HEADLINE += [
     "d21_boilerplate_strip",
     "tx14_hashed_ngram_quality",
     "mix6_dsir_importance",
+    "v7_l_diversity",
+    "z1_zorder_layout",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

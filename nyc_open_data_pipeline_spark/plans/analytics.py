@@ -381,3 +381,60 @@ def f6_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("M"), F.col("m_q").cast("string"),
         ),
     )
+
+
+from nyc_open_data_pipeline_spark.operators.zorder import sql_zvalue2  # noqa: E402
+
+_Z1_SQL_Z = sql_zvalue2("l_partkey", "l_suppkey")
+
+
+@register(
+    "z1_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+      SELECT ({_Z1_SQL_Z} >> 16) AS zbucket, l_partkey, l_suppkey
+      FROM lineitem
+    )
+    SELECT zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS p_min,
+           CAST(MAX(l_partkey) AS BIGINT) AS p_max,
+           CAST(MIN(l_suppkey) AS BIGINT) AS s_min,
+           CAST(MAX(l_suppkey) AS BIGINT) AS s_max
+    FROM z GROUP BY zbucket
+    """,
+    survey_ref="extension: Z-order (Morton) clustering diagnostic — the "
+    "multi-column data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER BY) "
+    "expressed as plain Spark bit math; per-z-bucket min/max of BOTH keys "
+    "shows each bucket holds a small hyper-rectangle of the key space, the "
+    "property parquet footer stats prune on. Companion to the bucketed-join "
+    "layout (operators/bucketing.py) for the filtering axis.",
+)
+def z1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve clustering stats over lineitem (l_partkey, l_suppkey):
+    interleave the low 16 bits of both keys (operators/zorder.zvalue2 —
+    four masked doubling steps per dimension, pure JVM integer ops), bucket
+    by the high z bits, and report per-bucket row counts plus min/max of
+    EACH dimension. Narrow per-bucket ranges on both axes are exactly what
+    makes a z-ordered file layout prunable by either predicate; the
+    write-side counterpart (repartitionByRange on z + within-partition
+    sort) lives in operators/zorder.write_zordered and is proven to bound
+    per-file footer stats in tests/test_ops.py. Quantization here is a
+    16-bit mask for cross-engine determinism; at production scale quantize
+    by range-rank before interleaving. Plan: one projection + one groupBy
+    shuffle on zbucket — a scan-speed diagnostic."""
+    from nyc_open_data_pipeline_spark.operators.zorder import zvalue2
+
+    li = t(spark, sf_dir, "lineitem")
+    z = zvalue2(F.col("l_partkey"), F.col("l_suppkey"))
+    return (
+        li.select(F.shiftright(z, 16).alias("zbucket"), "l_partkey", "l_suppkey")
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+        )
+    )

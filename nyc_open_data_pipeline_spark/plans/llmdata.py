@@ -5529,3 +5529,48 @@ def mix6_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_importance",
         F.coalesce("selected", F.lit(False)).alias("selected"),
     )
+
+
+_LDIV_L = 3
+
+
+@register(
+    "v7_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_bucket,
+             CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS n_sensitive
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) FILTER (WHERE n_sensitive < {_LDIV_L}) AS BIGINT)
+             AS n_low_diversity_cells,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_cell_diversity
+    FROM cells GROUP BY event_type
+    """,
+    survey_ref="§2.15 validation / governance extension: l-diversity audit — "
+    "a quasi-identifier cell (event_type x hour) whose sensitive attribute "
+    "(props.k) takes fewer than l distinct values leaks that attribute even "
+    "when v6's k-anonymity holds (the homogeneity attack); the second gate "
+    "of the Machanavajjhala et al. privacy ladder.",
+)
+def v7_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity profile over the (event_type, hour) quasi-identifier:
+    distinct sensitive values (props.k, parsed JVM-side via from_json —
+    e6's schema-on-read path) per cell, then per-type counts of cells
+    below l={_LDIV_L}. Same two-aggregation shape and scale posture as v6:
+    the distinct-count shuffle hashes the cell key; at 100 TB the risky
+    low-diversity cells are small by definition and stay exact even if
+    large cells move to approx_count_distinct."""
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint").getField("k")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_bucket")
+    ).agg(F.countDistinct(k).alias("n_sensitive"))
+    return cells.groupBy("event_type").agg(
+        F.count("*").alias("n_cells"),
+        F.count_if(F.col("n_sensitive") < _LDIV_L).alias("n_low_diversity_cells"),
+        F.min("n_sensitive").alias("min_cell_diversity"),
+    )

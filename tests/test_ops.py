@@ -706,3 +706,64 @@ def test_unimax_zero_token_source_yields_null_epochs(spark, tmp_path, monkeypatc
     assert "NULLIF(CAST(c.unique_tokens AS DOUBLE), 0.0)" in (
         all_queries()["mix5_unimax_budget"].oracle
     )
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Write-side Z-order proof on parquet footer statistics: on a full
+    256x256 grid of two independent keys, a linear (a, b) sort bounds only
+    the leading column per file — every file spans essentially the whole b
+    domain, so a predicate on b can skip nothing. The Morton layout
+    (operators/zorder.write_zordered) bounds BOTH columns per file (16
+    files = 4 z-bits = 2 bits per dimension = 1/4 of each domain), which is
+    what makes min/max file pruning work for either predicate at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from nyc_open_data_pipeline_spark.operators.zorder import write_zordered
+
+    df = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("a"), (F.col("id") / 256).cast("long").alias("b")
+    )
+    lin, zo = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    (
+        df.repartitionByRange(16, "a", "b")
+        .sortWithinPartitions("a", "b")
+        .write.mode("overwrite")
+        .parquet(lin)
+    )
+    write_zordered(df, zo, "a", "b", num_files=16)
+
+    def span_fracs(path: str, col: str) -> list[float]:
+        out = []
+        import os
+
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                out.append((hi - lo + 1) / 256.0)
+        return out
+
+    lin_b = span_fracs(lin, "b")
+    zo_a, zo_b = span_fracs(zo, "a"), span_fracs(zo, "b")
+    assert lin_b and zo_a and zo_b
+    # linear layout: b unbounded per file (each file covers ~the whole domain)
+    assert sum(lin_b) / len(lin_b) > 0.9
+    # z-order: BOTH dimensions bounded per file — ~1/4 of the domain for
+    # boundary-aligned files, somewhat more where repartitionByRange's
+    # sampled boundaries straddle a z-quadrant; far below the linear
+    # layout's ~full-domain span either way
+    assert sum(zo_a) / len(zo_a) <= 0.5
+    assert sum(zo_b) / len(zo_b) <= 0.5
+    # the layout is a reshuffle, not a transformation: same rows come back
+    assert spark.read.parquet(zo).count() == 256 * 256
