@@ -150,6 +150,7 @@ HEADLINE += [
     "mix6_dsir_importance",
     "v7_l_diversity",
     "z1_zorder_layout",
+    "sk4_hll_distinct",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -5574,3 +5574,97 @@ def v7_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("n_sensitive") < _LDIV_L).alias("n_low_diversity_cells"),
         F.min("n_sensitive").alias("min_cell_diversity"),
     )
+
+
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. alpha_m
+_HLL_SQL_H = sql_hash64("CAST(user_id AS VARCHAR)")
+_HLL_SQL_RAW = (
+    f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0"
+    f" / (a.sp + ({_HLL_M} - a.nb))"
+)
+_HLL_SQL_EST = (
+    f"CASE WHEN {_HLL_SQL_RAW} <= {2.5 * _HLL_M} AND ({_HLL_M} - a.nb) > 0"
+    f" THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - a.nb))"
+    f" ELSE {_HLL_SQL_RAW} END"
+)
+
+
+@register(
+    "sk4_hll_distinct",
+    oracle=f"""
+    WITH hh AS (SELECT {_HLL_SQL_H} AS h FROM events),
+    r AS (
+      SELECT (h % {_HLL_M}) AS b,
+             MAX(CASE WHEN (h >> 8) = 0 THEN 53
+                      ELSE strpos(lpad(bin(h >> 8), 52, '0'), '1') END) AS m_j
+      FROM hh GROUP BY 1
+    ),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                 SUM(power(2.0, -m_j)) AS sp FROM r),
+    x AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events)
+    SELECT {_HLL_M} AS m,
+           CAST({_HLL_M} - a.nb AS BIGINT) AS v_zero,
+           {_sql_pround(_HLL_SQL_RAW)} AS raw_est,
+           {_sql_pround(_HLL_SQL_EST)} AS est,
+           x.n_exact,
+           {_sql_pround(f"(({_HLL_SQL_EST}) - x.n_exact) / x.n_exact")}
+             AS rel_err
+    FROM a, x
+    """,
+    survey_ref="extension: PORTABLE HyperLogLog — register HLL built from "
+    "the md5-derived hash (bucket = low 8 bits, rho = first-one position "
+    "of the remaining 52 via a binary-string scan), with the Flajolet "
+    "alpha_m bias correction and the small-range linear-counting branch. "
+    "Completes the sketch shelf: sk1's KMV avoided register math; sk4 "
+    "shows the registers themselves reproduce bit-for-bit cross-engine.",
+)
+def sk4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate with exact cross-engine parity:
+    256 registers, register j = max over its items of (leading-zero count
+    + 1) of the 52 post-bucket hash bits — computed as the first-'1'
+    position in the zero-padded binary string, identical text ops in both
+    engines. The harmonic denominator sums 2^-M_j terms: every term is an
+    exact power of two spanning < 53 bits, so the double sum is EXACT and
+    order-independent — no decimal detour needed, the one float-sum in
+    the engine that needs no defense. Small-range correction: when the
+    raw estimate <= 2.5m and empty registers exist, fall back to linear
+    counting m*ln(m/V) (fires at sf0.01: 150.87 vs 150 exact; the raw
+    branch takes over once registers fill). The exact-count column exists
+    to show estimator error; production drops it.
+
+    Scale shape: one groupBy over 256 register keys with map-side partial
+    MAX — at 100 TB every executor ships at most 256 bytes, and sketches
+    from different corpora merge by register-wise MAX (the property that
+    makes HLL the distributed cardinality workhorse). The final 1-row x
+    1-row cross join is BNLJ_ALLOWED."""
+    ev = t(spark, sf_dir, "events")
+    h = DD._hash64(F.col("user_id").cast("string"))
+    hh = ev.select(h.alias("h"))
+    h2 = F.shiftright(F.col("h"), 8)
+    rho = F.when(h2 == 0, F.lit(53)).otherwise(
+        F.instr(F.lpad(F.bin(h2), 52, "0"), "1")
+    )
+    r = hh.groupBy((F.col("h") % _HLL_M).alias("b")).agg(F.max(rho).alias("m_j"))
+    a = r.agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sp"),
+    )
+    x = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    v = (F.lit(_HLL_M) - F.col("nb")).cast("long")
+    raw = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / (
+        F.col("sp") + v.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return a.crossJoin(F.broadcast(x)).select(
+        F.lit(_HLL_M).alias("m"),
+        v.alias("v_zero"),
+        _pround(raw).alias("raw_est"),
+        _pround(est).alias("est"),
+        "n_exact",
+        _pround((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+    )

@@ -349,6 +349,7 @@ def test_q21_exists_rewrites_to_semi_and_anti(spark, sf_dir):
 BNLJ_ALLOWED = {
     # broadcast of a 1-row scalar or a <=k-row query/centroid relation
     "sk1_kmv_distinct",        # k-th minimum hash (1 row)
+    "sk4_hll_distinct",        # 1-row register aggregate x 1-row exact count
     "mix3_temperature_sampling",  # mix normalizer (1 row)
     "mix4_epoch_repeat",       # epoch-plan normalizer (1 row)
     "mix5_unimax_budget",      # water-level theta (1 row)
