@@ -767,3 +767,68 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     assert sum(zo_b) / len(zo_b) <= 0.5
     # the layout is a reshuffle, not a transformation: same rows come back
     assert spark.read.parquet(zo).count() == 256 * 256
+
+
+def test_boilerplate_strip_is_source_local(spark):
+    """The boilerplate decision is made per source: a chunk shared by half
+    of source A's documents is stripped from ALL of them (keeper included —
+    the difference from keep-first dedup), while the identical chunk
+    appearing in 1 of 30 source-B documents stays, because 1/30 is under
+    the 1/20 frequency bar."""
+    from nyc_open_data_pipeline_spark.operators.dedup import boilerplate_strip
+
+    header = " ".join(f"x{i}" for i in range(10))  # one exact 10-word chunk
+    rows = []
+    for i in range(110):  # source A: 10 of 110 docs carry the header (9%)
+        body = " ".join(f"a{i}w{j}" for j in range(10))
+        rows.append((i, (header + " " + body) if i < 10 else body, "A"))
+    for i in range(30):  # source B: 1 of 30 docs carries it (3.3% < 5%)
+        body = " ".join(f"b{i}w{j}" for j in range(10))
+        rows.append((1000 + i, (header + " " + body) if i == 0 else body, "B"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(docs, chunk_words=10, df_num=1, df_den=20).collect()
+    }
+    for i in range(10):  # every A carrier loses exactly the header chunk
+        assert out[i]["n_boiler"] == 1 and out[i]["n_chunks"] == 2
+    for i in range(10, 110):  # A non-carriers untouched (unique bodies < 5%)
+        assert out[i]["n_boiler"] == 0
+    assert out[1000]["n_boiler"] == 0  # B's lone carrier keeps it
+    # stripping is content-identical for the A carriers: same cleaned text
+    # iff same body — all five bodies differ, so md5s differ, but each must
+    # equal the md5 of its body alone
+    import hashlib
+
+    for i in range(10):
+        body = " ".join(f"a{i}w{j}" for j in range(10))
+        assert out[i]["cleaned_md5"] == hashlib.md5(body.encode()).hexdigest()
+
+
+def test_dsir_importance_ranks_target_vocabulary(spark, tmp_path):
+    """DSIR sanity on a constructed corpus: documents written in the target
+    domain's vocabulary must score higher log-importance than documents in
+    a disjoint vocabulary, and the one off-domain document that borrows the
+    target vocabulary must outrank its vocabulary-disjoint peers."""
+    import shutil
+
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    tgt_text = " ".join(f"t{i % 7}" for i in range(30))
+    oth_text = " ".join(f"o{i % 7}" for i in range(30))
+    rows = [(i, tgt_text, "en", "src0", len(tgt_text)) for i in range(10)]
+    rows += [(100 + i, oth_text, "en", "srcX", len(oth_text)) for i in range(10)]
+    rows.append((999, tgt_text, "en", "srcX", len(tgt_text)))  # the borrower
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = (
+        all_queries()["mix6_dsir_importance"].fn(spark, sf).toPandas()
+        .set_index("doc_id")["log_importance"]
+    )
+    tgt = [out[i] for i in range(10)]
+    oth = [out[100 + i] for i in range(10)]
+    assert min(tgt) > max(oth)
+    assert out[999] > max(oth)  # borrowed vocabulary outranks disjoint one
+    shutil.rmtree(sf, ignore_errors=True)
