@@ -59,9 +59,17 @@ def get_spark(
     knob. On a cluster, pass ``master=None`` and let spark-submit decide.
     """
     cpus = DEFAULT_CPUS
+    # Shuffle-partition sizing is a per-DATA-SCALE knob, not a per-machine
+    # one: partitions should land near ~128-500 MB so wide shuffles (600M-row
+    # groupBys at the sf100 probe scale) stay in memory instead of spilling.
+    # Scale runs override via env; the default tracks core count for the
+    # small local fixtures.
+    shuffle_default = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+    )
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or shuffle_default))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
