@@ -81,6 +81,53 @@ def nbits_for_corpus(
     return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def collision_prob(cos_sim: float) -> float:
+    """Per-hyperplane agreement probability for a pair at the given cosine:
+    P[sign(h·a) == sign(h·b)] = 1 - theta/pi for a random hyperplane h
+    (Goemans-Williamson / Charikar sign-LSH). The design-point input to
+    ``probes_for_recall``."""
+    import math
+
+    c = max(-1.0, min(1.0, float(cos_sim)))
+    return 1.0 - math.acos(c) / math.pi
+
+
+def probes_for_recall(
+    nbits: int,
+    threshold: float,
+    target: float = 0.5,
+    max_sets: int = 64,
+) -> int:
+    """Number of independent plane sets R so the candidate union reaches
+    ``target`` recall for a pair AT the design-point cosine ``threshold``:
+    single-set recall is p^nbits (every bit must agree), union recall
+    1-(1-p^nbits)^R, so R = ceil(ln(1-target)/ln(1-p^nbits)).
+
+    This closes the loop the width derivation opens: ``nbits_for_corpus``
+    grows bits with the corpus to hold bucket occupancy (cost) flat, which
+    alone makes single-probe recall decay as p^nbits — the measured
+    35.6% -> 9.0% drift between sf0.01 (4 bits) and sf10 (11 bits) in the
+    round-5 audit. Deriving R from the same nbits holds DESIGN recall flat
+    instead. The price is the standard LSH cost exponent: with occupancy-
+    held bits, R ~ (1/p)^nbits = n^rho with rho = log2(1/p). At a
+    production near-dup design point (cos >= 0.9, p ~ 0.856) rho ~ 0.22 —
+    gently sublinear; at a LOW design point like the synthetic corpus's
+    0.3 (p ~ 0.597) rho ~ 0.74 and R explodes with scale, which is not an
+    implementation defect but the physics of sign-LSH at low similarity.
+    ``max_sets`` caps the blow-up; past the cap the achievable design
+    recall is 1-(1-p^nbits)^max_sets and the caller's recall audit (d20)
+    reports the shortfall honestly rather than masking it."""
+    import math
+
+    per_set = collision_prob(threshold) ** nbits
+    if per_set >= 1.0:
+        return 1
+    if per_set <= 0.0:
+        return max_sets
+    r = math.ceil(math.log(1.0 - target) / math.log(1.0 - per_set))
+    return min(max(r, 1), max_sets)
+
+
 # Deterministic ±1 hyperplanes (LCG-generated, fixed seed) for sign-LSH.
 def hyperplanes(dim: int, nbits: int = 8) -> list[list[float]]:
     state = 0x2545F4914F6CDD1D

@@ -433,39 +433,54 @@ def multiprobe_candidate_pairs(
     near-pair must agree on EVERY bit of a set, so single-set recall at
     threshold tau is p(tau)^nbits; with R sets it is 1-(1-p^nbits)^R —
     recall scales with R at constant per-set cost, the d4 MinHash banding
-    construction transplanted to embeddings. Scale shape: one narrow scan
-    computes all R bucket ids; each set shuffles only (id, bucket) pairs;
-    per-set caps bound adversarial buckets (lowest ids kept, same policy
-    as the single-set operator); vectors are NOT carried — the verify
-    stage fetches them by id for the distinct candidate set only.
-    Production composition: exact-dedup FIRST (c1 cleanroom ordering), so
+    construction transplanted to embeddings. R itself is derived by
+    ``vectors.probes_for_recall`` from (nbits, design threshold, target),
+    so recall no longer drifts as the width derivation grows bits.
+
+    Scale shape: ONE narrow scan computes all R bucket ids and posexplodes
+    them to (id, set, bucket) rows — a single shuffle and a single
+    self-join on (set, bucket) regardless of R, instead of R separate
+    join branches (plan size and shuffle count stay O(1) in R; row volume
+    is R·n narrow rows, the honest cost of R probes). Per-(set,bucket)
+    caps bound adversarial buckets (lowest ids kept, same policy as the
+    single-set operator); vectors are NOT carried — the verify stage
+    fetches them by id for the distinct candidate set only. Production
+    composition: exact-dedup FIRST (c1 cleanroom ordering), so
     copy-explosion never reaches the candidate stage."""
     from nyc_open_data_pipeline_spark.functions import vectors as VEC
 
+    if not planes_sets:
+        raise ValueError("multiprobe_candidate_pairs: planes_sets is empty")
     b = e.select(
         F.col(id_col).alias("vec_id"),
-        *[
-            VEC.hyperplane_bucket(F.col(vec_col), planes).alias(f"b{r}")
-            for r, planes in enumerate(planes_sets)
-        ],
+        F.posexplode(
+            F.array(
+                *[
+                    VEC.hyperplane_bucket(F.col(vec_col), planes)
+                    for planes in planes_sets
+                ]
+            )
+        ).alias("r", "bucket"),
     )
-    cands = None
-    for r in range(len(planes_sets)):
-        br = b.select("vec_id", F.col(f"b{r}").alias("bucket"))
-        wcap = Window.partitionBy("bucket").orderBy("vec_id")
-        br = (
-            br.withColumn("__rn", F.row_number().over(wcap))
-            .filter(F.col("__rn") <= bucket_cap)
-            .drop("__rn")
+    wcap = Window.partitionBy("r", "bucket").orderBy("vec_id")
+    b = (
+        b.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= bucket_cap)
+        .drop("__rn")
+    )
+    return (
+        b.alias("l")
+        .join(
+            b.alias("r2"),
+            (F.col("l.r") == F.col("r2.r"))
+            & (F.col("l.bucket") == F.col("r2.bucket"))
+            & (F.col("l.vec_id") < F.col("r2.vec_id")),
         )
-        left, right = br.alias("l"), br.alias("r")
-        pair_r = left.join(
-            right,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        ).select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
-        cands = pair_r if cands is None else cands.unionByName(pair_r)
-    return cands.distinct()
+        .select(
+            F.col("l.vec_id").alias("id_a"), F.col("r2.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
 
 
 def jaccard_pairs(

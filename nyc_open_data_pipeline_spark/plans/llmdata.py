@@ -657,7 +657,12 @@ def _sql_bucket6() -> str:
 
 # SQL mirror of vectors.nbits_for_corpus(n, target=128, min=4, max=16):
 # expected bucket occupancy n/2^bits held at ~128 rows regardless of SF.
-_SQL_NBITS = "GREATEST(4, LEAST(16, CAST(ceil(log2(count(*) / 128.0)) AS INT)))"
+# count(*) floored at 1 so an empty corpus yields the min width instead of
+# log2(0) = -inf (Spark guards n == 0 in Python; the oracle must not error).
+_SQL_NBITS = (
+    "GREATEST(4, LEAST(16,"
+    " CAST(ceil(log2(GREATEST(count(*), 1) / 128.0)) AS INT)))"
+)
 
 
 @register(
@@ -708,44 +713,98 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Multi-probe LSH: R independent plane sets drawn from ONE LCG stream in
-# 16-plane blocks — block r masked to the derived width is set r (the same
-# prefix/mask trick _PLANES16 documents, once per block).
-_MP_R = 3
-_PLANES48 = VEC.hyperplanes(64, 16 * _MP_R)
+# nbits-plane blocks (block 0 == the single-probe d6 set, by the stream's
+# row-major prefix property). BOTH the width and the number of sets are
+# derived: nbits from corpus cardinality (vectors.nbits_for_corpus, holds
+# bucket occupancy flat) and R from (nbits, design threshold, target
+# recall) via vectors.probes_for_recall — the closed loop that replaces
+# the round-5 hand constant R=3 whose measured recall drifted
+# 35.6% -> 9.0% as the derived width grew sf0.01 -> sf10.
+MP_THRESHOLD = 0.3  # design-point cosine == the operator's decision threshold
+MP_TARGET_RECALL = 0.5  # stated target recall for a pair AT the design point
+MP_MAX_SETS = 64  # blow-up cap; d20 reports any shortfall past it
 
 
-def _mp_planes_sets(nbits: int) -> list[list[list[float]]]:
-    return [_PLANES48[16 * r : 16 * r + nbits] for r in range(_MP_R)]
+def _mp_plane_sets(n: int, dim: int) -> list[list[list[float]]]:
+    """R plane sets for a corpus of n vectors of the MEASURED dim (a
+    mismatched fixture can no longer silently collapse every vector into
+    bucket 0 via null-propagating zip_with padding)."""
+    nbits = VEC.nbits_for_corpus(n, max_bits=16)
+    r_sets = VEC.probes_for_recall(
+        nbits, MP_THRESHOLD, MP_TARGET_RECALL, MP_MAX_SETS
+    )
+    pl = VEC.hyperplanes(dim, nbits * r_sets)
+    return [pl[r * nbits : (r + 1) * nbits] for r in range(r_sets)]
 
 
-def _sql_mp_buckets() -> str:
-    """SQL column exprs b0..b{R-1}: per-block 16-plane bucket masked to the
-    derived width (mirrors _mp_planes_sets exactly)."""
-    cols = []
-    for r in range(_MP_R):
-        block = _PLANES48[16 * r : 16 * (r + 1)]
-        cols.append(
-            f"({_sql_bucket(block)})"
-            f" % (CAST(1 AS BIGINT) << (SELECT nbits FROM w)) AS b{r}"
-        )
-    return ",\n             ".join(cols)
+# SQL mirror of vectors.probes_for_recall (expects `nbits` in scope).
+_SQL_MP_RSETS = (
+    f"LEAST({MP_MAX_SETS}, GREATEST(1, CAST(ceil("
+    f"ln(1.0 - {MP_TARGET_RECALL}) / "
+    f"ln(1.0 - pow(1.0 - acos({MP_THRESHOLD})/pi(), nbits))) AS INT)))"
+)
+
+# vectors.hyperplanes' LCG, reproduced verbatim so the oracle can GENERATE
+# the plane stream instead of inlining megabytes of literals: the stream is
+# state_{k+1} = (A*state_k + C) mod 2^63, component sign = bit 32.
+_LCG_SEED = 0x2545F4914F6CDD1D
+_LCG_A = 6364136223846793005
+_LCG_C = 1442695040888963407
+_LCG_M = 1 << 63
 
 
-def _sql_mp_cand() -> str:
-    """SQL CTE body for the capped, distinct multi-probe candidate pairs."""
-    branches = []
-    for r in range(_MP_R):
-        branches.append(
-            f"""SELECT l.vec_id AS id_a, r.vec_id AS id_b
-      FROM (SELECT vec_id, b{r} FROM mb
-            QUALIFY row_number() OVER (PARTITION BY b{r} ORDER BY vec_id)
-                    <= {EMB_BUCKET_CAP}) l
-      JOIN (SELECT vec_id, b{r} FROM mb
-            QUALIFY row_number() OVER (PARTITION BY b{r} ORDER BY vec_id)
-                    <= {EMB_BUCKET_CAP}) r
-        ON l.b{r} = r.b{r} AND l.vec_id < r.vec_id"""
-        )
-    return "\n      UNION\n      ".join(branches)
+def _sql_mp_ctes() -> str:
+    """Shared CTE chain for the d19/d20 oracles: derive (nbits, dim, R)
+    from corpus stats, generate the first nbits*dim*R LCG values with a
+    recursive CTE (verified value-identical to vectors.hyperplanes),
+    fold them into (set r, bit i, plane) rows, bucket every vector per
+    set, cap per (set, bucket), and self-join into distinct candidate
+    pairs — the oracle reproduces the WHOLE derivation, so it stays the
+    production path at any corpus size or vector dim. Requires the query
+    to open with WITH RECURSIVE."""
+    return f"""w0 AS (
+      SELECT {_SQL_NBITS} AS nbits,
+             CAST(any_value(len({SQL_VEC})) AS INT) AS dim
+      FROM embeddings
+    ),
+    w AS (SELECT nbits, dim, {_SQL_MP_RSETS} AS r_sets FROM w0),
+    lcg(k, state) AS (
+      SELECT 0, (CAST({_LCG_SEED} AS HUGEINT) * {_LCG_A} + {_LCG_C})
+                % CAST({_LCG_M} AS HUGEINT)
+      UNION ALL
+      SELECT k + 1, (state * {_LCG_A} + {_LCG_C}) % CAST({_LCG_M} AS HUGEINT)
+      FROM lcg WHERE k + 1 < (SELECT nbits * dim * r_sets FROM w)
+    ),
+    psets AS (
+      SELECT CAST((k // dim) // nbits AS INT) AS r,
+             CAST((k // dim) % nbits AS INT) AS i,
+             list(CASE WHEN (CAST(state AS BIGINT) >> 32) & 1 = 1
+                       THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(-1.0 AS DOUBLE) END
+                  ORDER BY k) AS plane
+      FROM lcg, w GROUP BY 1, 2
+    ),
+    n AS (SELECT vec_id, {SQL_VEC} AS v,
+                 sqrt(list_dot_product({SQL_VEC}, {SQL_VEC})) AS nrm
+          FROM embeddings),
+    mb AS (
+      SELECT e.vec_id, p.r,
+             SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                      THEN CAST(1 AS BIGINT) << p.i
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM n e CROSS JOIN psets p
+      GROUP BY e.vec_id, p.r
+    ),
+    cb AS (
+      SELECT vec_id, r, bucket FROM mb
+      QUALIFY row_number() OVER (PARTITION BY r, bucket ORDER BY vec_id)
+              <= {EMB_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r2.vec_id AS id_b
+      FROM cb l JOIN cb r2
+        ON l.r = r2.r AND l.bucket = r2.bucket AND l.vec_id < r2.vec_id
+    )"""
 
 
 def _shared_emb_meta(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
@@ -778,11 +837,13 @@ def _shared_multiprobe_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _HV_CACHE.get(key)
     if c is None:
         e = t(spark, sf_dir, "embeddings")
-        n, _dim = _shared_emb_meta(spark, sf_dir)
-        nbits = VEC.nbits_for_corpus(n, max_bits=16)
-        c = DD.multiprobe_candidate_pairs(
-            e, _mp_planes_sets(nbits), bucket_cap=EMB_BUCKET_CAP
-        ).persist()
+        n, dim = _shared_emb_meta(spark, sf_dir)
+        if n == 0 or dim == 0:
+            c = spark.createDataFrame([], "id_a long, id_b long")
+        else:
+            c = DD.multiprobe_candidate_pairs(
+                e, _mp_plane_sets(n, dim), bucket_cap=EMB_BUCKET_CAP
+            ).persist()
         _HV_CACHE[key] = c
     return c
 
@@ -790,32 +851,28 @@ def _shared_multiprobe_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d19_multiprobe_neardup",
     oracle=f"""
-    WITH w AS (SELECT {_SQL_NBITS} AS nbits FROM embeddings),
-    mb AS (
-      SELECT vec_id, {SQL_VEC} AS v,
-             {_sql_mp_buckets()}
-      FROM embeddings
-    ),
-    cand AS (
-      {_sql_mp_cand()}
-    ),
-    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM mb)
+    WITH RECURSIVE {_sql_mp_ctes()}
     SELECT c.id_a, c.id_b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
     FROM cand c JOIN n a ON c.id_a = a.vec_id JOIN n b ON c.id_b = b.vec_id
-    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+          >= {MP_THRESHOLD}
     """,
     survey_ref="extension: multi-probe embedding near-dup — R independent "
     "sign-LSH plane sets unioned (the d4 MinHash banding construction "
-    "transplanted to embeddings); the recall amplifier the width "
-    "derivation's docstring promises, now implemented and measured (d20)",
+    "transplanted to embeddings); R derived from (width, design "
+    "threshold, target recall) so recall holds as the width derivation "
+    "grows bits — measured by d20",
 )
 def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with recall amplification: candidates collide in ANY
-    of R=3 independent plane sets (each at the d6-derived width), then one
+    of R independent plane sets (each at the d6-derived width), then one
     exact-cosine verify over the DISTINCT candidate set. Single-set recall
-    at threshold tau is p(tau)^nbits; with R sets 1-(1-p^nbits)^R — d20
-    measures the gain against exhaustive truth on a sampled query set.
+    at threshold tau is p(tau)^nbits; with R sets 1-(1-p^nbits)^R — and R
+    is now DERIVED from (nbits, MP_THRESHOLD, MP_TARGET_RECALL) by
+    vectors.probes_for_recall, closing the round-5 loop where a pinned
+    R=3 let measured recall drift 35.6% -> 9.0% as nbits grew 4 -> 11. d20
+    measures the result against exhaustive truth on a sampled query set.
     Scale shape: the candidate stage shuffles only (id, bucket) pairs per
     set with per-set caps; the verify stage applies the same exact-
     duplicate factoring as d6 — candidate id pairs map to distinct-vector
@@ -875,48 +932,56 @@ def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d20_multiprobe_recall",
     oracle=f"""
-    WITH w AS (SELECT {_SQL_NBITS} AS nbits FROM embeddings),
-    mb AS (
-      SELECT vec_id, {SQL_VEC} AS v,
-             {_sql_mp_buckets()}
-      FROM embeddings
-    ),
-    cand AS (
-      {_sql_mp_cand()}
-    ),
-    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM mb),
+    WITH RECURSIVE {_sql_mp_ctes()},
     s AS (SELECT * FROM n WHERE vec_id < 16),
     truth AS (
       SELECT DISTINCT LEAST(s.vec_id, o.vec_id) AS id_a,
                       GREATEST(s.vec_id, o.vec_id) AS id_b
       FROM s JOIN n o ON o.vec_id <> s.vec_id
-      WHERE round(list_dot_product(s.v, o.v) / (s.nrm * o.nrm), 6) >= 0.3
+      WHERE round(list_dot_product(s.v, o.v) / (s.nrm * o.nrm), 6)
+            >= {MP_THRESHOLD}
     ),
     tt AS (SELECT COUNT(*) AS n_true FROM truth),
     f AS (
       SELECT COUNT(*) AS n_found
       FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    ),
+    m AS (
+      SELECT CAST(tt.n_true AS BIGINT) AS n_true,
+             CAST(f.n_found AS BIGINT) AS n_found,
+             {_sql_pround(
+                 "f.n_found / NULLIF(CAST(tt.n_true AS DOUBLE), 0.0)"
+             )}
+               AS recall
+      FROM tt, f
     )
-    SELECT CAST(tt.n_true AS BIGINT) AS n_true,
-           CAST(f.n_found AS BIGINT) AS n_found,
-           {_sql_pround("f.n_found / NULLIF(CAST(tt.n_true AS DOUBLE), 0.0)")}
-             AS recall
-    FROM tt, f
+    SELECT n_true, n_found, recall,
+           CAST({MP_TARGET_RECALL} AS DOUBLE) AS target_recall,
+           CAST(CASE WHEN recall >= {MP_TARGET_RECALL} THEN 1 ELSE 0 END
+                AS BIGINT) AS meets_target
+    FROM m
     """,
     survey_ref="extension: multi-probe LSH EVALUATION — candidate recall of "
     "d19's R-set union against exhaustive cosine truth on a deterministic "
     "sample of query vectors (s7's measurement discipline applied to the "
-    "near-dup blocking structure)",
+    "near-dup blocking structure), now CHECKED against the stated design "
+    "target the R derivation aims at",
 )
 def d20_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate recall audit: for a FIXED-SIZE deterministic sample
     (vec_id < 16 — ids that exist at every SF, s7's discipline) compute
-    ALL true near-pairs (>= 0.3) exhaustively and measure what fraction
-    the multi-probe candidate union surfaces. Fixed size matters at
-    scale: a fixed RATE sample (id % k) grows with the corpus and turns
+    ALL true near-pairs (>= MP_THRESHOLD) exhaustively and measure what
+    fraction the multi-probe candidate union surfaces. Fixed size matters
+    at scale: a fixed RATE sample (id % k) grows with the corpus and turns
     the exhaustive truth stage quadratic overall; 16 queries keep it one
     linear broadcast pass at any SF. One output row (n_true, n_found,
-    recall); recall NULLIF-guarded for an empty truth set."""
+    recall, target_recall, meets_target); recall NULLIF-guarded for an
+    empty truth set. meets_target closes the loop: the R derivation aims
+    at MP_TARGET_RECALL for a pair AT the design threshold, and pairs
+    above it collide more often, so the measured aggregate should sit at
+    or above target — except past the MP_MAX_SETS cap, where the
+    shortfall is reported honestly (see probes_for_recall's docstring for
+    the cost exponent that makes the cap necessary at low thresholds)."""
     n = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -945,13 +1010,21 @@ def d20_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _shared_multiprobe_cands(spark, sf_dir)
     tt = truth.agg(F.count("*").alias("n_true"))
     f = truth.join(cand, ["id_a", "id_b"]).agg(F.count("*").alias("n_found"))
-    return tt.crossJoin(F.broadcast(f)).select(
+    m = tt.crossJoin(F.broadcast(f)).select(
         "n_true",
         "n_found",
         _pround(
             F.col("n_found")
             / F.nullif(F.col("n_true").cast("double"), F.lit(0.0))
         ).alias("recall"),
+    )
+    return m.select(
+        "*",
+        F.lit(float(MP_TARGET_RECALL)).alias("target_recall"),
+        F.when(F.col("recall") >= F.lit(float(MP_TARGET_RECALL)), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("meets_target"),
     )
 
 
@@ -5625,10 +5698,17 @@ def sk4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     256 registers, register j = max over its items of (leading-zero count
     + 1) of the 52 post-bucket hash bits — computed as the first-'1'
     position in the zero-padded binary string, identical text ops in both
-    engines. The harmonic denominator sums 2^-M_j terms: every term is an
-    exact power of two spanning < 53 bits, so the double sum is EXACT and
-    order-independent — no decimal detour needed, the one float-sum in
-    the engine that needs no defense. Small-range correction: when the
+    engines. The harmonic denominator sums 2^-M_j terms: each term is an
+    exact power of two, and with 256 registers the running sum stays
+    exact as long as every register value is below ~46 (the 53-bit
+    significand then spans the largest partial sum, ~2^8, down to the
+    smallest term) — true for any input the 52-bit rho construction can
+    produce short of ~2^45 items per bucket, so in this estimator's
+    operating range the sum is exact and order-independent without a
+    decimal detour; a hypothetical register >= 46 would make the double
+    sum rounding-order-dependent (probability ~2^-45 per run), in which
+    case route the sum through the DECIMAL recipe tx12/mix6 use.
+    Small-range correction: when the
     raw estimate <= 2.5m and empty registers exist, fall back to linear
     counting m*ln(m/V) (fires at sf0.01: 150.87 vs 150 exact; the raw
     branch takes over once registers fill). The exact-count column exists

@@ -356,6 +356,43 @@ def test_nbits_for_corpus_scaling():
         assert n / (1 << bits) <= 1000
 
 
+def test_probes_for_recall_closed_loop():
+    """R derivation closes the width/recall loop: union recall at the
+    design point, 1-(1-p^nbits)^R, must reach the target for every width
+    the cap allows — and R must GROW as the width derivation grows bits
+    (the round-5 drift was R pinned at 3 while nbits went 4 -> 11)."""
+    import math
+
+    import pytest
+
+    from nyc_open_data_pipeline_spark.functions.vectors import (
+        collision_prob,
+        probes_for_recall,
+    )
+
+    p = collision_prob(0.3)
+    assert abs(p - (1 - math.acos(0.3) / math.pi)) < 1e-12
+    prev = 0
+    for nbits in range(4, 9):
+        r = probes_for_recall(nbits, 0.3, target=0.5, max_sets=10**9)
+        assert 1 - (1 - p**nbits) ** r >= 0.5  # target met (uncapped)
+        assert 1 - (1 - p**nbits) ** (r - 1) < 0.5  # and R is minimal
+        assert r >= prev
+        prev = r
+    # cap binds at high widths for a low design point (documented physics)
+    assert probes_for_recall(11, 0.3, target=0.5, max_sets=64) == 64
+    # production design point (cos >= 0.9) stays cheap at the same widths
+    assert probes_for_recall(11, 0.9, target=0.5, max_sets=64) <= 5
+    # degenerate inputs
+    assert probes_for_recall(4, 1.0) == 1  # p == 1: one set suffices
+    with pytest.raises(ValueError):
+        from nyc_open_data_pipeline_spark.operators.dedup import (
+            multiprobe_candidate_pairs,
+        )
+
+        multiprobe_candidate_pairs(None, [])
+
+
 def test_bands_for_threshold():
     """Band layout follows the stated Jaccard threshold via the LSH S-curve
     midpoint (1/b)^(1/r), instead of a hardcoded (4, 4)."""
@@ -484,9 +521,9 @@ def test_embedding_neardup_factoring_matches_bruteforce_on_duplicated_corpus(spa
 
 
 def test_multiprobe_supersets_single_set_and_amplifies_recall(spark, sf_dir):
-    """d19's plane set 0 IS d6's derived-width set (block 0 of the shared
-    LCG stream with the same mask and the same per-set cap), so every d6
-    pair must appear in d19 with the identical cos_sim — and the R=3 union
+    """d19's plane set 0 IS d6's derived-width set (the first nbits rows
+    of the shared LCG stream, same per-set cap), so every d6 pair must
+    appear in d19 with the identical cos_sim — and the derived-R union
     must surface strictly more pairs on this corpus (the recall
     amplification the operator exists for)."""
     from nyc_open_data_pipeline_spark.plans.llmdata import (
