@@ -151,6 +151,9 @@ HEADLINE += [
     "v7_l_diversity",
     "z1_zorder_layout",
     "sk4_hll_distinct",
+    # round 6
+    "d22_incremental_neardup",
+    "st11_stream_incremental_neardup",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

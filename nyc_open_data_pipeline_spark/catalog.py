@@ -70,10 +70,69 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 _EXPRESSION_HEAVY = {"documents", "embeddings"}
 
 
+# --- shuffle-partition auto-sizing -----------------------------------------
+# The round-5 sf100 probe found the spill regime: 32 shuffle partitions over
+# a 600M-row shuffle put ~GBs per partition and q2/j8/q18 spent their time in
+# spill I/O (SCALE.md round-5; q2 182 s -> 86.5 s at 256 partitions). The fix
+# was a manual env knob — operator knowledge. This derives it from the data:
+# AQE's over-provision-then-coalesce path makes the SAFE direction the
+# default. We set adaptive.coalescePartitions.initialPartitionNum from the
+# scale dir's on-disk bytes at ~32 MB parquet per partition (~128 MB
+# in-memory at the ~4x snappy-parquet decompression typical of these
+# columns), clamped to [defaultParallelism, 4096]; AQE then coalesces every
+# small stage back down (advisory 64 MB), so small fixtures keep their
+# current plans while large inputs get spill-free widths with NO knob.
+# Applied as a session high-water mark (never shrinks) so scale switches
+# within one session don't flap; SPARK_GRAFT_SHUFFLE_PARTITIONS remains as
+# an explicit operator override.
+_AUTOSIZE_TARGET_DISK_BYTES = 32 * 1024 * 1024
+_AUTOSIZE_MAX = 4096
+_DIR_BYTES_CACHE: dict[str, int] = {}
+_AUTOSIZE_HIGH_WATER: dict[str, int] = {}
+
+
+def _dir_input_bytes(sf_dir: str) -> int:
+    b = _DIR_BYTES_CACHE.get(sf_dir)
+    if b is None:
+        b = 0
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                try:
+                    b += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        _DIR_BYTES_CACHE[sf_dir] = b
+    return b
+
+
+def autosize_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Size AQE's initial shuffle-partition count from the input scale.
+    Returns the target in effect (for tests/telemetry)."""
+    appid = spark.sparkContext.applicationId
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        return _AUTOSIZE_HIGH_WATER.get(appid, 0)
+    par = spark.sparkContext.defaultParallelism
+    target = max(
+        par,
+        min(
+            _AUTOSIZE_MAX,
+            -(-_dir_input_bytes(sf_dir) // _AUTOSIZE_TARGET_DISK_BYTES),
+        ),
+    )
+    if target > _AUTOSIZE_HIGH_WATER.get(appid, 0):
+        _AUTOSIZE_HIGH_WATER[appid] = target
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(target),
+        )
+    return _AUTOSIZE_HIGH_WATER[appid]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from nyc_open_data_pipeline_spark.session import ensure_semantic_confs
 
     ensure_semantic_confs(spark)
+    autosize_shuffle_partitions(spark, sf_dir)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)

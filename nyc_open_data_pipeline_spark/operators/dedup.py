@@ -173,6 +173,47 @@ def minhash_signatures(
     return hashed.select("id", F.array(*mins).alias("sig"))
 
 
+def band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    precomputed_shingles: DataFrame | None = None,
+    precomputed_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, band_key) rows — ``bands`` rows per document, band_key =
+    '_'-joined row-slice of the MinHash signature. The shared banding stage
+    of minhash_lsh_pairs, exposed so the streaming incremental near-dup
+    flow can anti-join NEW documents' keys against a corpus band-key state
+    table without rebuilding pair logic. A document whose text is too short
+    to shingle has an all-NULL signature and an EMPTY band_key ('' after
+    null-skipping array_join); callers that need set semantics should
+    filter those out (the streaming sink does)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, precomputed_shingles,
+        precomputed_hashes,
+    )
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", i * rows + 1, rows), lambda x: x.cast("string")
+                        ),
+                        "_",
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -203,26 +244,9 @@ def minhash_lsh_pairs(
     text regardless.
     Returns (id_a, id_b) with id_a < id_b, distinct.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n, precomputed_shingles,
-        precomputed_hashes,
-    )
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.array_join(
-                        F.transform(
-                            F.slice("sig", i * rows + 1, rows), lambda x: x.cast("string")
-                        ),
-                        "_",
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+    banded = band_keys(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        precomputed_shingles, precomputed_hashes,
     )
     if bucket_cap is not None:
         # row_number (not a full sort of the corpus): one task per bucket,

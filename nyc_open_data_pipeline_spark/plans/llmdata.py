@@ -1272,6 +1272,132 @@ def st3_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("doc_id long, content_hash string").parquet(out_dir)
 
 
+# LSH band rows over the shared `sigs` CTE (one SELECT per band) — the
+# banding text d22/st11 share; _SQL_SCORED_PAIRS_CTE carries its own copy.
+_SQL_BANDS_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('_', "
+    + ", ".join(f"mh_{b * NROWS + r}" for r in range(NROWS))
+    + ") AS band_key FROM sigs"
+    for b in range(NBANDS)
+)
+
+
+@register(
+    "d22_incremental_neardup",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()},
+    bands AS ({_SQL_BANDS_UNION}),
+    existing AS (SELECT DISTINCT band, band_key FROM bands WHERE doc_id < 2500),
+    incoming AS (SELECT DISTINCT doc_id FROM bands WHERE doc_id >= 2500),
+    hit AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN existing e
+        ON b.band = e.band AND b.band_key = e.band_key
+      WHERE b.doc_id >= 2500
+    )
+    SELECT i.doc_id
+    FROM incoming i LEFT JOIN hit h ON i.doc_id = h.doc_id
+    WHERE h.doc_id IS NULL
+    """,
+    survey_ref="extension: incremental NEAR-dup ingest (d8's corpus anti-join "
+    "with MinHash-LSH band keys instead of exact hashes — an incoming batch "
+    "survives only where none of its bands collide with the existing "
+    "corpus's band-key set; the batch twin of st11)",
+)
+def d22_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: an incoming batch (doc_id >= 2500) keeps only
+    documents sharing NO LSH band key with the existing corpus (< 2500).
+    The conservative crawl-gate semantics (drop on band collision, no
+    exact verify — d4 is the verified batch variant). Scale shape: the
+    corpus side is a narrow DISTINCT (band, band_key) index — two small
+    columns regardless of corpus width, bucketable by band_key so
+    repeated ingests never reshuffle it; the probe side shuffles only
+    (doc_id, band, band_key). Docs too short to shingle have no band
+    keys and are out of scope (d15 owns short text)."""
+    hv = _shared_hv(spark, sf_dir)
+    bk = (
+        DD.band_keys(
+            t(spark, sf_dir, "documents"),
+            num_hashes=16,
+            bands=NBANDS,
+            precomputed_hashes=hv,
+        )
+        .filter(F.length("band_key") > 0)
+        .withColumnRenamed("id", "doc_id")
+    )
+    existing = (
+        bk.filter(F.col("doc_id") < 2500).select("band", "band_key").distinct()
+    )
+    inc = bk.filter(F.col("doc_id") >= 2500)
+    hit = inc.join(existing, ["band", "band_key"], "left_semi").select(
+        "doc_id"
+    )
+    return inc.select("doc_id").distinct().join(hit, "doc_id", "left_anti")
+
+
+@register(
+    "st11_stream_incremental_neardup",
+    oracle=f"""
+    WITH {_sql_minhash_sigs()},
+    bands AS ({_SQL_BANDS_UNION}),
+    firsts AS (
+      SELECT band, band_key, MIN(doc_id) AS first_id
+      FROM bands GROUP BY band, band_key
+    ),
+    verdict AS (
+      SELECT b.doc_id,
+             MAX(CASE WHEN f.first_id < b.doc_id THEN 1 ELSE 0 END) AS dropped
+      FROM bands b JOIN firsts f
+        ON b.band = f.band AND b.band_key = f.band_key
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id FROM verdict WHERE dropped = 0
+    """,
+    survey_ref="§2.13 Structured Streaming x dedup extension: st3's "
+    "continuous-ingest flow upgraded from exact hashes to MinHash-LSH band "
+    "keys (streaming/dedup.incremental_neardup_sink). Oracle = the greedy "
+    "first-seen batch answer: accept a doc iff every band key is first "
+    "seen by itself — exact under doc_id-ordered replay because 'seen' "
+    "includes rejected docs' keys, which removes within-batch chain "
+    "dependence (see sink docstring).",
+)
+def st11_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus ingestion with NEAR-dup filtering: the documents
+    table replayed as 4 doc_id-ordered micro-batches; each batch computes
+    its band keys in one narrow stage, drops docs colliding within-batch
+    (min-id-per-key) or with the accumulated corpus band-key state, then
+    appends survivors and the batch's distinct keys. State stays two
+    narrow columns — at 100 TB it is the bucketed band-key index of the
+    corpus, NOT the corpus (same design as st3's hash table, SCALE.md
+    streaming section)."""
+    import os
+    import tempfile
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        run_incremental_neardup,
+    )
+    from nyc_open_data_pipeline_spark.streaming.replay import (
+        ordered_range_chunks,
+    )
+    from nyc_open_data_pipeline_spark.streaming.windows import cached_fixture
+
+    root = tempfile.mkdtemp(prefix="st11_")
+    out_dir, state_dir = os.path.join(root, "out"), os.path.join(root, "state")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # same replay fixture as st3 (read-only, session-cached)
+    stream_dir = cached_fixture(
+        spark, sf_dir, "doc4range",
+        lambda p: ordered_range_chunks(docs, "doc_id", p, n_chunks=4),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    run_incremental_neardup(spark, stream, out_dir, state_dir)
+    return spark.read.schema("doc_id long").parquet(out_dir)
+
+
 # Shared redaction patterns (same regex dialect in Java and RE2)
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"

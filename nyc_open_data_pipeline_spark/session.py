@@ -62,8 +62,11 @@ def get_spark(
     # Shuffle-partition sizing is a per-DATA-SCALE knob, not a per-machine
     # one: partitions should land near ~128-500 MB so wide shuffles (600M-row
     # groupBys at the sf100 probe scale) stay in memory instead of spilling.
-    # Scale runs override via env; the default tracks core count for the
-    # small local fixtures.
+    # The DEFAULT path is automatic: catalog.load_table derives AQE's
+    # initialPartitionNum from the scale dir's on-disk bytes and lets AQE
+    # coalesce small stages back down (catalog.autosize_shuffle_partitions),
+    # so no knob is needed at any scale. The env var remains as an explicit
+    # operator override (it also disables the auto-sizing).
     shuffle_default = int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
     )

@@ -110,6 +110,113 @@ def run_incremental_dedup(
 
 
 
+BAND_SCHEMA = "band int, band_key string"
+
+
+def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
+    """foreachBatch function for continuous NEAR-dup filtering: the
+    MinHash-LSH analogue of ``incremental_dedup_sink``. State is the
+    distinct (band, band_key) set of EVERY document processed so far —
+    narrow (two small columns), mergeable, bucketable by band_key.
+
+    Semantics (deterministic, set-at-once computable, stream==batch): a
+    document is accepted iff every one of its band keys is FIRST seen by
+    itself — i.e. no document with a smaller doc_id (ingested earlier;
+    the replay is doc_id-ordered) shares any LSH band with it. This is
+    the conservative crawl-scale near-dup gate (drop on band collision,
+    no exact verify — the verified variant is the batch d4 path), and
+    "seen" deliberately includes keys of REJECTED documents: acceptance
+    then has no sequential chain dependence inside a batch, so a
+    micro-batch is one join, not an iteration. Within a batch the rule
+    is doc_id == MIN(doc_id) per key; across batches it is an anti-join
+    against the state table. Documents too short to shingle have no band
+    keys and are excluded (they are not near-dup candidates of anything;
+    the line-level d15 path owns short text).
+
+    Idempotence under checkpoint replay: same marker protocol as the
+    exact-hash sink."""
+    os.makedirs(state_dir, exist_ok=True)
+    marker = os.path.join(state_dir, "_last_batch")
+
+    def last_committed() -> int:
+        try:
+            with open(marker) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed():
+            return
+        sess = batch_df.sparkSession
+        from nyc_open_data_pipeline_spark.operators.dedup import band_keys
+
+        bk = (
+            band_keys(batch_df)
+            .filter(F.length("band_key") > 0)
+            .withColumnRenamed("id", "doc_id")
+        )
+        firsts = bk.groupBy("band", "band_key").agg(
+            F.min("doc_id").alias("first_id")
+        )
+        hit_within = (
+            bk.join(firsts, ["band", "band_key"])
+            .filter(F.col("first_id") < F.col("doc_id"))
+            .select("doc_id")
+        )
+        state_files = [
+            f for f in os.listdir(state_dir) if f.endswith(".parquet")
+        ]
+        if state_files:
+            seen = sess.read.schema(BAND_SCHEMA).parquet(state_dir)
+            hit_state = bk.join(seen, ["band", "band_key"], "left_semi").select(
+                "doc_id"
+            )
+            dropped = hit_within.unionByName(hit_state)
+        else:
+            dropped = hit_within
+        survivors = (
+            bk.select("doc_id")
+            .distinct()
+            .join(dropped, "doc_id", "left_anti")
+        )
+        from nyc_open_data_pipeline_spark.streaming.windows import record_stream_plan
+
+        try:
+            record_stream_plan(
+                f"incremental_neardup#batch{batch_id}",
+                survivors._jdf.queryExecution().executedPlan().toString(),
+            )
+        except Exception:
+            pass
+        new_keys = bk.select("band", "band_key").distinct()
+        out = survivors.localCheckpoint(eager=True)
+        keys = new_keys.localCheckpoint(eager=True)
+        out.write.mode("append").parquet(out_dir)
+        keys.write.mode("append").parquet(state_dir)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    return process
+
+
+def run_incremental_neardup(
+    spark: SparkSession, stream: DataFrame, out_dir: str, state_dir: str
+) -> None:
+    """Drain all currently-available input through the near-dup sink."""
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_neardup_sink(spark, out_dir, state_dir)
+        )
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
 def deduped_events(stream: DataFrame, delay: str = "3650 days") -> DataFrame:
     """Native streaming dedup: ``dropDuplicatesWithinWatermark`` on the
     event id — the built-in operator for collapsing at-least-once delivery

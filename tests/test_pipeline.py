@@ -332,3 +332,50 @@ def test_storage_vacuum_removes_orphans_keeps_recovery_source(spark, tmp_path):
     storage.vacuum("t")
     assert os.path.exists(final)  # restored by recovery
     assert {r["k"] for r in spark.read.parquet(final).collect()} == {1}
+
+
+def test_autosize_shuffle_partitions(spark, tmp_path):
+    """AQE initialPartitionNum derives from input bytes (round-6: the sf100
+    spill fix with NO env knob): small dirs pin core-count, a 20 GB dir gets
+    ~640 partitions, and the per-session high-water never shrinks so a scale
+    switch cannot flap a later big query back into the spill regime."""
+    import os
+
+    from nyc_open_data_pipeline_spark import catalog as C
+
+    assert not os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    appid = spark.sparkContext.applicationId
+    par = spark.sparkContext.defaultParallelism
+    C._AUTOSIZE_HIGH_WATER.pop(appid, None)
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    assert C.autosize_shuffle_partitions(spark, str(small)) == par
+
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "t.parquet", "wb") as f:  # sparse: 20 GB logical, ~0 disk
+        f.truncate(20 * 1024**3)
+    got = C.autosize_shuffle_partitions(spark, str(big))
+    assert got == 640  # 20 GiB / 32 MiB
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        )
+        == "640"
+    )
+
+    # high-water: revisiting the small dir must not shrink the width
+    assert C.autosize_shuffle_partitions(spark, str(small)) == 640
+
+    # explicit operator override disables auto-sizing entirely
+    os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "256"
+    try:
+        C._AUTOSIZE_HIGH_WATER.pop(appid, None)
+        C._DIR_BYTES_CACHE.pop(str(big), None)
+        assert C.autosize_shuffle_partitions(spark, str(big)) == 0
+    finally:
+        del os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"]
+    # restore for the rest of the suite (sf0.001 fixtures -> core count)
+    C._AUTOSIZE_HIGH_WATER.pop(appid, None)

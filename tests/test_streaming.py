@@ -478,3 +478,90 @@ def test_transform_with_state_gate_or_parity(spark, sf_dir, stream_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_incremental_neardup_stream_state(spark, tmp_path):
+    """Band keys seen in batch 0 must drop colliding docs in batch 1,
+    within-batch collisions must keep the min doc_id, and shingle-less
+    (short) docs must be out of scope entirely."""
+    from nyc_open_data_pipeline_spark.streaming.dedup import run_incremental_neardup
+    from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different words appear in this other document body text"
+    c = "a third unrelated passage about spark shuffles and parquet footers"
+    b0 = spark.createDataFrame(
+        [(1, a), (2, a), (3, b), (4, "hi")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, a), (11, c), (12, c)], "doc_id long, text string"
+    )
+    d = str(tmp_path / "in")
+    write_stream_chunks([b0, b1], d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    run_incremental_neardup(spark, stream, out, state)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # a -> 1 (2 within-batch, 10 by state), b -> 3, c -> 11 (12 within-batch);
+    # 4 is too short to shingle -> no band keys -> out of scope
+    assert got == {1, 3, 11}
+
+
+def test_incremental_neardup_sink_batch_replay_is_noop(spark, tmp_path):
+    """Marker protocol parity with the exact-hash sink: an already-applied
+    batch id replays as a no-op; a new batch id still filters via state."""
+    from nyc_open_data_pipeline_spark.streaming.dedup import incremental_neardup_sink
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different words appear in this other document body text"
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_neardup_sink(spark, out, state)
+    b0 = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sink(b0, 0)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+    sink(b0, 0)  # crash-after-commit replay
+    assert len(spark.read.parquet(out).collect()) == 2
+    b1 = spark.createDataFrame(
+        [(5, a), (6, "a third unrelated passage about spark shuffles here")],
+        "doc_id long, text string",
+    )
+    sink(b1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 6}
+
+
+def test_stream_incremental_neardup_equals_batch_greedy(spark, sf_dir):
+    """st11's replayed answer must equal the batch greedy-first-seen answer
+    computed directly over the full table (the stream==batch contract the
+    oracle encodes): accept a doc iff every band key's corpus-wide MIN
+    doc_id is itself."""
+    from pyspark.sql import functions as F
+
+    from nyc_open_data_pipeline_spark.catalog import load_table
+    from nyc_open_data_pipeline_spark.operators.dedup import band_keys
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    got = {
+        r["doc_id"]
+        for r in all_queries()["st11_stream_incremental_neardup"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    bk = (
+        band_keys(load_table(spark, sf_dir, "documents"))
+        .filter(F.length("band_key") > 0)
+        .withColumnRenamed("id", "doc_id")
+    )
+    firsts = bk.groupBy("band", "band_key").agg(F.min("doc_id").alias("first_id"))
+    exp = {
+        r["doc_id"]
+        for r in bk.join(firsts, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.max((F.col("first_id") < F.col("doc_id")).cast("int")).alias("d"))
+        .filter(F.col("d") == 0)
+        .collect()
+    }
+    assert got == exp and len(got) > 0
