@@ -154,6 +154,7 @@ HEADLINE += [
     # round 6
     "d22_incremental_neardup",
     "st11_stream_incremental_neardup",
+    "c5_cleanroom_v2",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -787,6 +787,28 @@ def boilerplate_strip(
     (source, chunk_text) — a plain shuffle join on the same key the df
     aggregation just hashed on. At 100 TB that one chunk-key exchange is the
     whole cost; state per key is one count."""
+    flagged = _boilerplate_flagged(docs, chunk_words, df_num, df_den)
+    kept_struct = F.when(~F.col("boiler"), F.struct("chunk_idx", "chunk_text"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if("boiler").alias("n_boiler"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+def _boilerplate_flagged(
+    docs: DataFrame, chunk_words: int, df_num: int, df_den: int
+) -> DataFrame:
+    """(doc_id, source, chunk_idx, chunk_text, boiler) — the shared chunking
+    + per-source document-frequency stage of the boilerplate family."""
     d = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
     n_chunks = F.ceil(F.size("words") / F.lit(float(chunk_words))).cast("long")
     chunks = d.select(
@@ -816,7 +838,7 @@ def boilerplate_strip(
         .groupBy("source", "chunk_text")
         .agg(F.count("*").alias("df"))
     )
-    flagged = (
+    return (
         chunks.join(chunk_df, ["source", "chunk_text"])
         .join(F.broadcast(src_docs), "source")
         .withColumn(
@@ -824,17 +846,27 @@ def boilerplate_strip(
             F.col("df") * F.lit(df_den) >= F.col("n_docs") * F.lit(df_num),
         )
     )
+
+
+def boilerplate_cleaned_text(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    df_num: int = 1,
+    df_den: int = 20,
+) -> DataFrame:
+    """(doc_id, cleaned) — each document reassembled from its
+    non-boilerplate chunks in chunk order ('' when nothing survives).
+    boilerplate_strip's cleaned_md5 hashes exactly this string; the
+    cleanroom composition (c5) needs the text itself to feed downstream
+    gates, so the reassembly is exposed as its own operator."""
+    flagged = _boilerplate_flagged(docs, chunk_words, df_num, df_den)
     kept_struct = F.when(~F.col("boiler"), F.struct("chunk_idx", "chunk_text"))
     return flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.count_if("boiler").alias("n_boiler"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s.chunk_text,
-                ),
-                " ",
-            )
-        ).alias("cleaned_md5"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("cleaned")
     )

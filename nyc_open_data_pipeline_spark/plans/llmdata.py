@@ -1699,6 +1699,185 @@ def write_cleanroom(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     ).parquet(out_path)
 
 
+def _sql_norm_of(col: str) -> str:
+    """SQL_NORM over an arbitrary column expression (SQL_NORM pins `text`)."""
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def _sql_tokens_of(col: str) -> str:
+    return f"regexp_split_to_array({_sql_norm_of(col)}, ' ')"
+
+
+@register(
+    "c5_cleanroom_v2",
+    oracle=f"""
+    WITH RECURSIVE {_sql_mp_ctes()},
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN n a ON c.id_a = a.vec_id JOIN n b ON c.id_b = b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+            >= {MP_THRESHOLD}
+    ),
+    wd AS (SELECT doc_id, source, string_split(text, ' ') AS words
+           FROM documents),
+    ch AS (
+      SELECT doc_id, source, i AS chunk_idx,
+             array_to_string(words[(i*10+1):(i*10+10)], ' ') AS chunk_text
+      FROM wd, UNNEST(generate_series(
+            0, CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS tt(i)
+    ),
+    sdc AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    cdf AS (
+      SELECT source, chunk_text, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM ch GROUP BY 1, 2
+    ),
+    cl AS (
+      SELECT k.doc_id,
+             COALESCE(string_agg(k.chunk_text, ' ' ORDER BY k.chunk_idx)
+                        FILTER (WHERE NOT k.boiler), '') AS cleaned
+      FROM (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text,
+                   (cdf.df * 20 >= sdc.n_docs * 1) AS boiler
+            FROM ch JOIN cdf USING (source, chunk_text)
+                    JOIN sdc USING (source)) k
+      GROUP BY k.doc_id
+    ),
+    base AS (SELECT d.doc_id, d.lang, cl.cleaned
+             FROM documents d JOIN cl USING (doc_id)),
+    ctoks AS (SELECT doc_id, {_sql_tokens_of('cleaned')} AS tk FROM base),
+    grams AS (
+      SELECT doc_id, tk[i] AS g
+      FROM ctoks, UNNEST(generate_series(1, len(tk))) AS t1(i)
+      UNION ALL
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+      FROM ctoks, UNNEST(generate_series(1, len(tk) - 1)) AS t2(i)
+    ),
+    gate AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               SUM(({sql_hash64(
+                   "'w#' || CAST((" + sql_hash64("g") + " % 1024) AS VARCHAR)"
+               )} % 2001) - 1000) AS s_milli
+        FROM grams GROUP BY doc_id)
+      WHERE s_milli >= 0
+    ),
+    p1 AS (SELECT b.doc_id, b.lang, b.cleaned FROM base b JOIN gate USING (doc_id)),
+    p2 AS (
+      SELECT doc_id, lang, cleaned FROM (
+        SELECT p1.*, md5({_sql_norm_of('cleaned')}) AS h FROM p1)
+      QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT v.id_b AS doc_id
+      FROM verified v JOIN p2 pa ON v.id_a = pa.doc_id
+                      JOIN p2 pb ON v.id_b = pb.doc_id
+    ),
+    p3 AS (SELECT p.doc_id, p.lang, p.cleaned FROM p2 p
+           LEFT JOIN dropped x USING (doc_id) WHERE x.doc_id IS NULL)
+    SELECT CASE WHEN {sql_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                WHEN {sql_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_sql_tokens_of('cleaned')})) AS BIGINT) AS total_tokens
+    FROM p3
+    GROUP BY 1, 2
+    """,
+    survey_ref="extension FLAGSHIP v2: cleanroom recomposed from the "
+    "round-5/6 operators — boilerplate strip (d21) -> learned quality gate "
+    "(tx14) -> exact dedup keep-first (d1) -> multi-probe embedding "
+    "near-dup drop (d19) -> deterministic hash split (d9), one Catalyst "
+    "plan, full cross-engine oracle (c1 remains the heuristic-gate / "
+    "MinHash-verify variant).",
+)
+def c5_cleanroom_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleanroom v2 — the flagship composition rebuilt from the newest
+    operator generation, end to end as ONE declarative plan:
+
+    1. boilerplate strip  per-source template chunks removed from every
+                          document (d21's operator, but keeping the
+                          reassembled TEXT, not just its md5)
+    2. learned gate       fastText-style hashed n-gram linear classifier
+                          on the CLEANED text, keep s_milli >= 0 (tx14's
+                          integer-exact decision; docs whose cleaned text
+                          is empty of n-grams drop here)
+    3. exact dedup        keep lowest doc_id per normalized CLEANED-text
+                          md5 — boilerplate-only differences collapse,
+                          which d1-on-raw-text cannot see
+    4. near-dup drop      d19's multi-probe sign-LSH verified pairs
+                          (cos >= MP_THRESHOLD on the doc_id==vec_id
+                          embedding corpus): drop the higher id of a
+                          verified pair when both endpoints still survive
+    5. split + stats      deterministic hash split (d9) with per-(split,
+                          lang) doc and CLEANED-token counts
+
+    Stage order is the production one: strip before hashing (so template
+    noise can't defeat exact dedup), gate before the shuffles (cheapest
+    filter first), near-dup last (smallest candidate set). Every stage
+    reuses the operator behind its standalone query; the oracle replays
+    the identical pipeline in DuckDB, including the multi-probe plane
+    derivation (recursive LCG CTE)."""
+    docs = t(spark, sf_dir, "documents")
+    cleaned = DD.boilerplate_cleaned_text(
+        docs, chunk_words=10, df_num=1, df_den=20
+    )
+    base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
+    tk = base.select("doc_id", TXT.tokens(F.col("cleaned")).alias("tk"))
+    bi = F.when(
+        F.size("tk") >= 2,
+        F.expr(
+            "transform(sequence(1, size(tk) - 1), "
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tk.select("doc_id", F.explode(F.concat(F.col("tk"), bi)).alias("g"))
+    bucket = DD._hash64(F.col("g")) % 1024
+    milli = (
+        DD._hash64(F.concat(F.lit("w#"), bucket.cast("string"))) % 2001
+    ) - 1000
+    gate = (
+        grams.groupBy("doc_id")
+        .agg(F.sum(milli).alias("s_milli"))
+        .filter(F.col("s_milli") >= 0)
+        .select("doc_id")
+    )
+    p1 = base.join(gate, "doc_id")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    p2 = (
+        p1.withColumn("h", F.md5(DD.normalized_text(F.col("cleaned"))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "cleaned")
+    )
+    surv = p2.select("doc_id")
+    pairs = d19_multiprobe_neardup(spark, sf_dir).select("id_a", "id_b")
+    dropped = (
+        pairs.join(surv.withColumnRenamed("doc_id", "id_a"), "id_a", "semi")
+        .join(surv.withColumnRenamed("doc_id", "id_b"), "id_b", "semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    p3 = p2.join(dropped, "doc_id", "left_anti")
+    sbucket = DD._hash64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(sbucket < 80, "train").when(sbucket < 90, "val").otherwise("test")
+    )
+    return (
+        p3.select(
+            split.alias("split"),
+            "lang",
+            TXT.token_count(F.col("cleaned")).alias("ntok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 _TWO60 = float(1 << 60)
 
 

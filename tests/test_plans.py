@@ -495,3 +495,17 @@ def test_driver_green_names_resolve():
     )
     missing = [n for n in green if n not in QUERIES]
     assert not missing, f"driver_green names not in registry: {missing}"
+
+
+def test_c5_cleanroom_v2_single_plan_composition(spark, sf_dir):
+    """c5 must compose d21 -> tx14 -> exact dedup -> d19 drop -> d9 split
+    into ONE Catalyst plan with no cartesian/nested-loop fallback, and the
+    stage signatures must all be present: the boilerplate chunk-df join,
+    the classifier's doc_id hash-aggregate, the keep-first window, and the
+    near-dup left-anti join."""
+    plan = plan_of(spark, sf_dir, "c5_cleanroom_v2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "RowNumber" in plan or "row_number" in plan  # keep-first dedup
+    assert "LeftAnti" in plan  # near-dup drop
+    assert plan.count("Generate") >= 2  # chunk explode + n-gram explode
