@@ -509,3 +509,38 @@ def test_c5_cleanroom_v2_single_plan_composition(spark, sf_dir):
     assert "RowNumber" in plan or "row_number" in plan  # keep-first dedup
     assert "LeftAnti" in plan  # near-dup drop
     assert plan.count("Generate") >= 2  # chunk explode + n-gram explode
+
+
+def test_relational_core_ansi_dual_run(spark, sf_dir):
+    """The engine pins ansi=false for T1's pandas-coercion parity; this
+    dual-run proves the relational core is not silently DEPENDENT on
+    non-ANSI semantics: q1/j2/a2/o3 must run and produce identical rows
+    with ansi=true (no hidden invalid-cast-to-NULL, no overflow leniency
+    in the aggregates). T1-family coercion queries are exempt by design —
+    they document exactly the sites that need errors='coerce'."""
+    import os
+
+    from nyc_open_data_pipeline_spark.plans import all_queries
+    from nyc_open_data_pipeline_spark.session import ensure_semantic_confs
+
+    names = [
+        "q1_pricing_summary",
+        "j2_inner_join_broadcast",
+        "a2_latest_per_key",
+        "o3_dedup_keep_last",
+    ]
+    qs = all_queries()
+    base = {
+        n: sorted(tuple(r) for r in qs[n].fn(spark, sf_dir).collect())
+        for n in names
+    }
+    os.environ["SPARK_GRAFT_ANSI"] = "true"
+    try:
+        for n in names:
+            got = sorted(tuple(r) for r in qs[n].fn(spark, sf_dir).collect())
+            assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+            assert got == base[n], f"{n} differs under ansi=true"
+    finally:
+        del os.environ["SPARK_GRAFT_ANSI"]
+        ensure_semantic_confs(spark)
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
