@@ -133,6 +133,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_semantic_confs(spark)
     autosize_shuffle_partitions(spark, sf_dir)
+    # Bucketed-layout opt-in (operators/bucketing): when the session catalog
+    # holds a pre-bucketed copy (written once via write_bucketed, paying the
+    # join shuffle at write time) and the operator asks for it, serve that —
+    # equi-joins between identically-bucketed facts then plan with NO
+    # Exchange. Opt-in by env so the parquet path stays the default and the
+    # oracle contract is unaffected (same rows, different physical layout).
+    if os.environ.get("SPARK_GRAFT_USE_BUCKETED") == "1":
+        bt = f"sg_bucketed_{name}"
+        if spark.catalog.tableExists(bt):
+            return spark.table(bt)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
