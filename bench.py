@@ -208,16 +208,20 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Two FULL timed passes, min per query: the host shows bursty external
-    # load (observed 3-4x inflation for ~30s windows); separating the two
+    # FULL timed passes, min per query: the host shows bursty external
+    # load (observed 3-4x inflation for ~30s windows); separating the
     # repetitions of a query by a whole pass means a burst hits different
-    # queries in each pass, and min-of-2 recovers the true cost.
+    # queries in each pass, and min-of-N recovers the true cost. Default 2;
+    # scale probes (few queries x minutes each, where j8-at-sf100 wobbled
+    # 85.6-122.9 s across round-5 passes) set SPARK_GRAFT_BENCH_PASSES=3
+    # so the min is taken over three load windows (SCALE.md method note).
     # Per-query fault isolation: one broken query must cost only its own
     # timing (null), never the whole artifact (round 2 lost all 56 other
     # timings to a single AnalysisException).
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    for _ in range(2):
+    for _ in range(passes):
         for name in bench_names:
             if name not in specs or name in errors:
                 continue
