@@ -155,6 +155,9 @@ HEADLINE += [
     "d22_incremental_neardup",
     "st11_stream_incremental_neardup",
     "c5_cleanroom_v2",
+    "smp2_kcenter_sample",
+    "seq4_epoch_shuffle",
+    "v8_referential_integrity",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

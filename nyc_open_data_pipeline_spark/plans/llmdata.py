@@ -6053,3 +6053,228 @@ def sk4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         _pround((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 additions: diversity sampling, epoch sharding, referential audit
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  # greedy k-center sample size (bench scale; production k ~ 10^3-10^4)
+
+
+def _sql_kcenter(k: int) -> str:
+    """Unrolled greedy-k-center CTE chain (k is a small fixed constant, so
+    the oracle unrolls the iterations instead of a recursive CTE — each
+    step is plain window/aggregate SQL both engines execute identically).
+    Distance = portable-rounded cosine distance; argmax ties broken by
+    min vec_id, so selection is fully deterministic cross-engine."""
+    dist = _sql_pround(
+        "1.0 - list_dot_product(p.v, c.v) / (p.nrm * c.nrm)"
+    )
+    ctes = [
+        f"en AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings)",
+        "kn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm"
+        " FROM en)",
+        "c0 AS (SELECT vec_id, v, nrm FROM kn"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM kn))",
+        f"m0 AS (SELECT p.vec_id, p.v, p.nrm, {dist} AS mind"
+        " FROM kn p, c0 c WHERE p.vec_id <> c.vec_id)",
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"s{r} AS (SELECT vec_id, v, nrm, mind FROM m{r - 1}"
+            " ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if r < k - 1:
+            step = _sql_pround(
+                "1.0 - list_dot_product(p.v, c.v) / (p.nrm * c.nrm)"
+            )
+            ctes.append(
+                f"m{r} AS (SELECT p.vec_id, p.v, p.nrm,"
+                f" LEAST(p.mind, {step}) AS mind"
+                f" FROM m{r - 1} p, s{r} c WHERE p.vec_id <> c.vec_id)"
+            )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS rnk, vec_id,"
+        " CAST(NULL AS DOUBLE) AS radius FROM c0"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT) AS rnk, vec_id, mind AS radius"
+        f" FROM s{r}"
+        for r in range(1, k)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "smp2_kcenter_sample",
+    oracle=_sql_kcenter(_KC_K),
+    survey_ref="extension: diversity (coverage) sampling — greedy k-center "
+    "(Gonzalez) over the embedding corpus under cosine distance: each pick "
+    "is the point FARTHEST from every already-chosen point, the classic "
+    "2-approximation of the k-center cover and the geometry behind "
+    "coreset/'most-diverse subset' curation. Complements smp1 (stratified "
+    "by metadata) and mix6 (importance-weighted) with a geometric "
+    "criterion; radius column = the covering radius bound after each pick.",
+)
+def smp2_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center: seed = min vec_id, then k-1 rounds of
+    'farthest-point-first'. Each round is ONE narrow distributed pass —
+    update a running min-distance column against the (broadcast-literal)
+    newest center, then TakeOrdered(1) for the argmax — so the total cost
+    is k linear scans and k single-row collects (bounded control-plane
+    data, the same budget as the k-means fit). No pairwise join ever
+    forms: distances go point->center only, never point->point. At
+    production k (10^3+) the same loop batches picks per pass
+    (k-center|| oversampling, as k-means|| does for seeding); selection
+    order and the per-pick covering radius are emitted so downstream can
+    cut the sample at any prefix. Ties at equal (rounded) distance break
+    on min vec_id — deterministic cross-engine, like every ranked
+    operator here."""
+    e = t(spark, sf_dir, "embeddings")
+    n, _dim = _shared_emb_meta(spark, sf_dir)
+    schema = "rnk long, vec_id long, radius double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    pts = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+    )
+    seed = pts.orderBy("vec_id").limit(1).collect()[0]
+
+    def dist_to(vec: list, nrm: float):
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        return _pround(
+            F.lit(1.0)
+            - VEC.cosine_prenormed(F.col("v"), c, F.col("nrm"), F.lit(nrm))
+        )
+
+    chosen: list[tuple] = [(0, seed.vec_id, None)]
+    cur = pts.filter(F.col("vec_id") != seed.vec_id).withColumn(
+        "mind", dist_to(list(seed.v), float(seed.nrm))
+    )
+    for r in range(1, _KC_K):
+        rows = cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()
+        if not rows:
+            break  # corpus smaller than k: emit what exists (oracle agrees)
+        nxt = rows[0]
+        chosen.append((r, nxt.vec_id, float(nxt.mind)))
+        if r < _KC_K - 1:
+            cur = cur.filter(F.col("vec_id") != nxt.vec_id).withColumn(
+                "mind",
+                F.least(F.col("mind"), dist_to(list(nxt.v), float(nxt.nrm))),
+            )
+    return spark.createDataFrame(chosen, schema)
+
+
+_SHARDS = 16  # bench shard count; production sizes shards to ~file size
+
+
+@register(
+    "seq4_epoch_shuffle",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             {sql_hash64("concat('seq4:e1:', CAST(doc_id AS VARCHAR))")} AS u
+      FROM documents
+    ),
+    s AS (SELECT doc_id, n_chars, u, u % {_SHARDS} AS shard FROM u)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY u, doc_id)) AS manifest_md5
+    FROM s GROUP BY shard
+    """,
+    survey_ref="extension: deterministic epoch shuffle -> training shards — "
+    "every doc lands in a salted-hash shard with a hash-ordered in-shard "
+    "position, the write pattern for epoch-shuffled training data (a "
+    "global RNG shuffle no two runs reproduce, replaced by a keyed hash "
+    "every engine/run/cluster agrees on). Output is the shard MANIFEST "
+    "(count, size, content fingerprint) a training loader validates "
+    "against.",
+)
+def seq4_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 shuffle plan: shard = salted_hash(doc_id) % S, in-shard
+    order = (hash, doc_id). ONE hash-partition exchange total — exactly
+    the shuffle a shard writer pays, no more. Per-shard manifests
+    aggregate with an order-pinned fingerprint (array_sort before md5, so
+    collect_list's arrival order can't leak in). Scale: S is chosen so a
+    shard ~= one output file (~256 MB); the per-shard sort is per-task
+    local — the global ORDER BY a naive epoch shuffle would pay never
+    appears. Epoch 2 changes the salt, nothing else."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = DD._hash64(F.concat(F.lit("seq4:e1:"), F.col("doc_id").cast("string")))
+    s = d.select(
+        "doc_id", "n_chars", u.alias("u"), (u % _SHARDS).alias("shard")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("u", "doc_id"))),
+        lambda x: x.getField("doc_id").cast("string"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.concat_ws(",", ordered)).alias("manifest_md5"),
+    )
+
+
+# (child_table, fk_col, parent_table, pk_col) — the test corpus's star/
+# snowflake FK edges (TPC-H's, minus partsupp which the corpus omits).
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "v8_referential_integrity",
+    oracle="\nUNION ALL ".join(
+        f"""
+    SELECT '{c}.{ck}->{p}' AS relation,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {c} ch
+             WHERE NOT EXISTS (SELECT 1 FROM {p} pa
+                               WHERE pa.{pk} = ch.{ck})) AS n_orphans
+    """
+        for c, ck, p, pk in _FK_EDGES
+    ),
+    survey_ref="extension: referential-integrity audit (V-family) — orphan "
+    "counts for every FK edge of the star schema via anti-joins, the "
+    "load-time gate that catches a partial upstream export (child rows "
+    "whose parent never arrived) before a join silently drops them. "
+    "Extends the reference's per-ROW validation rules (V1-V5, "
+    "src/ingestion/parser.py) to a cross-TABLE invariant.",
+)
+def v8_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per FK edge: child count + orphan count (left_anti ==
+    NOT EXISTS, so a NULL FK counts as an orphan in both engines). Scale
+    shape: each edge is one anti-join on the FK — dims broadcast; the
+    fact-to-fact edge (lineitem->orders) runs the standard shuffled anti
+    join on the join key it would shuffle on anyway. The 1-row count
+    frames combine via broadcast cross joins (bounded control-plane
+    rows, sk4's pattern)."""
+    out = None
+    for c, ck, p, pk in _FK_EDGES:
+        child = t(spark, sf_dir, c)
+        parent = t(spark, sf_dir, p)
+        n_child = child.agg(F.count("*").cast("long").alias("n_child"))
+        n_orph = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+        row = (
+            n_child.crossJoin(F.broadcast(n_orph))
+            .select(
+                F.lit(f"{c}.{ck}->{p}").alias("relation"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

