@@ -128,6 +128,58 @@ def probes_for_recall(
     return min(max(r, 1), max_sets)
 
 
+def multiprobe_design(
+    nbits: int,
+    threshold: float,
+    target: float = 0.5,
+    max_sets: int = 64,
+    max_radius: int = 2,
+) -> tuple[int, int]:
+    """(r_sets, probe_radius) reaching ``target`` design recall within the
+    ``max_sets`` cap, escalating BIT-FLIP PROBING only when independent
+    sets alone cannot fit.
+
+    Bit-flip probing (Lv et al. 2007 multi-probe LSH, adapted from query-
+    time ANN to pair generation) accepts a pair as a candidate when its
+    two signatures differ in at most ``radius`` bits of one set, not only
+    when they agree exactly: per-set recall grows from p^nbits to
+    sum_{j<=q} C(nbits,j) p^(nbits-j) (1-p)^j, so far fewer sets reach
+    the same union recall 1-(1-P_q)^R. The point is WHERE each strategy
+    pays. Another independent set adds nbits more unrolled dot-product
+    expressions to the PLAN — analysis/codegen cost, the reason max_sets
+    exists at all — while a bit flip adds only DATA: one XOR'd probe key
+    per row, a posexplode away, and the probe side of the join needs no
+    new signature computation. Radius stays 0 while the set count fits
+    (keeping single-probe's better per-key join efficiency: fresh random
+    bits beat correlated flips per unit of candidate volume), so small
+    corpora keep the exact construction ``probes_for_recall`` gives.
+
+    At the synthetic corpus's hostile design point (cos 0.3, p ~ 0.597)
+    the ladder is: nbits 4 -> (6 sets, q=0), 8 -> (43, q=0),
+    11 -> (24, q=1), 14 -> (18, q=2), 16 -> (40, q=2) — every width
+    ``nbits_for_corpus`` can produce (max_bits=16) now meets the target
+    inside the cap, eliminating the capped-shortfall regime the round-6
+    recall audit measured at sf10 (design union 0.198, measured 33.2%).
+    Only past ``max_radius`` does the honest fallback remain:
+    (max_sets, max_radius) with the shortfall reported by the audit."""
+    import math
+
+    p = collision_prob(threshold)
+    for radius in range(max_radius + 1):
+        per_set = sum(
+            math.comb(nbits, j) * p ** (nbits - j) * (1.0 - p) ** j
+            for j in range(radius + 1)
+        )
+        if per_set >= 1.0:
+            return 1, radius
+        if per_set <= 0.0:
+            continue
+        r = math.ceil(math.log(1.0 - target) / math.log(1.0 - per_set))
+        if r <= max_sets:
+            return max(r, 1), radius
+    return max_sets, max_radius
+
+
 # Deterministic ±1 hyperplanes (LCG-generated, fixed seed) for sign-LSH.
 def hyperplanes(dim: int, nbits: int = 8) -> list[list[float]]:
     state = 0x2545F4914F6CDD1D

@@ -447,10 +447,23 @@ def multiprobe_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = 2000,
+    radius: int = 0,
 ) -> DataFrame:
     """Multi-probe sign-LSH candidates: R INDEPENDENT plane sets, each
-    bucketing the corpus on its own key; a pair is a candidate if it
-    collides in ANY set. Union of the R within-bucket pair sets, distinct.
+    bucketing the corpus on its own key; a pair is a candidate if its two
+    signatures differ in at most ``radius`` bits of ANY set (radius 0 =
+    exact bucket collision). Union over sets, distinct.
+
+    Bit-flip probing (``radius`` > 0, Lv et al. multi-probe) is the
+    escape from the set-count cap: one side of the join additionally
+    emits its bucket XOR every mask of Hamming weight <= radius, so a
+    pair lands together exactly when mask = sig_a XOR sig_b — one-sided
+    probing finds every such pair via precisely one mask per set (no
+    intra-set double count). The masks are plan LITERALS (1 + nbits +
+    C(nbits,2) longs at radius 2), while the expansion itself is DATA
+    (explode), so recall bought this way costs candidate-join volume,
+    not analyzer/codegen plan size the way more plane sets do.
+    ``vectors.multiprobe_design`` derives (R, radius) jointly.
 
     This is the recall amplifier the width derivation points at
     (vectors.nbits_for_corpus): growing bits keeps buckets small but a
@@ -475,6 +488,11 @@ def multiprobe_candidate_pairs(
 
     if not planes_sets:
         raise ValueError("multiprobe_candidate_pairs: planes_sets is empty")
+    if radius < 0 or radius > 2:
+        raise ValueError(
+            "multiprobe_candidate_pairs: radius must be 0, 1 or 2 "
+            f"(got {radius})"
+        )
     b = e.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(
@@ -492,8 +510,31 @@ def multiprobe_candidate_pairs(
         .filter(F.col("__rn") <= bucket_cap)
         .drop("__rn")
     )
+    if radius > 0:
+        nbits = len(planes_sets[0])
+        masks = [0] + [1 << i for i in range(nbits)]
+        if radius >= 2:
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(nbits)
+                for j in range(i + 1, nbits)
+            ]
+        probe = b.select(
+            "vec_id",
+            "r",
+            F.col("bucket").alias("b0"),
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("mask"),
+        ).select(
+            "vec_id",
+            "r",
+            F.col("b0").bitwiseXOR(F.col("mask")).alias("bucket"),
+        )
+    else:
+        probe = b
     return (
-        b.alias("l")
+        probe.alias("l")
         .join(
             b.alias("r2"),
             (F.col("l.r") == F.col("r2.r"))

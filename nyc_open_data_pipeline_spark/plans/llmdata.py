@@ -714,35 +714,77 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Multi-probe LSH: R independent plane sets drawn from ONE LCG stream in
 # nbits-plane blocks (block 0 == the single-probe d6 set, by the stream's
-# row-major prefix property). BOTH the width and the number of sets are
-# derived: nbits from corpus cardinality (vectors.nbits_for_corpus, holds
-# bucket occupancy flat) and R from (nbits, design threshold, target
-# recall) via vectors.probes_for_recall — the closed loop that replaces
-# the round-5 hand constant R=3 whose measured recall drifted
-# 35.6% -> 9.0% as the derived width grew sf0.01 -> sf10.
+# row-major prefix property). The WHOLE configuration is derived: nbits
+# from corpus cardinality (vectors.nbits_for_corpus, holds bucket
+# occupancy flat), and (R, probe radius) jointly from (nbits, design
+# threshold, target recall) via vectors.multiprobe_design — independent
+# sets while they fit the cap, bit-flip probing (Lv et al.) when the set
+# count alone cannot: more sets grow the PLAN (nbits more unrolled dot
+# expressions each), flipped-bucket probes grow only the DATA (XOR'd
+# keys via explode), so the design target is now reachable at every
+# width max_bits=16 can produce — the round-6 capped-shortfall regime
+# at sf10 (nbits=11 wanted 202 sets, got 64, measured recall 33.2%)
+# becomes (24 sets, radius 1, design union 0.507).
 MP_THRESHOLD = 0.3  # design-point cosine == the operator's decision threshold
 MP_TARGET_RECALL = 0.5  # stated target recall for a pair AT the design point
-MP_MAX_SETS = 64  # blow-up cap; d20 reports any shortfall past it
+MP_MAX_SETS = 64  # plan-size cap; radius escalates before it can bind
+MP_MAX_RADIUS = 2  # probe-radius cap; d20 reports any shortfall past it
 
 
-def _mp_plane_sets(n: int, dim: int) -> list[list[list[float]]]:
-    """R plane sets for a corpus of n vectors of the MEASURED dim (a
-    mismatched fixture can no longer silently collapse every vector into
-    bucket 0 via null-propagating zip_with padding)."""
+def _mp_design(n: int) -> tuple[int, int, int]:
+    """(nbits, r_sets, radius) for a corpus of n vectors."""
     nbits = VEC.nbits_for_corpus(n, max_bits=16)
-    r_sets = VEC.probes_for_recall(
-        nbits, MP_THRESHOLD, MP_TARGET_RECALL, MP_MAX_SETS
+    r_sets, radius = VEC.multiprobe_design(
+        nbits, MP_THRESHOLD, MP_TARGET_RECALL, MP_MAX_SETS, MP_MAX_RADIUS
     )
+    return nbits, r_sets, radius
+
+
+def _mp_plane_sets(n: int, dim: int) -> tuple[list[list[list[float]]], int]:
+    """(R plane sets, probe radius) for a corpus of n vectors of the
+    MEASURED dim (a mismatched fixture can no longer silently collapse
+    every vector into bucket 0 via null-propagating zip_with padding)."""
+    nbits, r_sets, radius = _mp_design(n)
     pl = VEC.hyperplanes(dim, nbits * r_sets)
-    return [pl[r * nbits : (r + 1) * nbits] for r in range(r_sets)]
+    return [pl[r * nbits : (r + 1) * nbits] for r in range(r_sets)], radius
 
 
-# SQL mirror of vectors.probes_for_recall (expects `nbits` in scope).
-_SQL_MP_RSETS = (
-    f"LEAST({MP_MAX_SETS}, GREATEST(1, CAST(ceil("
-    f"ln(1.0 - {MP_TARGET_RECALL}) / "
-    f"ln(1.0 - pow(1.0 - acos({MP_THRESHOLD})/pi(), nbits))) AS INT)))"
-)
+# SQL mirror of vectors.multiprobe_design (CTE chain w1..w; expects w0 to
+# provide nbits and dim). Term order in p0/p1/p2 matches the Python sum
+# exactly; the ceil boundaries sit >=0.3 away from integers at every
+# width in [4,16], so double-rounding cannot flip an engine.
+_SQL_MP_DESIGN = f"""w1 AS (
+      SELECT nbits, dim, 1.0 - acos({MP_THRESHOLD})/pi() AS p FROM w0
+    ),
+    w2 AS (
+      SELECT nbits, dim,
+             pow(p, nbits) AS p0,
+             pow(p, nbits) + nbits*pow(p, nbits-1)*(1.0-p) AS p1,
+             pow(p, nbits) + nbits*pow(p, nbits-1)*(1.0-p)
+               + (nbits*(nbits-1)//2)*pow(p, nbits-2)*pow(1.0-p, 2.0)
+               AS p2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT nbits, dim,
+        CASE WHEN p0 >= 1 THEN 1 ELSE CAST(ceil(
+          ln(1.0 - {MP_TARGET_RECALL})/ln(1.0-p0)) AS INT) END AS r0,
+        CASE WHEN p1 >= 1 THEN 1 ELSE CAST(ceil(
+          ln(1.0 - {MP_TARGET_RECALL})/ln(1.0-p1)) AS INT) END AS r1,
+        CASE WHEN p2 >= 1 THEN 1 ELSE CAST(ceil(
+          ln(1.0 - {MP_TARGET_RECALL})/ln(1.0-p2)) AS INT) END AS r2
+      FROM w2
+    ),
+    w AS (
+      SELECT nbits, dim,
+        CASE WHEN r0 <= {MP_MAX_SETS} THEN r0
+             WHEN r1 <= {MP_MAX_SETS} THEN r1
+             ELSE LEAST(r2, {MP_MAX_SETS}) END AS r_sets,
+        CASE WHEN r0 <= {MP_MAX_SETS} THEN 0
+             WHEN r1 <= {MP_MAX_SETS} THEN 1
+             ELSE 2 END AS radius
+      FROM w3
+    )"""
 
 # vectors.hyperplanes' LCG, reproduced verbatim so the oracle can GENERATE
 # the plane stream instead of inlining megabytes of literals: the stream is
@@ -754,20 +796,23 @@ _LCG_M = 1 << 63
 
 
 def _sql_mp_ctes() -> str:
-    """Shared CTE chain for the d19/d20 oracles: derive (nbits, dim, R)
-    from corpus stats, generate the first nbits*dim*R LCG values with a
-    recursive CTE (verified value-identical to vectors.hyperplanes),
-    fold them into (set r, bit i, plane) rows, bucket every vector per
-    set, cap per (set, bucket), and self-join into distinct candidate
-    pairs — the oracle reproduces the WHOLE derivation, so it stays the
-    production path at any corpus size or vector dim. Requires the query
-    to open with WITH RECURSIVE."""
+    """Shared CTE chain for the d19/d20 oracles: derive (nbits, dim,
+    r_sets, probe radius) from corpus stats, generate the first
+    nbits*dim*r_sets LCG values with a recursive CTE (verified value-
+    identical to vectors.hyperplanes), fold them into (set r, bit i,
+    plane) rows, bucket every vector per set, cap per (set, bucket),
+    expand the probe side by every XOR mask of Hamming weight <= radius
+    (range(16) is the nbits_for_corpus max_bits ceiling; `bits` trims it
+    to the derived width), and join into distinct candidate pairs — the
+    oracle reproduces the WHOLE derivation, so it stays the production
+    path at any corpus size or vector dim. Requires the query to open
+    with WITH RECURSIVE."""
     return f"""w0 AS (
       SELECT {_SQL_NBITS} AS nbits,
              CAST(any_value(len({SQL_VEC})) AS INT) AS dim
       FROM embeddings
     ),
-    w AS (SELECT nbits, dim, {_SQL_MP_RSETS} AS r_sets FROM w0),
+    {_SQL_MP_DESIGN},
     lcg(k, state) AS (
       SELECT 0, (CAST({_LCG_SEED} AS HUGEINT) * {_LCG_A} + {_LCG_C})
                 % CAST({_LCG_M} AS HUGEINT)
@@ -800,10 +845,24 @@ def _sql_mp_ctes() -> str:
       QUALIFY row_number() OVER (PARTITION BY r, bucket ORDER BY vec_id)
               <= {EMB_BUCKET_CAP}
     ),
+    bits AS (
+      SELECT i FROM range(16) t(i) WHERE i < (SELECT nbits FROM w)
+    ),
+    masks AS (
+      SELECT CAST(0 AS BIGINT) AS mask
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) << i FROM bits
+      WHERE (SELECT radius FROM w) >= 1
+      UNION ALL
+      SELECT (CAST(1 AS BIGINT) << b1.i) | (CAST(1 AS BIGINT) << b2.i)
+      FROM bits b1, bits b2
+      WHERE b1.i < b2.i AND (SELECT radius FROM w) >= 2
+    ),
     cand AS (
       SELECT DISTINCT l.vec_id AS id_a, r2.vec_id AS id_b
-      FROM cb l JOIN cb r2
-        ON l.r = r2.r AND l.bucket = r2.bucket AND l.vec_id < r2.vec_id
+      FROM cb l CROSS JOIN masks m JOIN cb r2
+        ON l.r = r2.r AND xor(l.bucket, m.mask) = r2.bucket
+           AND l.vec_id < r2.vec_id
     )"""
 
 
@@ -841,8 +900,9 @@ def _shared_multiprobe_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n == 0 or dim == 0:
             c = spark.createDataFrame([], "id_a long, id_b long")
         else:
+            sets_, radius = _mp_plane_sets(n, dim)
             c = DD.multiprobe_candidate_pairs(
-                e, _mp_plane_sets(n, dim), bucket_cap=EMB_BUCKET_CAP
+                e, sets_, bucket_cap=EMB_BUCKET_CAP, radius=radius
             ).persist()
         _HV_CACHE[key] = c
     return c
@@ -860,19 +920,25 @@ def _shared_multiprobe_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="extension: multi-probe embedding near-dup — R independent "
     "sign-LSH plane sets unioned (the d4 MinHash banding construction "
-    "transplanted to embeddings); R derived from (width, design "
-    "threshold, target recall) so recall holds as the width derivation "
-    "grows bits — measured by d20",
+    "transplanted to embeddings), plus Lv-et-al bit-flip probing when "
+    "the set count alone cannot fit the plan-size cap; (R, radius) "
+    "derived from (width, design threshold, target recall) so recall "
+    "holds at every derivable width — measured by d20",
 )
 def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with recall amplification: candidates collide in ANY
-    of R independent plane sets (each at the d6-derived width), then one
-    exact-cosine verify over the DISTINCT candidate set. Single-set recall
-    at threshold tau is p(tau)^nbits; with R sets 1-(1-p^nbits)^R — and R
-    is now DERIVED from (nbits, MP_THRESHOLD, MP_TARGET_RECALL) by
-    vectors.probes_for_recall, closing the round-5 loop where a pinned
-    R=3 let measured recall drift 35.6% -> 9.0% as nbits grew 4 -> 11. d20
-    measures the result against exhaustive truth on a sampled query set.
+    """Near-dup pairs with recall amplification: candidates' signatures
+    agree within the probe radius in ANY of R independent plane sets
+    (each at the d6-derived width), then one exact-cosine verify over the
+    DISTINCT candidate set. Per-set recall at threshold tau is
+    sum_{j<=q} C(nbits,j) p^(nbits-j) (1-p)^j; with R sets 1-(1-P_q)^R —
+    and (R, q) are jointly DERIVED from (nbits, MP_THRESHOLD,
+    MP_TARGET_RECALL) by vectors.multiprobe_design: independent sets
+    while they fit the plan-size cap (exactly the round-5-closing
+    probes_for_recall construction, so small corpora are unchanged),
+    bit-flip probing past it, which keeps the design target reachable at
+    every derivable width instead of the capped 0.198 union the round-6
+    audit measured at sf10. d20 measures the result against exhaustive
+    truth on a sampled query set.
     Scale shape: the candidate stage shuffles only (id, bucket) pairs per
     set with per-set caps; the verify stage applies the same exact-
     duplicate factoring as d6 — candidate id pairs map to distinct-vector
@@ -976,12 +1042,14 @@ def d20_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exhaustive truth stage quadratic overall; 16 queries keep it one
     linear broadcast pass at any SF. One output row (n_true, n_found,
     recall, target_recall, meets_target); recall NULLIF-guarded for an
-    empty truth set. meets_target closes the loop: the R derivation aims
-    at MP_TARGET_RECALL for a pair AT the design threshold, and pairs
-    above it collide more often, so the measured aggregate should sit at
-    or above target — except past the MP_MAX_SETS cap, where the
-    shortfall is reported honestly (see probes_for_recall's docstring for
-    the cost exponent that makes the cap necessary at low thresholds)."""
+    empty truth set. meets_target closes the loop: the (R, radius)
+    derivation aims at MP_TARGET_RECALL for a pair AT the design
+    threshold, and pairs above it collide more often, so the measured
+    aggregate should sit at or above target at EVERY width the corpus
+    derivation can produce (radius escalation keeps the design inside
+    the set cap through max_bits=16 — see multiprobe_design's ladder);
+    only past MP_MAX_RADIUS would a shortfall remain, and it would be
+    reported honestly rather than masked."""
     n = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),

@@ -393,6 +393,104 @@ def test_probes_for_recall_closed_loop():
         multiprobe_candidate_pairs(None, [])
 
 
+def test_multiprobe_design_radius_ladder():
+    """(R, radius) derivation: radius stays 0 while independent sets fit
+    the cap (identical to probes_for_recall), escalates bit-flip probing
+    past it, and the design union meets the target at EVERY width the
+    corpus derivation can produce — the capped-shortfall regime is gone
+    through max_bits=16."""
+    import math
+
+    import pytest
+
+    from nyc_open_data_pipeline_spark.functions.vectors import (
+        collision_prob,
+        multiprobe_design,
+        probes_for_recall,
+    )
+
+    p = collision_prob(0.3)
+    # q=0 regime is byte-identical to the single-probe derivation
+    assert multiprobe_design(4, 0.3) == (6, 0)
+    assert multiprobe_design(8, 0.3) == (43, 0)
+    assert multiprobe_design(8, 0.3)[0] == probes_for_recall(8, 0.3)
+    # the widths where the set cap used to bind now fit via probing
+    assert multiprobe_design(11, 0.3) == (24, 1)
+    assert multiprobe_design(14, 0.3) == (18, 2)
+    assert multiprobe_design(16, 0.3) == (40, 2)
+    for nbits in range(4, 17):
+        r, q = multiprobe_design(nbits, 0.3)
+        per = sum(
+            math.comb(nbits, j) * p ** (nbits - j) * (1.0 - p) ** j
+            for j in range(q + 1)
+        )
+        assert r <= 64
+        assert 1.0 - (1.0 - per) ** r >= 0.5  # design target met
+        if q > 0:  # radius escalated only because sets alone can't fit
+            assert probes_for_recall(nbits, 0.3, max_sets=10**9) > 64
+    # production design point (cos 0.9) never needs probing at these widths
+    assert multiprobe_design(16, 0.9) == (probes_for_recall(16, 0.9), 0)
+    # degenerate: p == 1 -> one set, no probes
+    assert multiprobe_design(4, 1.0) == (1, 0)
+    # operator rejects unsupported radii (masks exist for q <= 2 only)
+    from nyc_open_data_pipeline_spark.operators.dedup import (
+        multiprobe_candidate_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        multiprobe_candidate_pairs(None, [[[1.0]]], radius=3)
+
+
+def test_multiprobe_bitflip_matches_bruteforce_hamming(spark, sf_dir):
+    """Forced radius-1/2 candidates == brute-force pairs whose signatures
+    differ in <= radius bits of some set (computed independently in
+    numpy), and each radius strictly supersets the previous — the
+    one-sided XOR-mask probe join is exactly the Hamming-ball predicate,
+    not an approximation of it."""
+    import numpy as np
+
+    from nyc_open_data_pipeline_spark.catalog import load_table
+    from nyc_open_data_pipeline_spark.functions import vectors as VEC
+    from nyc_open_data_pipeline_spark.operators.dedup import (
+        multiprobe_candidate_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nbits, r_sets = 5, 3
+    pl = VEC.hyperplanes(M.shape[1], nbits * r_sets)
+    sets_ = [pl[r * nbits : (r + 1) * nbits] for r in range(r_sets)]
+    # numpy truth: per-set signatures as ints, pairwise Hamming distance
+    sigs = []
+    for planes in sets_:
+        P = np.array(planes)  # (nbits, dim)
+        bits = (M @ P.T) > 0  # (n, nbits)
+        sigs.append((bits * (1 << np.arange(nbits))).sum(axis=1))
+    truth = {0: set(), 1: set(), 2: set()}
+    n = len(ids)
+    for q in (0, 1, 2):
+        for s in sigs:
+            x = s[:, None] ^ s[None, :]
+            ham = np.zeros_like(x)
+            for b in range(nbits):
+                ham += (x >> b) & 1
+            ii, jj = np.where(ham <= q)
+            for a, b2 in zip(ii, jj):
+                if ids[a] < ids[b2]:
+                    truth[q].add((ids[a], ids[b2]))
+    for q in (0, 1, 2):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in multiprobe_candidate_pairs(
+                e, sets_, bucket_cap=10**6, radius=q
+            ).collect()
+        }
+        assert got == truth[q], f"radius {q} mismatch"
+    assert truth[0] < truth[1] < truth[2]  # probing strictly widens
+
+
 def test_bands_for_threshold():
     """Band layout follows the stated Jaccard threshold via the LSH S-curve
     midpoint (1/b)^(1/r), instead of a hardcoded (4, 4)."""
