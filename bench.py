@@ -158,6 +158,7 @@ HEADLINE += [
     "smp2_kcenter_sample",
     "seq4_epoch_shuffle",
     "v8_referential_integrity",
+    "gr1_pagerank",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -438,3 +438,159 @@ def z1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("s_max"),
         )
     )
+
+
+# --- gr1: PageRank over the customer<->supplier purchase graph ----------
+#
+# Iterative graph analytics beyond d7's connected components: a damped
+# random walk on the bipartite multigraph whose edges are (customer,
+# supplier) pairs weighted by how many lineitems link them. All rank
+# arithmetic is BIGINT micro-units (SCALE = 1e12), so every per-iteration
+# sum is exact and order-independent — the iterative-float-drift problem
+# that forces rounding in cosine pipelines simply does not arise, and the
+# DuckDB oracle replays the identical 10 integer iterations bit-for-bit.
+_PR_SCALE = 1_000_000_000_000  # 1e12 micro-units of rank mass
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+_PR_ITERS = 10
+_PR_TOP = 20
+
+
+def _gr1_oracle() -> str:
+    head = f"""WITH pair AS (
+      SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst, w FROM pair
+      UNION ALL
+      SELECT s AS src, c AS dst, w FROM pair
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS s_u FROM edges GROUP BY src),
+    e2 AS (SELECT e.src, e.dst, e.w, o.s_u FROM edges e JOIN outw o USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+      FROM nodes
+    )"""
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(f""",
+    r{k} AS (
+      SELECT n.node,
+             CAST(({15} * {_PR_SCALE}) // ({_PR_DAMP_DEN} * (SELECT n FROM nn))
+               + ({_PR_DAMP_NUM} * COALESCE(i.inflow, 0)) // {_PR_DAMP_DEN}
+               AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.r * e.w) // e.s_u) AS BIGINT) AS inflow
+        FROM e2 e JOIN r{k - 1} r ON e.src = r.node
+        GROUP BY 1
+      ) i USING (node)
+    )""")
+    return (
+        head
+        + "".join(iters)
+        + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS entity,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           r AS rank_micro
+    FROM r{_PR_ITERS}
+    ORDER BY r DESC, node
+    LIMIT {_PR_TOP}
+    """
+    )
+
+
+@register(
+    "gr1_pagerank",
+    oracle=_gr1_oracle(),
+    survey_ref="extension: iterative graph analytics — damped PageRank "
+    "(d=0.85, 10 rounds) over the bipartite customer<->supplier purchase "
+    "graph in exact BIGINT micro-units; the join-agg-per-round iterative "
+    "pattern next to d7's label propagation, oracled by an unrolled "
+    "10-CTE chain replaying the identical integer arithmetic",
+)
+def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most central entities of the purchase graph by PageRank.
+
+    Graph: node ids encode entity type in the low bit (customer = 2k,
+    supplier = 2k+1); each (customer, supplier) pair that shares at least
+    one lineitem contributes a symmetric weighted edge (w = lineitem
+    count), so every node in `nodes` has out-weight >= 1 and the walk has
+    no dangling mass to redistribute. Rank lives in BIGINT micro-units
+    (1e12 = total mass 1.0): per-edge contribution (r*w) div s_u, damping
+    as the exact ratio 85/100, so iteration k is a pure integer function
+    of iteration k-1 — exact, associative, order-independent, and
+    bit-reproducible in any engine (overflow-safe while r * max edge
+    weight < 2^63; here r <= 1e12 and w is a per-pair lineitem count).
+
+    Scale shape: 10 rounds of (join ranks on src + groupBy dst) — one
+    hash exchange per round on a (node, r) frame that is two BIGINTs
+    wide; the edge frame with its precomputed out-weights is built once
+    and reused, and each round's result is eagerly localCheckpoint'd so
+    the logical plan stays one round deep instead of compounding into a
+    10-join lineage (d7's discipline for iterative Spark jobs). At 100 TB
+    the edge frame is the reduced (customer, supplier) pair table — far
+    smaller than lineitem — and pre-bucketing it by src makes every
+    round's join exchange-free on the edge side."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = pair.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(pair.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("s_u"))
+    e2 = edges.join(outw, "src").localCheckpoint(eager=True)
+    nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
+    nodes = nodes.localCheckpoint(eager=True)
+    n_nodes = nodes.count()  # control-plane scalar (graph order)
+    if n_nodes == 0:
+        return spark.createDataFrame(
+            [], "entity string, entity_id long, rank_micro long"
+        )
+    base = (15 * _PR_SCALE) // (_PR_DAMP_DEN * n_nodes)
+    ranks = nodes.select(
+        "node", F.lit(_PR_SCALE // n_nodes).cast("long").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        inflow = (
+            e2.join(ranks, e2.src == ranks.node)
+            .select("dst", F.expr("(r * w) div s_u").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").cast("long").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{base} + ({_PR_DAMP_NUM} * coalesce(inflow, 0))"
+                    f" div {_PR_DAMP_DEN}"
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(_PR_TOP)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.expr("node div 2").cast("long").alias("entity_id"),
+            F.col("r").alias("rank_micro"),
+        )
+    )

@@ -967,3 +967,70 @@ def test_dsir_importance_ranks_target_vocabulary(spark, tmp_path):
     assert min(tgt) > max(oth)
     assert out[999] > max(oth)  # borrowed vocabulary outranks disjoint one
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_pagerank_matches_integer_reference(spark, tmp_path):
+    """gr1's distributed 10-round loop == an independent single-threaded
+    reimplementation of the SAME integer recurrence on a hand graph, for
+    EVERY node (not just the top-20 cut) — and total rank mass stays
+    within the floor-loss bound (each node loses < 1 micro-unit per
+    division, two divisions per round)."""
+    import shutil
+
+    from nyc_open_data_pipeline_spark.plans.analytics import (
+        _PR_DAMP_DEN,
+        _PR_DAMP_NUM,
+        _PR_ITERS,
+        _PR_SCALE,
+        gr1_pagerank,
+    )
+
+    # 3 customers x 2 suppliers; customer 1 dominates supplier 10's inflow
+    pairs = {  # (custkey, suppkey) -> lineitem count
+        (1, 10): 4, (1, 20): 1, (2, 10): 2, (3, 20): 1,
+    }
+    sf = str(tmp_path / "sf")
+    orders, lineitem, oid = [], [], 0
+    for (c, s), w in sorted(pairs.items()):
+        oid += 1
+        orders.append((oid, c))
+        lineitem += [(oid, s)] * w
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    spark.createDataFrame(lineitem, "l_orderkey long, l_suppkey long").write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+
+    # independent reference: same recurrence, plain dicts
+    edges = []
+    for (c, s), w in pairs.items():
+        edges.append((2 * c, 2 * s + 1, w))
+        edges.append((2 * s + 1, 2 * c, w))
+    nodes = sorted({e[0] for e in edges})
+    outw = {}
+    for src, _, w in edges:
+        outw[src] = outw.get(src, 0) + w
+    n = len(nodes)
+    r = {v: _PR_SCALE // n for v in nodes}
+    base = (15 * _PR_SCALE) // (_PR_DAMP_DEN * n)
+    for _ in range(_PR_ITERS):
+        inflow = {v: 0 for v in nodes}
+        for src, dst, w in edges:
+            inflow[dst] += (r[src] * w) // outw[src]
+        r = {v: base + (_PR_DAMP_NUM * inflow[v]) // _PR_DAMP_DEN for v in nodes}
+
+    got = {
+        (row["entity"], row["entity_id"]): row["rank_micro"]
+        for row in gr1_pagerank(spark, sf).collect()
+    }
+    exp = {
+        ("customer" if v % 2 == 0 else "supplier", v // 2): rv
+        for v, rv in r.items()
+    }
+    assert got == exp
+    # mass conservation up to floor losses: 2 floors/node/round
+    assert _PR_SCALE >= sum(r.values()) > _PR_SCALE - 2 * n * _PR_ITERS - n
+    # the dominant supplier earned the top rank
+    assert max(r, key=r.get) == 2 * 10 + 1
+    shutil.rmtree(sf, ignore_errors=True)
