@@ -159,6 +159,7 @@ HEADLINE += [
     "seq4_epoch_shuffle",
     "v8_referential_integrity",
     "gr1_pagerank",
+    "sk5_quantile_sketch",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -36,8 +36,15 @@ def with_group_running_sum(
     per-group single-task sort."""
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(p, *group_cols, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint PINS the range boundaries: repartitionByRange samples
+    # per physical instantiation, so the subtotals action and the caller's
+    # output action would otherwise each draw their own boundaries and the
+    # offsets would describe partitions that no longer exist (same failure
+    # mode fixed in ranks.with_global_row_number; caught by sk5 parity).
+    parted = (
+        df.repartitionByRange(p, *group_cols, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     subtotals = (
         parted.groupBy("__pid", *group_cols)

@@ -36,9 +36,18 @@ def with_global_row_number(
     """
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
+    # localCheckpoint PINS the range partitioning: repartitionByRange picks
+    # its boundaries by sampling with a seed derived from the physical RDD
+    # instantiation, so the counts action below and the caller's eventual
+    # output action would otherwise each draw their OWN boundaries — the
+    # per-partition offsets then describe partitions that no longer exist
+    # and the global numbering silently interleaves (caught by sk5's
+    # order-statistic parity at sf0.01; w6's fixture was small enough that
+    # every partition was fully sampled and the boundaries stayed stable).
     parted = (
         df.repartitionByRange(p, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # per-partition counts: P rows to the driver — bookkeeping scalars, not data
     counts = {

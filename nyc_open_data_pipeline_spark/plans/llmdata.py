@@ -6123,6 +6123,109 @@ def sk4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SK5_K = 4096  # bottom-k sample size; DKW error ~ sqrt(ln(2/d)/2k) ~ 2% at 95%
+_SK5_QPCT = (50, 90, 99)  # quantiles as EXACT integer percents (see ranks note)
+
+
+@register(
+    "sk5_quantile_sketch",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    samp AS (
+      SELECT value, event_id FROM v
+      ORDER BY {sql_hash64("CAST(event_id AS VARCHAR)")}, event_id
+      LIMIT {_SK5_K}
+    ),
+    srn AS (
+      SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
+      FROM samp
+    ),
+    ern AS (
+      SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
+      FROM v
+    ),
+    m AS (
+      SELECT CAST(q.p AS DOUBLE) / 100.0 AS q,
+             (q.p * (SELECT COUNT(*) FROM samp) + 99) // 100 AS rs,
+             (q.p * (SELECT COUNT(*) FROM v) + 99) // 100 AS re
+      FROM (VALUES {", ".join(f"({p})" for p in _SK5_QPCT)}) q(p)
+    )
+    SELECT m.q AS q, s.value AS est, e.value AS exact,
+           {_sql_pround("abs(s.value - e.value) / NULLIF(abs(e.value), 0.0)")}
+             AS rel_err
+    FROM m JOIN srn s ON s.rn = m.rs JOIN ern e ON e.rn = m.re
+    ORDER BY q
+    """,
+    survey_ref="extension: PORTABLE quantile sketch — deterministic bottom-k "
+    "(by md5 hash) uniform sample with exact order-statistic readout; "
+    "mergeable by union + re-bottom-k (sk1's property, pointed at "
+    "quantiles), DKW-bounded error, est/exact/rel_err eval columns in "
+    "sk4's measurement discipline",
+)
+def sk5_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile estimation from a deterministic uniform sample:
+    keep the _SK5_K rows with the smallest portable hash of their event_id
+    (TakeOrderedAndProject — each executor ships at most k narrow rows,
+    and two corpora's sketches merge by union + re-bottom-k, the KMV
+    property pointed at quantiles instead of cardinality), then read the
+    q-quantile as an exact order statistic of the sample. By DKW the
+    sample's empirical CDF is within sqrt(ln(2/delta)/(2k)) of the true
+    CDF uniformly — ~2% at k=4096, delta=0.05 — independent of data size,
+    which is the whole sketch argument at 100 TB.
+
+    Rank indices are computed in INTEGER arithmetic — rank = (pct*n+99)
+    div 100 with q as an exact percent — because ceil(q*n) on doubles can
+    straddle an integer boundary differently per engine (0.9*600 is not
+    exactly 540 in binary). The exact-quantile column is the eval
+    baseline (production drops it); it reads the true order statistic via
+    the two-pass distributed global row_number (operators/ranks.py), not
+    a single-partition window sort."""
+    from nyc_open_data_pipeline_spark.operators.ranks import (
+        with_global_row_number,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    h = DD._hash64(F.col("event_id").cast("string"))
+    samp = (
+        ev.select("value", "event_id", h.alias("h"))
+        .orderBy("h", "event_id")
+        .limit(_SK5_K)
+        .drop("h")
+    )
+    # sample order statistics: bounded k-row frame, local window is fine
+    wk = Window.orderBy("value", "event_id")
+    srn = samp.select("value", F.row_number().over(wk).cast("long").alias("rn"))
+    ern, n = with_global_row_number(ev, ["value", "event_id"], rn_col="rn")
+    kc = min(_SK5_K, n)
+    targets = [
+        (p / 100.0, (p * kc + 99) // 100, (p * n + 99) // 100)
+        for p in _SK5_QPCT
+    ]
+    m = spark.createDataFrame(targets, "q double, rs long, re long")
+    return (
+        F.broadcast(m)
+        .join(srn, m.rs == srn.rn)
+        .select("q", F.col("value").alias("est"), "re")
+        .join(ern.select("value", "rn"), F.col("re") == F.col("rn"))
+        .select(
+            "q",
+            "est",
+            F.col("value").alias("exact"),
+            _pround(
+                F.abs(F.col("est") - F.col("value"))
+                / F.nullif(F.abs(F.col("value")), F.lit(0.0))
+            ).alias("rel_err"),
+        )
+        .orderBy("q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 6 additions: diversity sampling, epoch sharding, referential audit
 # ---------------------------------------------------------------------------

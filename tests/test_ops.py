@@ -1034,3 +1034,51 @@ def test_pagerank_matches_integer_reference(spark, tmp_path):
     # the dominant supplier earned the top rank
     assert max(r, key=r.get) == 2 * 10 + 1
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_global_row_number_stable_boundaries_large_input(spark):
+    """Regression for the cross-action range-boundary drift: at inputs big
+    enough that repartitionByRange SAMPLES (rather than fully reads) each
+    partition, the counts job and the output job used to draw different
+    boundaries, interleaving the global numbering. 20k rows must rank
+    exactly as the serial window does — every row, not a spot check."""
+    from pyspark.sql import Window
+
+    from nyc_open_data_pipeline_spark.operators.ranks import (
+        with_global_row_number,
+    )
+
+    df = spark.range(20000).select(
+        ((F.col("id") * 2654435761) % 1000003).alias("v"), "id"
+    )
+    got, total = with_global_row_number(df, ["v", "id"], rn_col="rn")
+    assert total == 20000
+    serial = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id")).cast("long")
+    )
+    assert got.join(serial, ["v", "id", "rn"]).count() == 20000
+
+
+def test_group_running_sum_stable_boundaries_large_input(spark):
+    """Same regression for packing.with_group_running_sum: 20k rows across
+    7 groups, running sums must equal the serial per-group window's."""
+    from pyspark.sql import Window
+
+    from nyc_open_data_pipeline_spark.operators.packing import (
+        with_group_running_sum,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") * 40503) % 65537).alias("o"),
+        "id",
+        (F.col("id") % 13 + 1).alias("val"),
+    )
+    got = with_group_running_sum(df, ["g"], ["o", "id"], "val", out_col="cum")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    serial = df.withColumn("cum", F.sum("val").over(w).cast("long"))
+    assert got.join(serial, ["g", "o", "id", "val", "cum"]).count() == 20000
