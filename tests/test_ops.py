@@ -1082,3 +1082,37 @@ def test_group_running_sum_stable_boundaries_large_input(spark):
     )
     serial = df.withColumn("cum", F.sum("val").over(w).cast("long"))
     assert got.join(serial, ["g", "o", "id", "val", "cum"]).count() == 20000
+
+
+def test_bottomk_sketch_is_mergeable(spark, sf_dir):
+    """sk5's mergeability contract: bottom-k(A union B) == re-bottom-k of
+    (bottom-k(A) union bottom-k(B)) — the sampled rows, not just the
+    quantile readouts, agree exactly, so per-corpus sketches combine
+    without touching the raw data again (KMV's property, applied to the
+    quantile sample)."""
+    from nyc_open_data_pipeline_spark.catalog import load_table
+    from nyc_open_data_pipeline_spark.operators.dedup import _hash64
+
+    K = 64
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    h = _hash64(F.col("event_id").cast("string"))
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+
+    def bottomk(df):
+        return df.select("event_id", "value", h.alias("h")).orderBy(
+            "h", "event_id"
+        ).limit(K)
+
+    direct = sorted(map(tuple, bottomk(ev).collect()))
+    merged = sorted(
+        map(
+            tuple,
+            bottomk(a).unionByName(bottomk(b)).orderBy("h", "event_id").limit(K).collect(),
+        )
+    )
+    assert direct == merged

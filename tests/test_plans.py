@@ -98,10 +98,15 @@ def test_rj1_range_join_is_equi_join(spark, sf_dir):
 
 def test_seq1_has_no_single_partition_stage(spark, sf_dir):
     """Sequence packing's running sum must be the two-pass range-partitioned
-    form - a serial Window.orderBy would show Exchange SinglePartition."""
+    form - a serial Window.orderBy would show Exchange SinglePartition.
+    Since the boundary-stability fix, the range exchange runs inside the
+    pinned localCheckpoint materialization, so downstream the two-pass
+    structure is visible as a Scan ExistingRDD carrying the __pid column
+    (the checkpointed range-partitioned frame) rather than as a
+    rangepartitioning node."""
     plan = plan_of(spark, sf_dir, "seq1_pack_sequences")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "existingrdd" in plan.lower() and "__pid" in plan
 
 
 def test_tx9_repetition_is_narrow_no_explode(spark, sf_dir):
@@ -433,10 +438,12 @@ def test_streaming_micro_batch_plans_are_hygienic(spark, sf_dir):
 
 def test_seq3_has_no_single_partition_stage(spark, sf_dir):
     """Curriculum ordering must be the two-pass range-partitioned global
-    row_number — never a serial ORDER-BY-everything window."""
+    row_number — never a serial ORDER-BY-everything window. The range
+    exchange lives inside the pinned localCheckpoint (see seq1's test);
+    downstream it reads as Scan ExistingRDD with the __pid column."""
     plan = plan_of(spark, sf_dir, "seq3_curriculum_order")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "existingrdd" in plan.lower() and "__pid" in plan
 
 
 def test_q18_broadcasts_the_qualifying_key_set(spark, sf_dir):
