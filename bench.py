@@ -160,6 +160,7 @@ HEADLINE += [
     "v8_referential_integrity",
     "gr1_pagerank",
     "sk5_quantile_sketch",
+    "v9_distribution_drift",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

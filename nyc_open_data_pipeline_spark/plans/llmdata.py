@@ -6022,6 +6022,100 @@ def v7_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_BIN_W = 25.0  # fixed bin width: scale-independent bin keys (a11's rule)
+
+
+@register(
+    "v9_distribution_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT CAST(floor(value / {_PSI_BIN_W}) AS BIGINT) AS bin,
+             CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+               AS n_base,
+             CAST(COUNT(*) FILTER (WHERE event_id % 2 <> 0) AS BIGINT)
+               AS n_curr
+      FROM v GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+             CAST(SUM(n_curr) AS BIGINT) AS nc,
+             CAST(COUNT(*) AS BIGINT) AS b
+      FROM g
+    ),
+    d AS (
+      SELECT bin, n_base, n_curr,
+             {_sql_pround(
+                 "((CAST(n_curr + 1 AS DOUBLE) / (nc + b))"
+                 " - (CAST(n_base + 1 AS DOUBLE) / (nb + b)))"
+                 " * ln((CAST(n_curr + 1 AS DOUBLE) / (nc + b))"
+                 " / (CAST(n_base + 1 AS DOUBLE) / (nb + b)))"
+             )} AS psi_term
+      FROM g, t
+    ),
+    tt AS (
+      SELECT CAST(SUM(CAST(psi_term AS DECIMAL(28,6))) AS DOUBLE)
+               AS psi_total
+      FROM d
+    )
+    SELECT d.bin, d.n_base, d.n_curr, d.psi_term, tt.psi_total
+    FROM d, tt
+    """,
+    survey_ref="§2.15 V2 extension: distribution-drift audit — Population "
+    "Stability Index between two corpus snapshots over fixed-width value "
+    "bins with add-one smoothing; the production data-quality gate run "
+    "before accepting a new crawl/feed into the training mix (PSI > 0.25 "
+    "= major shift by the standard rule of thumb)",
+)
+def v9_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between the even-event_id snapshot (baseline) and the odd
+    one (current): per fixed-width bin, term = (pc - pb) * ln(pc / pb)
+    with add-one (Laplace) smoothing over the observed bin set so empty
+    bins stay finite and deterministic, plus the corpus-level psi_total.
+
+    Numeric policy: counts are exact BIGINTs; each term is one fixed
+    dataflow of IEEE double ops from identical integer inputs (engine-
+    identical), portable-rounded; the total routes the rounded terms
+    through DECIMAL so the sum is exact and order-independent (the tx12/
+    mix6 recipe). Scale shape: one scan -> groupBy over |bins| keys with
+    map-side combine, a 1-row totals broadcast, a 1-row psi_total
+    broadcast — the exchange carries bins, never rows, so this audits a
+    100 TB feed at scan speed."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = (
+        ev.select(
+            F.floor(F.col("value") / F.lit(_PSI_BIN_W)).cast("long").alias("bin"),
+            (F.col("event_id") % 2 == 0).alias("is_base"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("is_base")).cast("long").alias("n_base"),
+            F.count_if(~F.col("is_base")).cast("long").alias("n_curr"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_base").cast("long").alias("nb"),
+        F.sum("n_curr").cast("long").alias("nc"),
+        F.count("*").cast("long").alias("b"),
+    )
+    pb = (F.col("n_base") + 1).cast("double") / (F.col("nb") + F.col("b"))
+    pc = (F.col("n_curr") + 1).cast("double") / (F.col("nc") + F.col("b"))
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_curr",
+        _pround((pc - pb) * F.log(pc / pb)).alias("psi_term"),
+    )
+    total = d.agg(
+        F.sum(F.col("psi_term").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("psi_total")
+    )
+    return d.crossJoin(F.broadcast(total))
+
+
 _HLL_M = 256
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. alpha_m
 _HLL_SQL_H = sql_hash64("CAST(user_id AS VARCHAR)")

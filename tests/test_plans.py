@@ -372,6 +372,8 @@ BNLJ_ALLOWED = {
     "s9_nprobe_sweep",         # k centroids x 3 probe widths (s4-shape, swept)
     "s11_ivfpq_adc",           # k centroids (s4-shape assign/probe stage)
     "v8_referential_integrity",  # 1-row count x 1-row orphan count per edge
+    "v9_distribution_drift",   # 1-row totals + 1-row psi_total broadcasts
+    "sk5_quantile_sketch",     # 3-row (q, rank) targets broadcast
 }
 PY_ROW_ALLOWED = {
     # shapely converters over dimension-scale geo rows (reference does the
