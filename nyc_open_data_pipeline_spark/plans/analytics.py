@@ -530,13 +530,18 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: 10 rounds of (join ranks on src + groupBy dst) — one
     hash exchange per round on a (node, r) frame that is two BIGINTs
-    wide; the edge frame with its precomputed out-weights is built once
-    and reused, and each round's result is eagerly localCheckpoint'd so
-    the logical plan stays one round deep instead of compounding into a
-    10-join lineage (d7's discipline for iterative Spark jobs). At 100 TB
-    the edge frame is the reduced (customer, supplier) pair table — far
-    smaller than lineitem — and pre-bucketing it by src makes every
-    round's join exchange-free on the edge side."""
+    wide; each round's result is eagerly localCheckpoint'd so the logical
+    plan stays one round deep instead of compounding into a 10-join
+    lineage (d7's discipline for iterative Spark jobs). The pair table is
+    checkpointed ONCE in single-direction form carrying BOTH directional
+    out-weights — the bidirectional edge frame the rounds consume is two
+    lazy projections of that checkpoint, so the stored bytes are ~60% of
+    the naive both-directions frame. That matters because on offset-key
+    corpora the pair table is fact-scale (sf100: ~5.5e8 pairs, ~22 GB
+    checkpointed — the measured single-box disk ceiling in SCALE.md); on
+    a cluster the checkpoint lands on executor storage and pre-bucketing
+    the pair table by src makes every round's join exchange-free on the
+    edge side."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pair = (
@@ -547,13 +552,24 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("w"))
     )
-    edges = pair.select(
-        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
-    ).unionByName(pair.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("s_u"))
-    e2 = edges.join(outw, "src").localCheckpoint(eager=True)
-    nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
-    nodes = nodes.localCheckpoint(eager=True)
+    outc = pair.groupBy("c").agg(F.sum("w").cast("long").alias("s_c"))
+    outs = pair.groupBy("s").agg(F.sum("w").cast("long").alias("s_s"))
+    p2 = pair.join(outc, "c").join(outs, "s").localCheckpoint(eager=True)
+    e2 = p2.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w",
+        F.col("s_c").alias("s_u"),
+    ).unionByName(
+        p2.select(
+            F.col("s").alias("src"), F.col("c").alias("dst"), "w",
+            F.col("s_s").alias("s_u"),
+        )
+    )
+    nodes = (
+        p2.select(F.col("c").alias("node"))
+        .unionByName(p2.select(F.col("s").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_nodes = nodes.count()  # control-plane scalar (graph order)
     if n_nodes == 0:
         return spark.createDataFrame(
