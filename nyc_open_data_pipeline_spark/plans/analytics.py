@@ -470,7 +470,9 @@ def _gr1_oracle() -> str:
     outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS s_u FROM edges GROUP BY src),
     e2 AS (SELECT e.src, e.dst, e.w, o.s_u FROM edges e JOIN outw o USING (src)),
     nodes AS (SELECT DISTINCT src AS node FROM edges),
-    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    -- GREATEST guards the empty-corpus divisions (r0/base are then never
+    -- read: `nodes` is empty, matching the Spark path's early return)
+    nn AS (SELECT GREATEST(COUNT(*), 1) AS n FROM nodes),
     r0 AS (
       SELECT node, CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
       FROM nodes
