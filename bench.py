@@ -161,6 +161,7 @@ HEADLINE += [
     "gr1_pagerank",
     "sk5_quantile_sketch",
     "v9_distribution_drift",
+    "gr2_salsa",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -612,3 +612,133 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("rank_micro"),
         )
     )
+
+
+# --- gr2: SALSA hubs & authorities on the same purchase graph -----------
+_SALSA_ROUNDS = 5  # double-steps (hub -> authority -> hub)
+_SALSA_TOP = 10  # per side
+
+
+def _gr2_oracle() -> str:
+    head = f"""WITH pair AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    outc AS (SELECT c, CAST(SUM(w) AS BIGINT) AS s_c FROM pair GROUP BY 1),
+    outs AS (SELECT s, CAST(SUM(w) AS BIGINT) AS s_s FROM pair GROUP BY 1),
+    e AS (
+      SELECT p.c, p.s, p.w, oc.s_c, os.s_s
+      FROM pair p JOIN outc oc USING (c) JOIN outs os USING (s)
+    ),
+    custs AS (SELECT DISTINCT c FROM pair),
+    h0 AS (
+      SELECT c, CAST({_PR_SCALE} // GREATEST((SELECT COUNT(*) FROM custs), 1)
+                 AS BIGINT) AS h
+      FROM custs
+    )"""
+    steps = []
+    for k in range(_SALSA_ROUNDS):
+        steps.append(f""",
+    a{k} AS (
+      SELECT e.s, CAST(SUM((h.h * e.w) // e.s_c) AS BIGINT) AS a
+      FROM e JOIN h{k} h USING (c) GROUP BY 1
+    ),
+    h{k + 1} AS (
+      SELECT e.c, CAST(SUM((a.a * e.w) // e.s_s) AS BIGINT) AS h
+      FROM e JOIN a{k} a USING (s) GROUP BY 1
+    )""")
+    last = _SALSA_ROUNDS - 1
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT * FROM (
+      (SELECT 'authority' AS side, s AS entity_id, a AS score_micro
+       FROM a{last} ORDER BY a DESC, s LIMIT {_SALSA_TOP})
+      UNION ALL
+      (SELECT 'hub' AS side, c AS entity_id, h AS score_micro
+       FROM h{_SALSA_ROUNDS} ORDER BY h DESC, c LIMIT {_SALSA_TOP})
+    ) ORDER BY side, score_micro DESC, entity_id
+    """
+    )
+
+
+@register(
+    "gr2_salsa",
+    oracle=_gr2_oracle(),
+    survey_ref="extension: SALSA hubs/authorities (Lempel & Moran) — "
+    "bipartite alternating mass-distribution walk over the customer<->"
+    "supplier purchase graph; the who-to-recommend primitive next to "
+    "gr1's PageRank, same exact-BIGINT iterative discipline, unrolled-"
+    "CTE oracle",
+)
+def gr2_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top hubs (customers) and authorities (suppliers) by SALSA: hub mass
+    distributes over each customer's lineitems to suppliers, authority
+    mass distributes back, alternating for _SALSA_ROUNDS double-steps.
+    Mass-conserving by construction (each side's scores sum to ~SCALE
+    minus floor losses), so no per-round renormalization is needed and
+    every quantity stays inside BIGINT: (score * w) // out_weight <=
+    score. Exact integer arithmetic -> order-independent sums ->
+    bit-reproducible cross-engine, like gr1.
+
+    Scale shape: the single-direction pair table with both out-weights is
+    checkpointed once (gr1's layout); each half-step is one join + one
+    groupBy on a two-column score frame. Ten half-steps = ten bounded
+    exchanges; per-round eager localCheckpoint keeps the plan shallow."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    outc = pair.groupBy("c").agg(F.sum("w").cast("long").alias("s_c"))
+    outs = pair.groupBy("s").agg(F.sum("w").cast("long").alias("s_s"))
+    e = pair.join(outc, "c").join(outs, "s").localCheckpoint(eager=True)
+    custs = e.select("c").distinct()
+    n_c = custs.count()  # control-plane scalar (hub-side order)
+    if n_c == 0:
+        return spark.createDataFrame(
+            [], "side string, entity_id long, score_micro long"
+        )
+    h = custs.select("c", F.lit(_PR_SCALE // n_c).cast("long").alias("h"))
+    a = None
+    for _ in range(_SALSA_ROUNDS):
+        a = (
+            e.join(h, "c")
+            .select("s", F.expr("(h * w) div s_c").alias("m"))
+            .groupBy("s")
+            .agg(F.sum("m").cast("long").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            e.join(a, "s")
+            .select("c", F.expr("(a * w) div s_s").alias("m"))
+            .groupBy("c")
+            .agg(F.sum("m").cast("long").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    auth = (
+        a.orderBy(F.desc("a"), F.asc("s"))
+        .limit(_SALSA_TOP)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("s").alias("entity_id"),
+            F.col("a").alias("score_micro"),
+        )
+    )
+    hubs = (
+        h.orderBy(F.desc("h"), F.asc("c"))
+        .limit(_SALSA_TOP)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("entity_id"),
+            F.col("h").alias("score_micro"),
+        )
+    )
+    return auth.unionByName(hubs).orderBy(
+        "side", F.desc("score_micro"), "entity_id"
+    )
