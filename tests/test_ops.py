@@ -1116,3 +1116,61 @@ def test_bottomk_sketch_is_mergeable(spark, sf_dir):
         )
     )
     assert direct == merged
+
+
+def test_salsa_matches_integer_reference(spark, tmp_path):
+    """gr2's distributed alternating walk == an independent single-threaded
+    reimplementation of the same integer recurrence on a hand graph —
+    every hub and authority score, and mass conservation up to floor
+    losses on each side."""
+    import shutil
+
+    from nyc_open_data_pipeline_spark.plans.analytics import (
+        _PR_SCALE,
+        _SALSA_ROUNDS,
+        gr2_salsa,
+    )
+
+    pairs = {(1, 10): 4, (1, 20): 1, (2, 10): 2, (3, 20): 1}
+    sf = str(tmp_path / "sf")
+    orders, lineitem, oid = [], [], 0
+    for (c, s), w in sorted(pairs.items()):
+        oid += 1
+        orders.append((oid, c))
+        lineitem += [(oid, s)] * w
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    spark.createDataFrame(lineitem, "l_orderkey long, l_suppkey long").write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+
+    s_c, s_s = {}, {}
+    for (c, s), w in pairs.items():
+        s_c[c] = s_c.get(c, 0) + w
+        s_s[s] = s_s.get(s, 0) + w
+    custs = sorted(s_c)
+    h = {c: _PR_SCALE // len(custs) for c in custs}
+    a = {}
+    for _ in range(_SALSA_ROUNDS):
+        a = {s: 0 for s in s_s}
+        for (c, s), w in pairs.items():
+            a[s] += (h[c] * w) // s_c[c]
+        h = {c: 0 for c in custs}
+        for (c, s), w in pairs.items():
+            h[c] += (a[s] * w) // s_s[s]
+
+    got = {
+        (r["side"], r["entity_id"]): r["score_micro"]
+        for r in gr2_salsa(spark, sf).collect()
+    }
+    exp = {("authority", s): v for s, v in a.items()}
+    exp.update({("hub", c): v for c, v in h.items()})
+    assert got == exp
+    # mass conservation per side, up to one floor loss per edge per step
+    loss_bound = len(pairs) * _SALSA_ROUNDS + len(custs)
+    assert _PR_SCALE >= sum(a.values()) > _PR_SCALE - loss_bound
+    assert _PR_SCALE >= sum(h.values()) > _PR_SCALE - loss_bound
+    # supplier 10 carries more inbound mass than supplier 20
+    assert a[10] > a[20]
+    shutil.rmtree(sf, ignore_errors=True)
