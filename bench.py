@@ -226,6 +226,10 @@ def main() -> None:
     # timing (null), never the whole artifact (round 2 lost all 56 other
     # timings to a single AnalysisException).
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    if passes < 1:
+        # a zero/negative pass count would emit a complete-looking artifact
+        # with null for every query — fail loudly instead
+        raise ValueError(f"SPARK_GRAFT_BENCH_PASSES must be >= 1, got {passes}")
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for _ in range(passes):

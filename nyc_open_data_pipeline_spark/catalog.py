@@ -14,6 +14,7 @@ single files; Catalyst partition pruning replaces the reference's indexes.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,8 +110,18 @@ def autosize_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
     """Size AQE's initial shuffle-partition count from the input scale.
     Returns the target in effect (for tests/telemetry)."""
     appid = spark.sparkContext.applicationId
-    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
-        return _AUTOSIZE_HIGH_WATER.get(appid, 0)
+    manual = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if manual:
+        # explicit operator override: it must actually take effect, even
+        # after the autosizer raised the high-water in this session — pin
+        # initialPartitionNum to the override and report it as the target
+        t = int(manual)
+        _AUTOSIZE_HIGH_WATER[appid] = t
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(t),
+        )
+        return t
     par = spark.sparkContext.defaultParallelism
     target = max(
         par,
@@ -128,6 +139,11 @@ def autosize_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
     return _AUTOSIZE_HIGH_WATER[appid]
 
 
+def _dir_slug(sf_dir: str) -> str:
+    """Filesystem path -> identifier-safe slug for per-scale table names."""
+    return re.sub(r"[^A-Za-z0-9]+", "_", os.path.abspath(sf_dir)).strip("_")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from nyc_open_data_pipeline_spark.session import ensure_semantic_confs
 
@@ -140,7 +156,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Exchange. Opt-in by env so the parquet path stays the default and the
     # oracle contract is unaffected (same rows, different physical layout).
     if os.environ.get("SPARK_GRAFT_USE_BUCKETED") == "1":
-        bt = f"sg_bucketed_{name}"
+        # the table name encodes the scale dir: a bucketed copy built from
+        # one scale can never be served for another (the copy is written
+        # FROM load_table output, so timestamp normalization is baked in)
+        bt = f"sg_bucketed_{_dir_slug(sf_dir)}_{name}"
         if spark.catalog.tableExists(bt):
             return spark.table(bt)
     path = table_path(sf_dir, name)

@@ -482,7 +482,7 @@ def _gr1_oracle() -> str:
         iters.append(f""",
     r{k} AS (
       SELECT n.node,
-             CAST(({15} * {_PR_SCALE}) // ({_PR_DAMP_DEN} * (SELECT n FROM nn))
+             CAST(({_PR_DAMP_DEN - _PR_DAMP_NUM} * {_PR_SCALE}) // ({_PR_DAMP_DEN} * (SELECT n FROM nn))
                + ({_PR_DAMP_NUM} * COALESCE(i.inflow, 0)) // {_PR_DAMP_DEN}
                AS BIGINT) AS r
       FROM nodes n LEFT JOIN (
@@ -577,7 +577,7 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "entity string, entity_id long, rank_micro long"
         )
-    base = (15 * _PR_SCALE) // (_PR_DAMP_DEN * n_nodes)
+    base = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE) // (_PR_DAMP_DEN * n_nodes)
     ranks = nodes.select(
         "node", F.lit(_PR_SCALE // n_nodes).cast("long").alias("r")
     )

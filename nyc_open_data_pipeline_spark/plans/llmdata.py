@@ -24,8 +24,18 @@ from nyc_open_data_pipeline_spark.plans.registry import register
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (mirror operators/dedup.py constructions)
 # ---------------------------------------------------------------------------
-SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-SQL_TOKENS = f"regexp_split_to_array({SQL_NORM}, ' ')"
+def _sql_norm_of(col: str) -> str:
+    """Engine-wide text normalization over an arbitrary column expression
+    (single source: SQL_NORM/SQL_TOKENS below pin it to `text`)."""
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def _sql_tokens_of(col: str) -> str:
+    return f"regexp_split_to_array({_sql_norm_of(col)}, ' ')"
+
+
+SQL_NORM = _sql_norm_of("text")
+SQL_TOKENS = _sql_tokens_of("text")
 
 
 def sql_hash64(s: str) -> str:
@@ -990,7 +1000,7 @@ def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rv.alias("a"), F.col("ra") == F.col("a.rid"))
         .join(rv.alias("b"), F.col("rb") == F.col("b.rid"))
         .select("ra", "rb", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.3)
+        .filter(F.col("cos_sim") >= MP_THRESHOLD)
     )
     return cr.join(scored, ["ra", "rb"]).select("id_a", "id_b", "cos_sim")
 
@@ -1068,7 +1078,7 @@ def d20_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = (
         n.join(F.broadcast(s), F.col("vec_id") != F.col("s_id"))
-        .filter(cos >= 0.3)
+        .filter(cos >= MP_THRESHOLD)
         .select(
             F.least("s_id", "vec_id").alias("id_a"),
             F.greatest("s_id", "vec_id").alias("id_b"),
@@ -1765,15 +1775,6 @@ def write_cleanroom(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     cleanroom_docs(spark, sf_dir).write.mode("overwrite").partitionBy(
         "split"
     ).parquet(out_path)
-
-
-def _sql_norm_of(col: str) -> str:
-    """SQL_NORM over an arbitrary column expression (SQL_NORM pins `text`)."""
-    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
-
-
-def _sql_tokens_of(col: str) -> str:
-    return f"regexp_split_to_array({_sql_norm_of(col)}, ' ')"
 
 
 @register(
@@ -6425,9 +6426,20 @@ def smp2_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = rows[0]
         chosen.append((r, nxt.vec_id, float(nxt.mind)))
         if r < _KC_K - 1:
-            cur = cur.filter(F.col("vec_id") != nxt.vec_id).withColumn(
-                "mind",
-                F.least(F.col("mind"), dist_to(list(nxt.v), float(nxt.nrm))),
+            # localCheckpoint pins round r's min-distances: without it the
+            # lazily-chained least(...) lineage re-evaluates every prior
+            # round's cosine column on each collect (O(k^2) distance work
+            # and a plan that grows r*dim literals); pinned, each round is
+            # the single linear scan the greedy algorithm costs on paper
+            cur = (
+                cur.filter(F.col("vec_id") != nxt.vec_id)
+                .withColumn(
+                    "mind",
+                    F.least(
+                        F.col("mind"), dist_to(list(nxt.v), float(nxt.nrm))
+                    ),
+                )
+                .localCheckpoint(eager=False)
             )
     return spark.createDataFrame(chosen, schema)
 

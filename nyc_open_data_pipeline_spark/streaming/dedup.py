@@ -29,6 +29,24 @@ from pyspark.sql import functions as F
 
 from nyc_open_data_pipeline_spark.operators.dedup import normalized_text
 
+_DRAIN_TIMEOUT_S = 1800  # hard ceiling; measured drains stop well short (st11 sf1: 161 s)
+
+
+def _await_drained(q, label: str) -> None:
+    """Wait for an availableNow query to DRAIN, and refuse to let a timeout
+    masquerade as success: awaitTermination(t) returns False while the
+    query is still running, in which case the caller would read a
+    partially-written output dir as the answer (and the live query would
+    keep appending to a dir already consumed). Stop and fail loudly."""
+    if q.awaitTermination(_DRAIN_TIMEOUT_S):
+        return
+    q.stop()
+    raise TimeoutError(
+        f"{label}: stream not drained after {_DRAIN_TIMEOUT_S}s - "
+        "output would be truncated; raise _DRAIN_TIMEOUT_S or shrink the feed"
+    )
+
+
 HASH_SCHEMA = "content_hash string"
 
 
@@ -105,7 +123,7 @@ def run_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_drained(q, "incremental_dedup")
 
 
 
@@ -214,7 +232,7 @@ def run_incremental_neardup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_drained(q, "incremental_neardup")
 
 
 def deduped_events(stream: DataFrame, delay: str = "3650 days") -> DataFrame:

@@ -146,7 +146,14 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # refuse to read a partially-drained memory sink: False here means
+        # the query is still running and the table is incomplete
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                f"run_to_memory({name}): stream not drained after 600s - "
+                "the memory table would be truncated"
+            )
         try:
             # executed micro-batch plan (codegen explain) for the hygiene
             # gate; the gate asserts >=1 plan per query, so a capture

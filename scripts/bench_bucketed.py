@@ -7,7 +7,7 @@ lineitem+orders by orderkey once, then join exchange-free — had only been
 plan-asserted at toy scale. This script proves (or refutes) the economics
 end-to-end:
 
-  1. writes sg_bucketed_lineitem / sg_bucketed_orders (bucketBy orderkey,
+  1. writes sg_bucketed_<scale-slug>_{lineitem,orders} (bucketBy orderkey,
      sortBy orderkey, bucket-count = the autosizer's target for the scale
      dir) into a /tmp warehouse, timing the one-time write;
   2. times the target queries min-of-N against the plain parquet layout and
@@ -37,6 +37,7 @@ def main() -> None:
         autosize_shuffle_partitions,
         load_table,
     )
+    from nyc_open_data_pipeline_spark.catalog import _dir_slug
     from nyc_open_data_pipeline_spark.operators.bucketing import write_bucketed
     from nyc_open_data_pipeline_spark.plans import all_queries
     from nyc_open_data_pipeline_spark.session import get_spark
@@ -54,15 +55,17 @@ def main() -> None:
     buckets = autosize_shuffle_partitions(spark, SF_DIR) or 384
 
     t0 = time.perf_counter()
-    if not spark.catalog.tableExists("sg_bucketed_lineitem"):
+    bt_li = f"sg_bucketed_{_dir_slug(SF_DIR)}_lineitem"
+    bt_o = f"sg_bucketed_{_dir_slug(SF_DIR)}_orders"
+    if not spark.catalog.tableExists(bt_li):
         li = load_table(spark, SF_DIR, "lineitem").repartition(
             buckets, "l_orderkey"
         )
-        write_bucketed(li, "sg_bucketed_lineitem", "l_orderkey", buckets=buckets)
+        write_bucketed(li, bt_li, "l_orderkey", buckets=buckets)
         o = load_table(spark, SF_DIR, "orders").repartition(
             buckets, "o_orderkey"
         )
-        write_bucketed(o, "sg_bucketed_orders", "o_orderkey", buckets=buckets)
+        write_bucketed(o, bt_o, "o_orderkey", buckets=buckets)
         write_sec = round(time.perf_counter() - t0, 1)
     else:
         write_sec = None  # pre-existing tables (re-run)

@@ -1013,7 +1013,7 @@ def test_pagerank_matches_integer_reference(spark, tmp_path):
         outw[src] = outw.get(src, 0) + w
     n = len(nodes)
     r = {v: _PR_SCALE // n for v in nodes}
-    base = (15 * _PR_SCALE) // (_PR_DAMP_DEN * n)
+    base = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE) // (_PR_DAMP_DEN * n)
     for _ in range(_PR_ITERS):
         inflow = {v: 0 for v in nodes}
         for src, dst, w in edges:

@@ -369,13 +369,22 @@ def test_autosize_shuffle_partitions(spark, tmp_path):
     # high-water: revisiting the small dir must not shrink the width
     assert C.autosize_shuffle_partitions(spark, str(small)) == 640
 
-    # explicit operator override disables auto-sizing entirely
+    # explicit operator override replaces auto-sizing: it must take effect
+    # even after the autosizer raised the high-water (the review-caught
+    # bug: the old early-return left a stale initialPartitionNum active
+    # and reported 0/stale as the target in effect)
     os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "256"
     try:
-        C._AUTOSIZE_HIGH_WATER.pop(appid, None)
         C._DIR_BYTES_CACHE.pop(str(big), None)
-        assert C.autosize_shuffle_partitions(spark, str(big)) == 0
+        assert C.autosize_shuffle_partitions(spark, str(big)) == 256
+        assert (
+            spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+            == "256"
+        )
     finally:
         del os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"]
+        C._AUTOSIZE_HIGH_WATER.pop(appid, None)
     # restore for the rest of the suite (sf0.001 fixtures -> core count)
     C._AUTOSIZE_HIGH_WATER.pop(appid, None)
