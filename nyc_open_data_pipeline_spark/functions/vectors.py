@@ -193,15 +193,37 @@ def hyperplanes(dim: int, nbits: int = 8) -> list[list[float]]:
     return planes
 
 
-def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def hyperplane_bucket(
+    vec: Column, planes: list[list[float]], expected_dim: int | None = None
+) -> Column:
     """Sign-LSH bucket id: bit i = sign(dot(v, plane_i)). Same construction
-    is SQL-expressible, so DuckDB oracles can reproduce it exactly."""
+    is SQL-expressible, so DuckDB oracles can reproduce it exactly.
+
+    ``expected_dim`` guards the zip_with null-collapse hazard: a vector
+    whose length differs from the planes' dim would pad the dot product to
+    NULL and silently land in bucket 0. With the guard set, such a row
+    RAISES (assert_true) instead — callers that derive planes from the
+    corpus's measured dim pass it so a mixed-dim corpus fails loudly."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         d = dot(vec, F.array(*[F.lit(x) for x in p]))
         bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
+    if expected_dim is not None:
+        ok = F.assert_true(
+            F.size(vec) == F.lit(expected_dim),
+            F.concat(
+                F.lit(f"sign-LSH dim mismatch: planes expect {expected_dim}, "),
+                F.lit("vector has "),
+                F.size(vec).cast("string"),
+                F.lit(" components"),
+            ),
+        )
+        # assert_true yields NULL on pass (and raises on fail), so this
+        # when() always returns `bucket` — it exists to keep the assertion
+        # inside the expression tree.
+        bucket = F.when(ok.isNull(), bucket)
     return bucket
 
 

@@ -306,6 +306,51 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+# vectors.hyperplanes' LCG, reproduced verbatim so oracles can GENERATE
+# the plane stream instead of inlining megabytes of literals: the stream is
+# state_{k+1} = (A*state_k + C) mod 2^63, component sign = bit 32.
+_LCG_SEED = 0x2545F4914F6CDD1D
+_LCG_A = 6364136223846793005
+_LCG_C = 1442695040888963407
+_LCG_M = 1 << 63
+
+
+def _sql_fixed_planes_ctes(nbits: int) -> str:
+    """CTE chain (w0 -> lcg -> psets -> vb) generating the first ``nbits``
+    LCG hyperplanes at the corpus's MEASURED dim and bucketing every vector
+    — the d19 oracle recipe at a fixed width, so the fixed-width LSH
+    queries (s2/s3/ctm2) track the vector dim instead of pinning 64 (the
+    round-6 ADVICE null-collapse hazard: dim != 64 would zip_with-pad the
+    dot product to NULL and land every vector in bucket 0). ``vb`` carries
+    (vec_id, v, bucket). Requires the query to open WITH RECURSIVE."""
+    return f"""w0 AS (
+      SELECT CAST(any_value(len({SQL_VEC})) AS INT) AS dim FROM embeddings
+    ),
+    lcg(k, state) AS (
+      SELECT 0, (CAST({_LCG_SEED} AS HUGEINT) * {_LCG_A} + {_LCG_C})
+                % CAST({_LCG_M} AS HUGEINT)
+      UNION ALL
+      SELECT k + 1, (state * {_LCG_A} + {_LCG_C}) % CAST({_LCG_M} AS HUGEINT)
+      FROM lcg WHERE k + 1 < (SELECT {nbits} * dim FROM w0)
+    ),
+    psets AS (
+      SELECT CAST(k // dim AS INT) AS i,
+             list(CASE WHEN (CAST(state AS BIGINT) >> 32) & 1 = 1
+                       THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(-1.0 AS DOUBLE) END
+                  ORDER BY k) AS plane
+      FROM lcg, w0 GROUP BY 1
+    ),
+    vb AS (
+      SELECT e.vec_id, any_value(e.v) AS v,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+                           THEN CAST(1 AS BIGINT) << p.i
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      FROM (SELECT vec_id, {SQL_VEC} AS v FROM embeddings) e
+      CROSS JOIN psets p
+      GROUP BY e.vec_id
+    )"""
+
 
 def _pround(col, scale: int = 6):
     """Portable 6-decimal round: floor(x*1e6 + 0.5)/1e6, the SAME IEEE op
@@ -412,42 +457,40 @@ def s5_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PLANES = VEC.hyperplanes(64, 8)
-
-
-def _sql_bucket() -> str:
-    terms = []
-    for i, p in enumerate(_PLANES):
-        arr = "[" + ", ".join(str(x) for x in p) + "]"
-        terms.append(
-            f"CASE WHEN list_dot_product({SQL_VEC}, {arr}) > 0 "
-            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
-        )
-    return " + ".join(terms)
-
-
 @register(
     "s2_lsh_buckets",
     oracle=f"""
-    SELECT vec_id, {_sql_bucket()} AS bucket FROM embeddings
+    WITH RECURSIVE {_sql_fixed_planes_ctes(8)}
+    SELECT vec_id, bucket FROM vb
     """,
     survey_ref="extension: sign-LSH bucketing (sub-linear ANN candidate path)",
 )
 def s2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit random-hyperplane bucket per vector. At scale, write bucketed
-    (DISTRIBUTE BY bucket) so ANN probes read one bucket's files only."""
+    (DISTRIBUTE BY bucket) so ANN probes read one bucket's files only.
+    Planes are built at the MEASURED vector dim (_shared_emb_meta) and the
+    bucket expression asserts per-row dim agreement — a mismatched-dim
+    corpus raises instead of null-collapsing every vector into bucket 0
+    (round-6 ADVICE hazard, previously fixed for d6/d19/d20 only)."""
     e = t(spark, sf_dir, "embeddings")
+    n, dim = _shared_emb_meta(spark, sf_dir)
+    if n == 0 or dim == 0:
+        return spark.createDataFrame([], "vec_id long, bucket long")
+    planes = VEC.hyperplanes(dim, 8)
     return e.select(
-        "vec_id", VEC.hyperplane_bucket(F.col("embedding"), _PLANES).alias("bucket")
+        "vec_id",
+        VEC.hyperplane_bucket(
+            F.col("embedding"), planes, expected_dim=dim
+        ).alias("bucket"),
     )
 
 
 @register(
     "s3_lsh_bucket_stats",
     oracle=f"""
-    WITH b AS (SELECT vec_id, {_sql_bucket()} AS bucket FROM embeddings)
+    WITH RECURSIVE {_sql_fixed_planes_ctes(8)}
     SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
-    FROM b GROUP BY bucket
+    FROM vb GROUP BY bucket
     """,
     survey_ref="extension: LSH bucket histogram (skew check for the ANN path)",
 )
@@ -640,7 +683,6 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PLANES6 = VEC.hyperplanes(64, 6)
 # Static max-width plane set for oracles that mirror the DERIVED width:
 # hyperplanes() is a sequential LCG stream, so hyperplanes(d, k) ==
 # hyperplanes(d, 16)[:k] for any k <= 16, and a bucket built from the first
@@ -659,10 +701,6 @@ def _sql_bucket(planes: list[list[float]]) -> str:
             f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
         )
     return " + ".join(terms)
-
-
-def _sql_bucket6() -> str:
-    return _sql_bucket(_PLANES6)
 
 
 # SQL mirror of vectors.nbits_for_corpus(n, target=128, min=4, max=16):
@@ -795,15 +833,6 @@ _SQL_MP_DESIGN = f"""w1 AS (
              ELSE 2 END AS radius
       FROM w3
     )"""
-
-# vectors.hyperplanes' LCG, reproduced verbatim so the oracle can GENERATE
-# the plane stream instead of inlining megabytes of literals: the stream is
-# state_{k+1} = (A*state_k + C) mod 2^63, component sign = bit 32.
-_LCG_SEED = 0x2545F4914F6CDD1D
-_LCG_A = 6364136223846793005
-_LCG_C = 1442695040888963407
-_LCG_M = 1 << 63
-
 
 def _sql_mp_ctes() -> str:
     """Shared CTE chain for the d19/d20 oracles: derive (nbits, dim,
@@ -3767,10 +3796,11 @@ def d14_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ctm2_embedding_contamination",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, {SQL_VEC} AS v, {_sql_bucket6()} AS bucket,
+    WITH RECURSIVE {_sql_fixed_planes_ctes(6)},
+    b AS (
+      SELECT vec_id, v, bucket,
              ({sql_hash64("CAST(vec_id AS VARCHAR)")} % 100) < 80 AS is_train
-      FROM embeddings
+      FROM vb
     ),
     n AS (SELECT vec_id, v, bucket, is_train, sqrt(list_dot_product(v, v)) AS nrm FROM b),
     p AS (
@@ -3804,14 +3834,24 @@ def ctm2_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket test x train, never all-pairs; output is one row per
     contaminated test vector (count + best match). Threshold 0.3 fits the
     synthetic corpus (max pairwise cosine ~0.51); production would use
-    ~0.9+ with corpus-derived bit width (vectors.nbits_for_corpus)."""
+    ~0.9+ with corpus-derived bit width (vectors.nbits_for_corpus).
+    Planes are built at the MEASURED dim with a per-row dim assertion
+    (see s2_lsh_buckets — the same round-6 ADVICE hazard fix)."""
     e = t(spark, sf_dir, "embeddings")
+    n, dim = _shared_emb_meta(spark, sf_dir)
+    if n == 0 or dim == 0:
+        return spark.createDataFrame(
+            [], "test_id long, n_matches long, best_train_id long, best_cos double"
+        )
+    planes6 = VEC.hyperplanes(dim, 6)
     h = DD._hash64(F.col("vec_id").cast("string")) % 100
     base = e.select(
         "vec_id",
         "embedding",
         (h < 80).alias("is_train"),
-        VEC.hyperplane_bucket(F.col("embedding"), _PLANES6).alias("bucket"),
+        VEC.hyperplane_bucket(
+            F.col("embedding"), planes6, expected_dim=dim
+        ).alias("bucket"),
         VEC.norm(F.col("embedding")).alias("nrm"),
     )
     te = base.filter(~F.col("is_train")).select(

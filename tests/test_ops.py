@@ -1174,3 +1174,33 @@ def test_salsa_matches_integer_reference(spark, tmp_path):
     # supplier 10 carries more inbound mass than supplier 20
     assert a[10] > a[20]
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_hyperplane_bucket_dim_mismatch_raises(spark):
+    """The expected_dim guard (round-6 ADVICE): a vector whose length
+    differs from the planes' dim must RAISE, not null-collapse into
+    bucket 0. Matched-dim rows still bucket normally through the guard."""
+    import pytest
+
+    from nyc_open_data_pipeline_spark.functions.vectors import (
+        hyperplane_bucket,
+        hyperplanes,
+    )
+
+    planes = hyperplanes(8, 4)
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    guarded = hyperplane_bucket(F.col("embedding"), planes, expected_dim=8)
+    ok = (
+        df.filter("vec_id = 1").select(guarded.alias("b")).collect()[0]["b"]
+    )
+    unguarded = (
+        df.filter("vec_id = 1")
+        .select(hyperplane_bucket(F.col("embedding"), planes).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert ok == unguarded  # guard is transparent on matched dims
+    with pytest.raises(Exception, match="dim mismatch"):
+        df.select(guarded.alias("b")).collect()
