@@ -1376,7 +1376,11 @@ def st3_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     run_incremental_dedup(spark, stream, out_dir, state_dir)
-    return spark.read.schema("doc_id long, content_hash string").parquet(out_dir)
+    return (
+        spark.read.schema("doc_id long, content_hash string")
+        .parquet(out_dir)
+        .select("doc_id", "content_hash")  # drop the batch partition col
+    )
 
 
 # LSH band rows over the shared `sigs` CTE (one SELECT per band) — the
@@ -1502,7 +1506,11 @@ def st11_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFra
         .parquet(stream_dir)
     )
     run_incremental_neardup(spark, stream, out_dir, state_dir)
-    return spark.read.schema("doc_id long").parquet(out_dir)
+    return (
+        spark.read.schema("doc_id long")
+        .parquet(out_dir)
+        .select("doc_id")  # drop the batch partition col
+    )
 
 
 # Shared redaction patterns (same regex dialect in Java and RE2)

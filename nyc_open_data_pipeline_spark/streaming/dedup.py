@@ -12,9 +12,9 @@ the production shape for continuous corpus ingestion at 100 TB:
 - within-batch duplicates collapse first (groupBy hash, keep min id) so the
   anti-join's left side is already distinct;
 - ``foreachBatch`` gives exactly-once-per-batch semantics with the stream's
-  checkpoint (batch_id-keyed idempotence is the documented upgrade for
-  rerun safety; parquet append is at-least-once here and sufficient for a
-  demonstration sink).
+  checkpoint: each batch overwrites its own ``batch=<id>`` partition of the
+  output and state tables, so a checkpoint-replayed batch replaces partial
+  work instead of appending a second copy, whatever the crash point.
 
 No counterpart in the reference (batch CLI only — SURVEY §2.13); this
 extends d8 the way st1/st2 extend e1/a-family.
@@ -57,19 +57,32 @@ def hashed_docs(df: DataFrame) -> DataFrame:
     )
 
 
+def _has_batches(d: str) -> bool:
+    """True iff at least one committed-or-partial batch partition exists."""
+    try:
+        return any(e.startswith("batch=") for e in os.listdir(d))
+    except OSError:
+        return False
+
+
 def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
     """foreachBatch function: per micro-batch, collapse within-batch dupes
     (keep the smallest doc_id per hash), drop hashes already in the corpus
-    state, then append survivors + their hashes.
+    state, then write survivors + their hashes.
 
     Exactly-once under replay: the stream's checkpoint re-delivers the last
-    uncommitted batch after a crash, and parquet append is not transactional
-    — so the sink records the last batch id it fully applied (`_last_batch`
-    marker, written via tmp+rename AFTER both appends) and skips any batch
-    id at or below it. Re-running a partially-applied batch is safe in one
-    direction by construction (the anti-join drops hashes whose state
-    append landed); the marker closes the other direction (both appends
-    landed, commit didn't)."""
+    uncommitted batch after a crash, so each batch writes to its OWN
+    ``batch=<id>`` partition directory with mode("overwrite") — a replayed
+    batch replaces any partial output instead of appending a duplicate copy
+    (the round-6 ADVICE hazard: a crash between the output write and the
+    commit marker left append-mode output doubled on replay). The
+    ``_last_batch`` marker (tmp+rename AFTER both writes) remains as the
+    cheap skip for already-committed replays; correctness no longer
+    depends on it. The state read filters ``batch < batch_id`` (partition-
+    pruned), so a crash that left the CURRENT batch's own state partition
+    partially written cannot feed those keys back into the replay's
+    anti-join and silently drop its own survivors — the replay recomputes
+    from exactly the pre-batch state and overwrites both partitions."""
     os.makedirs(state_dir, exist_ok=True)
     marker = os.path.join(state_dir, "_last_batch")
 
@@ -89,9 +102,13 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             .groupBy("content_hash")
             .agg(F.min("doc_id").alias("doc_id"))
         )
-        state_files = [f for f in os.listdir(state_dir) if f.endswith(".parquet")]
-        if state_files:
-            seen = sess.read.schema(HASH_SCHEMA).parquet(state_dir)
+        if _has_batches(state_dir):
+            seen = (
+                sess.read.schema(HASH_SCHEMA)
+                .parquet(state_dir)
+                .filter(F.col("batch") < batch_id)
+                .select("content_hash")
+            )
             batch = batch.join(seen, "content_hash", "left_anti")
         from nyc_open_data_pipeline_spark.streaming.windows import record_stream_plan
 
@@ -103,8 +120,12 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
         except Exception:
             pass
         survivors = batch.select("doc_id", "content_hash").localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(out_dir)
-        survivors.select("content_hash").write.mode("append").parquet(state_dir)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        survivors.select("content_hash").write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
         tmp = f"{marker}.tmp"
         with open(tmp, "w") as f:
             f.write(str(batch_id))
@@ -151,8 +172,9 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
     keys and are excluded (they are not near-dup candidates of anything;
     the line-level d15 path owns short text).
 
-    Idempotence under checkpoint replay: same marker protocol as the
-    exact-hash sink."""
+    Idempotence under checkpoint replay: same per-batch ``batch=<id>``
+    overwrite partitions + pre-batch state filter as the exact-hash sink
+    (see ``incremental_dedup_sink``)."""
     os.makedirs(state_dir, exist_ok=True)
     marker = os.path.join(state_dir, "_last_batch")
 
@@ -182,11 +204,13 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             .filter(F.col("first_id") < F.col("doc_id"))
             .select("doc_id")
         )
-        state_files = [
-            f for f in os.listdir(state_dir) if f.endswith(".parquet")
-        ]
-        if state_files:
-            seen = sess.read.schema(BAND_SCHEMA).parquet(state_dir)
+        if _has_batches(state_dir):
+            seen = (
+                sess.read.schema(BAND_SCHEMA)
+                .parquet(state_dir)
+                .filter(F.col("batch") < batch_id)
+                .select("band", "band_key")
+            )
             hit_state = bk.join(seen, ["band", "band_key"], "left_semi").select(
                 "doc_id"
             )
@@ -210,8 +234,12 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
         new_keys = bk.select("band", "band_key").distinct()
         out = survivors.localCheckpoint(eager=True)
         keys = new_keys.localCheckpoint(eager=True)
-        out.write.mode("append").parquet(out_dir)
-        keys.write.mode("append").parquet(state_dir)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        keys.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
         tmp = f"{marker}.tmp"
         with open(tmp, "w") as f:
             f.write(str(batch_id))

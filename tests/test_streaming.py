@@ -565,3 +565,50 @@ def test_stream_incremental_neardup_equals_batch_greedy(spark, sf_dir):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_incremental_dedup_sink_crash_before_marker_replay(spark, tmp_path):
+    """The round-7 idempotence upgrade: a crash AFTER the output/state
+    writes but BEFORE the marker commit replays the batch with the marker
+    un-advanced — per-batch overwrite partitions must replace, not
+    double-append, and the pre-batch state filter must not let the batch's
+    own landed state keys anti-join away its own survivors."""
+    import os
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import incremental_dedup_sink
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_dedup_sink(spark, out, state)
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    sink(b0, 0)
+    b1 = spark.createDataFrame(
+        [(5, "alpha"), (6, "delta")], "doc_id long, text string"
+    )
+    sink(b1, 1)
+    # simulate crash-before-marker on batch 1: writes landed, marker did not
+    os.remove(os.path.join(state, "_last_batch"))
+    sink(b1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 6}
+    assert len(spark.read.parquet(out).collect()) == 3  # no double-append
+
+
+def test_incremental_neardup_sink_crash_before_marker_replay(spark, tmp_path):
+    """Same crash-before-marker replay for the band-key sink."""
+    import os
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import incremental_neardup_sink
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different words appear in this other document body text"
+    c = "a third unrelated passage about spark shuffles and parquet footers"
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_neardup_sink(spark, out, state)
+    sink(spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string"), 0)
+    b1 = spark.createDataFrame([(5, a), (6, c)], "doc_id long, text string")
+    sink(b1, 1)
+    os.remove(os.path.join(state, "_last_batch"))
+    sink(b1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 6}
+    assert len(spark.read.parquet(out).collect()) == 3
