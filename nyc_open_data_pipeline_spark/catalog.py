@@ -88,12 +88,22 @@ _EXPRESSION_HEAVY = {"documents", "embeddings"}
 # an explicit operator override.
 _AUTOSIZE_TARGET_DISK_BYTES = 32 * 1024 * 1024
 _AUTOSIZE_MAX = 4096
-_DIR_BYTES_CACHE: dict[str, int] = {}
+_DIR_BYTES_CACHE: dict[tuple[str, int], int] = {}
 _AUTOSIZE_HIGH_WATER: dict[str, int] = {}
 
 
 def _dir_input_bytes(sf_dir: str) -> int:
-    b = _DIR_BYTES_CACHE.get(sf_dir)
+    # Cache keyed on (path, dir mtime): regenerating or growing a dataset
+    # in place (e.g. a generator writing sf100 into a dir probed while
+    # small) bumps the directory mtime — table files sit directly in the
+    # scale dir — so the autosizer re-walks instead of sizing from a stale
+    # byte count forever (round-6 ADVICE).
+    try:
+        mtime = os.stat(sf_dir).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (sf_dir, mtime)
+    b = _DIR_BYTES_CACHE.get(key)
     if b is None:
         b = 0
         for root, _dirs, files in os.walk(sf_dir):
@@ -102,7 +112,7 @@ def _dir_input_bytes(sf_dir: str) -> int:
                     b += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
-        _DIR_BYTES_CACHE[sf_dir] = b
+        _DIR_BYTES_CACHE[key] = b
     return b
 
 
@@ -144,6 +154,24 @@ def _dir_slug(sf_dir: str) -> str:
     return re.sub(r"[^A-Za-z0-9]+", "_", os.path.abspath(sf_dir)).strip("_")
 
 
+# Marker property recording that a bucketed copy was written from load_table
+# output (timestamp normalization applied). Checked before serving.
+NORMALIZED_PROP = "spark_graft.normalized"
+_BUCKETED_VERIFIED: dict[tuple[str, str], bool] = {}
+
+
+def _bucketed_is_normalized(spark: SparkSession, table: str) -> bool:
+    key = (spark.sparkContext.applicationId, table)
+    ok = _BUCKETED_VERIFIED.get(key)
+    if ok is None:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        ok = any(
+            r["key"] == NORMALIZED_PROP and r["value"] == "true" for r in rows
+        )
+        _BUCKETED_VERIFIED[key] = ok
+    return ok
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from nyc_open_data_pipeline_spark.session import ensure_semantic_confs
 
@@ -157,10 +185,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle contract is unaffected (same rows, different physical layout).
     if os.environ.get("SPARK_GRAFT_USE_BUCKETED") == "1":
         # the table name encodes the scale dir: a bucketed copy built from
-        # one scale can never be served for another (the copy is written
-        # FROM load_table output, so timestamp normalization is baked in)
+        # one scale can never be served for another; the NORMALIZED marker
+        # property (set by operators/bucketing.write_bucketed when its input
+        # came through load_table) proves the copy has the timestamp
+        # normalization below baked in — a bucketed table written from a raw
+        # spark.read.parquet would silently skip it (round-6 ADVICE), so an
+        # unmarked table is ignored rather than served.
         bt = f"sg_bucketed_{_dir_slug(sf_dir)}_{name}"
-        if spark.catalog.tableExists(bt):
+        if spark.catalog.tableExists(bt) and _bucketed_is_normalized(spark, bt):
             return spark.table(bt)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)

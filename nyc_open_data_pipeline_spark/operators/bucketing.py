@@ -22,14 +22,28 @@ def write_bucketed(
     key: str | list[str],
     buckets: int = 32,
     sort: bool = True,
+    normalized: bool = False,
 ) -> None:
     """Write ``df`` as a bucketed (and bucket-sorted) catalog table. At
-    production scale pick buckets so each bucket file is ~128 MB-1 GB."""
+    production scale pick buckets so each bucket file is ~128 MB-1 GB.
+
+    Pass ``normalized=True`` ONLY when ``df`` came through
+    ``catalog.load_table`` (timestamp normalization applied): it stamps the
+    marker property ``catalog.NORMALIZED_PROP`` that ``load_table`` checks
+    before serving the bucketed copy in place of the parquet path — an
+    unmarked table is never served, so a copy written from a raw
+    ``spark.read.parquet`` cannot silently skip normalization."""
     keys = [key] if isinstance(key, str) else key
     writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
     writer.saveAsTable(table)
+    if normalized:
+        from nyc_open_data_pipeline_spark.catalog import NORMALIZED_PROP
+
+        df.sparkSession.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES ('{NORMALIZED_PROP}'='true')"
+        )
 
 
 def plan_string(df: DataFrame) -> str:

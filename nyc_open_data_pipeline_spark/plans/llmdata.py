@@ -1398,13 +1398,24 @@ _SQL_BANDS_UNION = " UNION ALL ".join(
     oracle=f"""
     WITH {_sql_minhash_sigs()},
     bands AS ({_SQL_BANDS_UNION}),
-    existing AS (SELECT DISTINCT band, band_key FROM bands WHERE doc_id < 2500),
-    incoming AS (SELECT DISTINCT doc_id FROM bands WHERE doc_id >= 2500),
+    sp AS (
+      SELECT CAST(min(doc_id) + (max(doc_id) - min(doc_id)) * 4 // 5
+                  AS BIGINT) AS split
+      FROM documents
+    ),
+    existing AS (
+      SELECT DISTINCT band, band_key FROM bands
+      WHERE doc_id < (SELECT split FROM sp)
+    ),
+    incoming AS (
+      SELECT DISTINCT doc_id FROM bands
+      WHERE doc_id >= (SELECT split FROM sp)
+    ),
     hit AS (
       SELECT DISTINCT b.doc_id
       FROM bands b JOIN existing e
         ON b.band = e.band AND b.band_key = e.band_key
-      WHERE b.doc_id >= 2500
+      WHERE b.doc_id >= (SELECT split FROM sp)
     )
     SELECT i.doc_id
     FROM incoming i LEFT JOIN hit h ON i.doc_id = h.doc_id
@@ -1416,15 +1427,28 @@ _SQL_BANDS_UNION = " UNION ALL ".join(
     "corpus's band-key set; the batch twin of st11)",
 )
 def d22_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup: an incoming batch (doc_id >= 2500) keeps only
-    documents sharing NO LSH band key with the existing corpus (< 2500).
-    The conservative crawl-gate semantics (drop on band collision, no
-    exact verify — d4 is the verified batch variant). Scale shape: the
-    corpus side is a narrow DISTINCT (band, band_key) index — two small
-    columns regardless of corpus width, bucketable by band_key so
-    repeated ingests never reshuffle it; the probe side shuffles only
-    (doc_id, band, band_key). Docs too short to shingle have no band
-    keys and are out of scope (d15 owns short text)."""
+    """Incremental near-dup: the last fifth of the id span is the incoming
+    batch; it keeps only documents sharing NO LSH band key with the
+    existing corpus (the first four fifths). The split is DERIVED from
+    the corpus id range (min + 4/5 span, integer arithmetic both
+    engines reproduce exactly) — the round-6 hardcoded 2500 sat past
+    sf0.01's max doc_id 499, so the incoming set was empty and the
+    parity check discriminated nothing (round-6 ADVICE). The conservative
+    crawl-gate semantics (drop on band collision, no exact verify — d4 is
+    the verified batch variant). Scale shape: the corpus side is a narrow
+    DISTINCT (band, band_key) index — two small columns regardless of
+    corpus width, bucketable by band_key so repeated ingests never
+    reshuffle it; the probe side shuffles only (doc_id, band, band_key).
+    Docs too short to shingle have no band keys and are out of scope
+    (d15 owns short text)."""
+    span = (
+        t(spark, sf_dir, "documents")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .collect()[0]
+    )
+    if span["mn"] is None:
+        return spark.createDataFrame([], "doc_id long")
+    split = int(span["mn"] + (span["mx"] - span["mn"]) * 4 // 5)
     hv = _shared_hv(spark, sf_dir)
     bk = (
         DD.band_keys(
@@ -1437,9 +1461,9 @@ def d22_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id", "doc_id")
     )
     existing = (
-        bk.filter(F.col("doc_id") < 2500).select("band", "band_key").distinct()
+        bk.filter(F.col("doc_id") < split).select("band", "band_key").distinct()
     )
-    inc = bk.filter(F.col("doc_id") >= 2500)
+    inc = bk.filter(F.col("doc_id") >= split)
     hit = inc.join(existing, ["band", "band_key"], "left_semi").select(
         "doc_id"
     )
@@ -6168,9 +6192,48 @@ def v9_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_M = 256
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. alpha_m
 _HLL_SQL_H = sql_hash64("CAST(user_id AS VARCHAR)")
+# Exact harmonic sum via integer scaling (round-6 VERDICT #6): each term
+# 2^-m_j is scaled by 2^53 to the exact BIGINT 2^(53-m_j) (m_j <= 53 by the
+# rho construction), so the register sum is exact integer arithmetic at ANY
+# register value — the previous double sum was exact only while every
+# register stayed below ~46. With 256 registers the scaled sum is at most
+# 256 * 2^52 = 2^60 and the full denominator spi + v*2^53 is below 2^62:
+# no overflow. The single int->double conversion and one division round
+# identically in both engines, so the estimate stays hash-comparable.
+_HLL_P53 = 1 << 53
+
+
+def hll_register_agg(r: DataFrame) -> DataFrame:
+    """(b, m_j) register frame -> 1-row (nb, spi): register count and the
+    EXACT integer-scaled harmonic sum SUM(2^(53 - m_j))."""
+    return r.agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - m_j) AS BIGINT)"))
+        .cast("long")
+        .alias("spi"),
+    )
+
+
+def hll_estimate_cols():
+    """(v_zero, raw, est) column expressions over a (nb, spi) row — shared
+    by sk4 and the adversarial-register property test."""
+    v = (F.lit(_HLL_M) - F.col("nb")).cast("long")
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(float(_HLL_P53))
+        / (F.col("spi") + v * F.lit(_HLL_P53)).cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return v, raw, est
+
+
 _HLL_SQL_RAW = (
-    f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0"
-    f" / (a.sp + ({_HLL_M} - a.nb))"
+    f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0 * {float(_HLL_P53)!r}"
+    f" / CAST(a.spi + ({_HLL_M} - a.nb) * {_HLL_P53} AS DOUBLE)"
 )
 _HLL_SQL_EST = (
     f"CASE WHEN {_HLL_SQL_RAW} <= {2.5 * _HLL_M} AND ({_HLL_M} - a.nb) > 0"
@@ -6190,7 +6253,8 @@ _HLL_SQL_EST = (
       FROM hh GROUP BY 1
     ),
     a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
-                 SUM(power(2.0, -m_j)) AS sp FROM r),
+                 CAST(SUM(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT)
+                   AS spi FROM r),
     x AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
           FROM events)
     SELECT {_HLL_M} AS m,
@@ -6214,16 +6278,12 @@ def sk4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     256 registers, register j = max over its items of (leading-zero count
     + 1) of the 52 post-bucket hash bits — computed as the first-'1'
     position in the zero-padded binary string, identical text ops in both
-    engines. The harmonic denominator sums 2^-M_j terms: each term is an
-    exact power of two, and with 256 registers the running sum stays
-    exact as long as every register value is below ~46 (the 53-bit
-    significand then spans the largest partial sum, ~2^8, down to the
-    smallest term) — true for any input the 52-bit rho construction can
-    produce short of ~2^45 items per bucket, so in this estimator's
-    operating range the sum is exact and order-independent without a
-    decimal detour; a hypothetical register >= 46 would make the double
-    sum rounding-order-dependent (probability ~2^-45 per run), in which
-    case route the sum through the DECIMAL recipe tx12/mix6 use.
+    engines. The harmonic denominator sums 2^-M_j terms IN EXACT INTEGER
+    ARITHMETIC: each term is scaled by 2^53 to the exact BIGINT
+    2^(53-M_j), so the sum is order-independent and exact at ANY register
+    value (round-6 VERDICT #6 — the previous double sum was exact only
+    while every register stayed below ~46; see _HLL_P53 note, and the
+    adversarial high-register property test in tests/test_ops.py).
     Small-range correction: when the
     raw estimate <= 2.5m and empty registers exist, fall back to linear
     counting m*ln(m/V) (fires at sf0.01: 150.87 vs 150 exact; the raw
@@ -6243,19 +6303,9 @@ def sk4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.lpad(F.bin(h2), 52, "0"), "1")
     )
     r = hh.groupBy((F.col("h") % _HLL_M).alias("b")).agg(F.max(rho).alias("m_j"))
-    a = r.agg(
-        F.count("*").cast("long").alias("nb"),
-        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sp"),
-    )
+    a = hll_register_agg(r)
     x = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
-    v = (F.lit(_HLL_M) - F.col("nb")).cast("long")
-    raw = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / (
-        F.col("sp") + v.cast("double")
-    )
-    est = F.when(
-        (raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
-    ).otherwise(raw)
+    v, raw, est = hll_estimate_cols()
     return a.crossJoin(F.broadcast(x)).select(
         F.lit(_HLL_M).alias("m"),
         v.alias("v_zero"),

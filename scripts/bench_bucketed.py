@@ -61,11 +61,11 @@ def main() -> None:
         li = load_table(spark, SF_DIR, "lineitem").repartition(
             buckets, "l_orderkey"
         )
-        write_bucketed(li, bt_li, "l_orderkey", buckets=buckets)
+        write_bucketed(li, bt_li, "l_orderkey", buckets=buckets, normalized=True)
         o = load_table(spark, SF_DIR, "orders").repartition(
             buckets, "o_orderkey"
         )
-        write_bucketed(o, bt_o, "o_orderkey", buckets=buckets)
+        write_bucketed(o, bt_o, "o_orderkey", buckets=buckets, normalized=True)
         write_sec = round(time.perf_counter() - t0, 1)
     else:
         write_sec = None  # pre-existing tables (re-run)

@@ -1204,3 +1204,91 @@ def test_hyperplane_bucket_dim_mismatch_raises(spark):
     assert ok == unguarded  # guard is transparent on matched dims
     with pytest.raises(Exception, match="dim mismatch"):
         df.select(guarded.alias("b")).collect()
+
+
+def test_bucketed_copy_served_only_when_normalized(spark, sf_dir, monkeypatch):
+    """load_table must serve a bucketed catalog copy ONLY when it carries
+    the normalized marker property (round-6 ADVICE: an unmarked table —
+    e.g. written from a raw spark.read.parquet — would silently skip the
+    timestamp normalization load_table applies to the parquet path)."""
+    from nyc_open_data_pipeline_spark import catalog
+    from nyc_open_data_pipeline_spark.operators.bucketing import write_bucketed
+
+    bt = f"sg_bucketed_{catalog._dir_slug(sf_dir)}_orders"
+    full = catalog.load_table(spark, sf_dir, "orders")
+    # a 5-row decoy distinguishes "served the catalog table" from "read the
+    # parquet path" by row count alone
+    decoy = full.limit(5)
+    monkeypatch.setenv("SPARK_GRAFT_USE_BUCKETED", "1")
+    try:
+        write_bucketed(decoy, bt, "o_orderkey", buckets=2)
+        catalog._BUCKETED_VERIFIED.clear()
+        assert catalog.load_table(spark, sf_dir, "orders").count() == full.count()
+        write_bucketed(decoy, bt, "o_orderkey", buckets=2, normalized=True)
+        catalog._BUCKETED_VERIFIED.clear()
+        assert catalog.load_table(spark, sf_dir, "orders").count() == 5
+    finally:
+        catalog._BUCKETED_VERIFIED.clear()
+        spark.sql(f"DROP TABLE IF EXISTS {bt}")
+
+
+def test_dir_bytes_cache_invalidates_on_growth(tmp_path):
+    """The autosizer's byte cache must re-walk when the dataset dir changes
+    (round-6 ADVICE: a dir probed while small kept its stale byte count
+    forever, pinning an undersized shuffle width after regeneration)."""
+    import os
+    import time
+
+    from nyc_open_data_pipeline_spark.catalog import _dir_input_bytes
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x" * 100)
+    first = _dir_input_bytes(d)
+    assert first == 100
+    time.sleep(0.01)  # ensure the dir mtime advances past fs resolution
+    with open(os.path.join(d, "b.parquet"), "wb") as f:
+        f.write(b"x" * 900)
+    assert _dir_input_bytes(d) == 1000
+
+
+def test_hll_integer_scaled_sum_exact_high_registers(spark):
+    """Adversarial registers at the rho ceiling (m_j = 52/53): the old
+    double harmonic sum became rounding-order-dependent above register
+    ~46; the integer-scaled sum (round-7, VERDICT #6) must be exact and
+    permutation-independent — equal to the Fraction-free exact Python
+    computation bit-for-bit, whatever the row order."""
+    import random
+
+    from nyc_open_data_pipeline_spark.plans.llmdata import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_P53,
+        hll_estimate_cols,
+        hll_register_agg,
+    )
+
+    regs = [
+        (b, 53 if b % 3 == 0 else (52 if b % 3 == 1 else 1 + b % 7))
+        for b in range(200)
+    ]
+    spi = sum(1 << (53 - m) for _, m in regs)
+    v = _HLL_M - len(regs)
+    exp_raw = (
+        _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(_HLL_P53)
+        / float(spi + v * _HLL_P53)
+    )
+    for seed in (0, 1, 2):
+        rr = regs[:]
+        random.Random(seed).shuffle(rr)
+        df = spark.createDataFrame(rr, "b long, m_j long").repartition(8)
+        vcol, raw, _est = hll_estimate_cols()
+        row = (
+            hll_register_agg(df)
+            .select(vcol.alias("v"), raw.alias("raw"), "spi")
+            .collect()[0]
+        )
+        assert row["spi"] == spi  # exact integer sum, any order
+        assert row["v"] == v
+        assert row["raw"] == exp_raw  # bit-identical double

@@ -596,3 +596,13 @@ def test_v8_no_orphans_on_wellformed_corpus(spark, sf_dir):
     assert len(rows) == 7
     assert all(r.n_orphans == 0 for r in rows), rows
     assert all(r.n_child > 0 for r in rows)
+
+
+def test_d22_split_discriminates(spark, sf_dir):
+    """The derived incoming/existing split must yield a NON-EMPTY survivor
+    set on the fixture (round-6 ADVICE: the hardcoded 2500 split sat past
+    max doc_id, so both engines returned 0 rows and the parity check
+    discriminated nothing)."""
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    assert all_queries()["d22_incremental_neardup"].fn(spark, sf_dir).count() > 0
