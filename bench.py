@@ -162,6 +162,9 @@ HEADLINE += [
     "sk5_quantile_sketch",
     "v9_distribution_drift",
     "gr2_salsa",
+    # round 7
+    "d23_multiprobe_neardup_hi",
+    "d24_multiprobe_recall_hi",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

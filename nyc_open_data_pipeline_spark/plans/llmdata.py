@@ -779,20 +779,26 @@ MP_MAX_SETS = 64  # plan-size cap; radius escalates before it can bind
 MP_MAX_RADIUS = 2  # probe-radius cap; d20 reports any shortfall past it
 
 
-def _mp_design(n: int) -> tuple[int, int, int]:
-    """(nbits, r_sets, radius) for a corpus of n vectors."""
+def _mp_design(
+    n: int, threshold: float = MP_THRESHOLD
+) -> tuple[int, int, int]:
+    """(nbits, r_sets, radius) for a corpus of n vectors at a design
+    threshold (d19/d20 use the synthetic-corpus point MP_THRESHOLD;
+    d23/d24 the production point MP_THRESHOLD_HI)."""
     nbits = VEC.nbits_for_corpus(n, max_bits=16)
     r_sets, radius = VEC.multiprobe_design(
-        nbits, MP_THRESHOLD, MP_TARGET_RECALL, MP_MAX_SETS, MP_MAX_RADIUS
+        nbits, threshold, MP_TARGET_RECALL, MP_MAX_SETS, MP_MAX_RADIUS
     )
     return nbits, r_sets, radius
 
 
-def _mp_plane_sets(n: int, dim: int) -> tuple[list[list[list[float]]], int]:
+def _mp_plane_sets(
+    n: int, dim: int, threshold: float = MP_THRESHOLD
+) -> tuple[list[list[list[float]]], int]:
     """(R plane sets, probe radius) for a corpus of n vectors of the
     MEASURED dim (a mismatched fixture can no longer silently collapse
     every vector into bucket 0 via null-propagating zip_with padding)."""
-    nbits, r_sets, radius = _mp_design(n)
+    nbits, r_sets, radius = _mp_design(n, threshold)
     pl = VEC.hyperplanes(dim, nbits * r_sets)
     return [pl[r * nbits : (r + 1) * nbits] for r in range(r_sets)], radius
 
@@ -801,8 +807,9 @@ def _mp_plane_sets(n: int, dim: int) -> tuple[list[list[list[float]]], int]:
 # provide nbits and dim). Term order in p0/p1/p2 matches the Python sum
 # exactly; the ceil boundaries sit >=0.3 away from integers at every
 # width in [4,16], so double-rounding cannot flip an engine.
-_SQL_MP_DESIGN = f"""w1 AS (
-      SELECT nbits, dim, 1.0 - acos({MP_THRESHOLD})/pi() AS p FROM w0
+def _sql_mp_design(threshold: float = MP_THRESHOLD) -> str:
+    return f"""w1 AS (
+      SELECT nbits, dim, 1.0 - acos({threshold})/pi() AS p FROM w0
     ),
     w2 AS (
       SELECT nbits, dim,
@@ -834,7 +841,28 @@ _SQL_MP_DESIGN = f"""w1 AS (
       FROM w3
     )"""
 
-def _sql_mp_ctes() -> str:
+# In-query planted near-dup rows for the production-threshold audit
+# (d23/d24): for each sample id s (vec_id < 16) with a partner w at id
+# s + 16, plant new_id = max(vec_id) + 1 + s with vector v_s + 0.25 * w
+# — elementwise arithmetic both engines evaluate in the same IEEE order,
+# so the planted corpus is bit-identical cross-engine and needs no
+# stored fixture. The blend lands cos(v, v') ~ 0.93-0.99 (jitter from
+# v.w), i.e. true pairs AT AND ABOVE the 0.9 design point — without
+# them the driver-scale fixture has no >= 0.9 pairs at all and the
+# parity check would compare empty results (the d22 lesson).
+MP_PLANT_ALPHA = 0.25
+
+_SQL_MP_PLANT = f"""UNION ALL
+      SELECT (SELECT max(vec_id) FROM embeddings) + 1 + sp.vec_id,
+             list_transform(list_zip(sp.v, wp.v),
+                            x -> x[1] + CAST({MP_PLANT_ALPHA} AS DOUBLE) * x[2])
+      FROM (SELECT vec_id, {SQL_VEC} AS v FROM embeddings
+            WHERE vec_id < 16) sp
+      JOIN (SELECT vec_id - 16 AS sid, {SQL_VEC} AS v FROM embeddings) wp
+        ON wp.sid = sp.vec_id"""
+
+
+def _sql_mp_ctes(threshold: float = MP_THRESHOLD, augment: bool = False) -> str:
     """Shared CTE chain for the d19/d20 oracles: derive (nbits, dim,
     r_sets, probe radius) from corpus stats, generate the first
     nbits*dim*r_sets LCG values with a recursive CTE (verified value-
@@ -851,7 +879,7 @@ def _sql_mp_ctes() -> str:
              CAST(any_value(len({SQL_VEC})) AS INT) AS dim
       FROM embeddings
     ),
-    {_SQL_MP_DESIGN},
+    {_sql_mp_design(threshold)},
     lcg(k, state) AS (
       SELECT 0, (CAST({_LCG_SEED} AS HUGEINT) * {_LCG_A} + {_LCG_C})
                 % CAST({_LCG_M} AS HUGEINT)
@@ -868,9 +896,11 @@ def _sql_mp_ctes() -> str:
                   ORDER BY k) AS plane
       FROM lcg, w GROUP BY 1, 2
     ),
-    n AS (SELECT vec_id, {SQL_VEC} AS v,
-                 sqrt(list_dot_product({SQL_VEC}, {SQL_VEC})) AS nrm
-          FROM embeddings),
+    aug AS (
+      SELECT vec_id, {SQL_VEC} AS v FROM embeddings
+      {_SQL_MP_PLANT if augment else ""}
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug),
     mb AS (
       SELECT e.vec_id, p.r,
              SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
@@ -928,18 +958,62 @@ def _shared_emb_meta(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     return meta
 
 
-def _shared_multiprobe_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus + the deterministic planted near-dup rows (_SQL_MP_PLANT's
+    Spark twin): identical elementwise arithmetic, identical ids."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = ("embmax", spark.sparkContext.applicationId, sf_dir)
+    maxid = _HV_CACHE.get(key, "miss")
+    if maxid == "miss":
+        maxid = e.agg(F.max("vec_id")).collect()[0][0]
+        _HV_CACHE[key] = maxid
+    if maxid is None:
+        return e
+    sp = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
+    )
+    wp = e.select(
+        (F.col("vec_id") - 16).alias("sid"), F.col("embedding").alias("wv")
+    )
+    planted = sp.join(wp, "sid").select(
+        (F.lit(int(maxid) + 1) + F.col("sid")).alias("vec_id"),
+        F.zip_with(
+            "sv", "wv", lambda x, y: x + F.lit(float(MP_PLANT_ALPHA)) * y
+        ).alias("embedding"),
+    )
+    return e.unionByName(planted)
+
+
+def _shared_multiprobe_cands(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = MP_THRESHOLD,
+    augment: bool = False,
+) -> DataFrame:
     """Distinct multi-probe candidate id pairs, persisted once per
-    (session, sf_dir) — shared by d19 (verify) and d20 (recall audit)."""
-    key = ("mp_cands", spark.sparkContext.applicationId, sf_dir)
+    (session, sf_dir, design threshold, augment) — shared by the verify
+    queries (d19/d23) and their recall audits (d20/d24). The (nbits, R,
+    radius) design derives from the RAW corpus stats in both engines;
+    ``augment`` only adds the planted rows to the bucketed corpus."""
+    key = (
+        "mp_cands",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        threshold,
+        augment,
+    )
     c = _HV_CACHE.get(key)
     if c is None:
-        e = t(spark, sf_dir, "embeddings")
+        e = (
+            _augmented_embeddings(spark, sf_dir)
+            if augment
+            else t(spark, sf_dir, "embeddings")
+        )
         n, dim = _shared_emb_meta(spark, sf_dir)
         if n == 0 or dim == 0:
             c = spark.createDataFrame([], "id_a long, id_b long")
         else:
-            sets_, radius = _mp_plane_sets(n, dim)
+            sets_, radius = _mp_plane_sets(n, dim, threshold)
             c = DD.multiprobe_candidate_pairs(
                 e, sets_, bucket_cap=EMB_BUCKET_CAP, radius=radius
             ).persist()
@@ -947,49 +1021,35 @@ def _shared_multiprobe_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c
 
 
-@register(
-    "d19_multiprobe_neardup",
-    oracle=f"""
-    WITH RECURSIVE {_sql_mp_ctes()}
+def _sql_mp_verify_oracle(
+    threshold: float = MP_THRESHOLD, augment: bool = False
+) -> str:
+    """Oracle for a multi-probe verify query at a given design threshold
+    (shared by d19 and the production-threshold twin d23)."""
+    return f"""
+    WITH RECURSIVE {_sql_mp_ctes(threshold, augment)}
     SELECT c.id_a, c.id_b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
     FROM cand c JOIN n a ON c.id_a = a.vec_id JOIN n b ON c.id_b = b.vec_id
     WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
-          >= {MP_THRESHOLD}
-    """,
-    survey_ref="extension: multi-probe embedding near-dup — R independent "
-    "sign-LSH plane sets unioned (the d4 MinHash banding construction "
-    "transplanted to embeddings), plus Lv-et-al bit-flip probing when "
-    "the set count alone cannot fit the plan-size cap; (R, radius) "
-    "derived from (width, design threshold, target recall) so recall "
-    "holds at every derivable width — measured by d20",
-)
-def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with recall amplification: candidates' signatures
-    agree within the probe radius in ANY of R independent plane sets
-    (each at the d6-derived width), then one exact-cosine verify over the
-    DISTINCT candidate set. Per-set recall at threshold tau is
-    sum_{j<=q} C(nbits,j) p^(nbits-j) (1-p)^j; with R sets 1-(1-P_q)^R —
-    and (R, q) are jointly DERIVED from (nbits, MP_THRESHOLD,
-    MP_TARGET_RECALL) by vectors.multiprobe_design: independent sets
-    while they fit the plan-size cap (exactly the round-5-closing
-    probes_for_recall construction, so small corpora are unchanged),
-    bit-flip probing past it, which keeps the design target reachable at
-    every derivable width instead of the capped 0.198 union the round-6
-    audit measured at sf10. d20 measures the result against exhaustive
-    truth on a sampled query set.
-    Scale shape: the candidate stage shuffles only (id, bucket) pairs per
-    set with per-set caps; the verify stage applies the same exact-
-    duplicate factoring as d6 — candidate id pairs map to distinct-vector
-    representatives, the cosine is evaluated ONCE per distinct rep pair,
-    and the verdict joins back to the id pairs — so a copy-heavy corpus
-    (the sf10 shape: 200k ids, 2k distinct) pays folds proportional to
-    distinct pairs, not candidate pairs. Bit-identical to the unfactored
-    verify (same expression, same inputs). Verify values follow d6's
-    round-6 convention, so a pair surfaced by both operators carries the
-    identical cos_sim."""
-    cand = _shared_multiprobe_cands(spark, sf_dir)
-    n = t(spark, sf_dir, "embeddings").select(
+          >= {threshold}
+    """
+
+
+def _multiprobe_verify(
+    spark: SparkSession, sf_dir: str, threshold: float, augment: bool = False
+) -> DataFrame:
+    """Verified near-dup pairs >= threshold over the multi-probe candidate
+    union derived AT that threshold (see d19 docstring for the plan
+    shape; exact-duplicate factoring keeps the cosine fold per distinct
+    rep pair)."""
+    cand = _shared_multiprobe_cands(spark, sf_dir, threshold, augment)
+    corpus = (
+        _augmented_embeddings(spark, sf_dir)
+        if augment
+        else t(spark, sf_dir, "embeddings")
+    )
+    n = corpus.select(
         "vec_id",
         F.col("embedding").alias("v"),
         VEC.norm(F.col("embedding")).alias("nrm"),
@@ -1029,22 +1089,62 @@ def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rv.alias("a"), F.col("ra") == F.col("a.rid"))
         .join(rv.alias("b"), F.col("rb") == F.col("b.rid"))
         .select("ra", "rb", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= MP_THRESHOLD)
+        .filter(F.col("cos_sim") >= threshold)
     )
     return cr.join(scored, ["ra", "rb"]).select("id_a", "id_b", "cos_sim")
 
 
 @register(
-    "d20_multiprobe_recall",
-    oracle=f"""
-    WITH RECURSIVE {_sql_mp_ctes()},
+    "d19_multiprobe_neardup",
+    oracle=_sql_mp_verify_oracle(MP_THRESHOLD),
+    survey_ref="extension: multi-probe embedding near-dup — R independent "
+    "sign-LSH plane sets unioned (the d4 MinHash banding construction "
+    "transplanted to embeddings), plus Lv-et-al bit-flip probing when "
+    "the set count alone cannot fit the plan-size cap; (R, radius) "
+    "derived from (width, design threshold, target recall) so recall "
+    "holds at every derivable width — measured by d20",
+)
+def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with recall amplification: candidates' signatures
+    agree within the probe radius in ANY of R independent plane sets
+    (each at the d6-derived width), then one exact-cosine verify over the
+    DISTINCT candidate set. Per-set recall at threshold tau is
+    sum_{j<=q} C(nbits,j) p^(nbits-j) (1-p)^j; with R sets 1-(1-P_q)^R —
+    and (R, q) are jointly DERIVED from (nbits, MP_THRESHOLD,
+    MP_TARGET_RECALL) by vectors.multiprobe_design: independent sets
+    while they fit the plan-size cap (exactly the round-5-closing
+    probes_for_recall construction, so small corpora are unchanged),
+    bit-flip probing past it, which keeps the design target reachable at
+    every derivable width instead of the capped 0.198 union the round-6
+    audit measured at sf10. d20 measures the result against exhaustive
+    truth on a sampled query set.
+    Scale shape: the candidate stage shuffles only (id, bucket) pairs per
+    set with per-set caps; the verify stage applies the same exact-
+    duplicate factoring as d6 — candidate id pairs map to distinct-vector
+    representatives, the cosine is evaluated ONCE per distinct rep pair,
+    and the verdict joins back to the id pairs — so a copy-heavy corpus
+    (the sf10 shape: 200k ids, 2k distinct) pays folds proportional to
+    distinct pairs, not candidate pairs. Bit-identical to the unfactored
+    verify (same expression, same inputs). Verify values follow d6's
+    round-6 convention, so a pair surfaced by both operators carries the
+    identical cos_sim."""
+    return _multiprobe_verify(spark, sf_dir, MP_THRESHOLD)
+
+
+def _sql_mp_recall_oracle(
+    threshold: float = MP_THRESHOLD, augment: bool = False
+) -> str:
+    """Oracle for a multi-probe recall audit at a given design threshold
+    (shared by d20 and the production-threshold twin d24)."""
+    return f"""
+    WITH RECURSIVE {_sql_mp_ctes(threshold, augment)},
     s AS (SELECT * FROM n WHERE vec_id < 16),
     truth AS (
       SELECT DISTINCT LEAST(s.vec_id, o.vec_id) AS id_a,
                       GREATEST(s.vec_id, o.vec_id) AS id_b
       FROM s JOIN n o ON o.vec_id <> s.vec_id
       WHERE round(list_dot_product(s.v, o.v) / (s.nrm * o.nrm), 6)
-            >= {MP_THRESHOLD}
+            >= {threshold}
     ),
     tt AS (SELECT COUNT(*) AS n_true FROM truth),
     f AS (
@@ -1065,7 +1165,69 @@ def d19_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN recall >= {MP_TARGET_RECALL} THEN 1 ELSE 0 END
                 AS BIGINT) AS meets_target
     FROM m
-    """,
+    """
+
+
+def _multiprobe_recall(
+    spark: SparkSession, sf_dir: str, threshold: float, augment: bool = False
+) -> DataFrame:
+    """Recall audit of the multi-probe candidate union derived AT a
+    design threshold, against exhaustive cosine truth on the fixed
+    vec_id < 16 sample (see d20 docstring)."""
+    corpus = (
+        _augmented_embeddings(spark, sf_dir)
+        if augment
+        else t(spark, sf_dir, "embeddings")
+    )
+    n = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+    )
+    s = n.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("s_id"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("snrm"),
+    )
+    cos = F.round(
+        VEC.cosine_prenormed(
+            F.col("sv"), F.col("v"), F.col("snrm"), F.col("nrm")
+        ),
+        6,
+    )
+    truth = (
+        n.join(F.broadcast(s), F.col("vec_id") != F.col("s_id"))
+        .filter(cos >= threshold)
+        .select(
+            F.least("s_id", "vec_id").alias("id_a"),
+            F.greatest("s_id", "vec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = _shared_multiprobe_cands(spark, sf_dir, threshold, augment)
+    tt = truth.agg(F.count("*").alias("n_true"))
+    f = truth.join(cand, ["id_a", "id_b"]).agg(F.count("*").alias("n_found"))
+    m = tt.crossJoin(F.broadcast(f)).select(
+        "n_true",
+        "n_found",
+        _pround(
+            F.col("n_found")
+            / F.nullif(F.col("n_true").cast("double"), F.lit(0.0))
+        ).alias("recall"),
+    )
+    return m.select(
+        "*",
+        F.lit(float(MP_TARGET_RECALL)).alias("target_recall"),
+        F.when(F.col("recall") >= F.lit(float(MP_TARGET_RECALL)), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("meets_target"),
+    )
+
+
+@register(
+    "d20_multiprobe_recall",
+    oracle=_sql_mp_recall_oracle(MP_THRESHOLD),
     survey_ref="extension: multi-probe LSH EVALUATION — candidate recall of "
     "d19's R-set union against exhaustive cosine truth on a deterministic "
     "sample of query vectors (s7's measurement discipline applied to the "
@@ -1089,50 +1251,57 @@ def d20_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the set cap through max_bits=16 — see multiprobe_design's ladder);
     only past MP_MAX_RADIUS would a shortfall remain, and it would be
     reported honestly rather than masked."""
-    n = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        VEC.norm(F.col("embedding")).alias("nrm"),
-    )
-    s = n.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("s_id"),
-        F.col("v").alias("sv"),
-        F.col("nrm").alias("snrm"),
-    )
-    cos = F.round(
-        VEC.cosine_prenormed(
-            F.col("sv"), F.col("v"), F.col("snrm"), F.col("nrm")
-        ),
-        6,
-    )
-    truth = (
-        n.join(F.broadcast(s), F.col("vec_id") != F.col("s_id"))
-        .filter(cos >= MP_THRESHOLD)
-        .select(
-            F.least("s_id", "vec_id").alias("id_a"),
-            F.greatest("s_id", "vec_id").alias("id_b"),
-        )
-        .distinct()
-    )
-    cand = _shared_multiprobe_cands(spark, sf_dir)
-    tt = truth.agg(F.count("*").alias("n_true"))
-    f = truth.join(cand, ["id_a", "id_b"]).agg(F.count("*").alias("n_found"))
-    m = tt.crossJoin(F.broadcast(f)).select(
-        "n_true",
-        "n_found",
-        _pround(
-            F.col("n_found")
-            / F.nullif(F.col("n_true").cast("double"), F.lit(0.0))
-        ).alias("recall"),
-    )
-    return m.select(
-        "*",
-        F.lit(float(MP_TARGET_RECALL)).alias("target_recall"),
-        F.when(F.col("recall") >= F.lit(float(MP_TARGET_RECALL)), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("meets_target"),
-    )
+    return _multiprobe_recall(spark, sf_dir, MP_THRESHOLD)
+
+
+# Production design point: real near-dup filtering runs at cos ~0.9+
+# (paraphrase/boilerplate variants), where the sign-LSH collision
+# probability p = 1 - acos(0.9)/pi ~ 0.856 is high and a HANDFUL of
+# independent sets reaches the recall target with NO bit-flip probing —
+# multiprobe_design's ladder at 0.9 is R in [1, 8], radius 0 for every
+# width nbits_for_corpus can produce (max_bits=16). d23/d24 run the SAME
+# derivation machinery as d19/d20 at this threshold, so the round-6
+# verdict's one argued-not-measured claim ("production thresholds keep R
+# single-digit with recall >= target") is now a driver-checked query plus
+# a measured SCALE.md table instead of a docstring assertion.
+MP_THRESHOLD_HI = 0.9
+
+
+@register(
+    "d23_multiprobe_neardup_hi",
+    oracle=_sql_mp_verify_oracle(MP_THRESHOLD_HI, augment=True),
+    survey_ref="extension: multi-probe embedding near-dup at the PRODUCTION "
+    "design threshold (cos 0.9) — same derived-(R, radius) machinery as "
+    "d19; the design stays single-digit sets / zero probe radius at every "
+    "derivable width, measured by d24",
+)
+def d23_multiprobe_neardup_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d19's verify at the production threshold: candidates from the
+    (R, radius) design derived at cos 0.9, exact-cosine verified >= 0.9.
+    At this design point p ~ 0.856, so p^nbits stays large enough that
+    R <= 8 independent sets meet the target without probing — the
+    candidate volume (and hence shuffle) is an order of magnitude below
+    the hostile synthetic point d19 prices. Same exact-duplicate
+    factoring; same oracle-replayed derivation."""
+    return _multiprobe_verify(spark, sf_dir, MP_THRESHOLD_HI, augment=True)
+
+
+@register(
+    "d24_multiprobe_recall_hi",
+    oracle=_sql_mp_recall_oracle(MP_THRESHOLD_HI, augment=True),
+    survey_ref="extension: recall audit of the production-threshold "
+    "multi-probe design (d23) against exhaustive cosine truth on the "
+    "fixed vec_id < 16 sample — closes the round-6 verdict's last "
+    "argued-not-measured scaling claim",
+)
+def d24_multiprobe_recall_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d20's audit at the production threshold. True pairs are >= 0.9
+    cosine neighbors of the sample; with identical vectors (exact dups)
+    collision is certain, and planted noisy near-dups (the scaled-corpus
+    generator perturbs replicas of the sample ids to cos ~0.9-0.95)
+    exercise the probabilistic regime. NULLIF-guarded when the fixture
+    has no >= 0.9 pairs at all (recall NULL, meets_target 0)."""
+    return _multiprobe_recall(spark, sf_dir, MP_THRESHOLD_HI, augment=True)
 
 
 @register(

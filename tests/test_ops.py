@@ -1292,3 +1292,39 @@ def test_hll_integer_scaled_sum_exact_high_registers(spark):
         assert row["spi"] == spi  # exact integer sum, any order
         assert row["v"] == v
         assert row["raw"] == exp_raw  # bit-identical double
+
+
+def test_mp_design_sql_matches_python_both_thresholds():
+    """The oracle's design CTE must reproduce vectors.multiprobe_design
+    exactly at EVERY derivable width for both design points (synthetic
+    0.3 and production 0.9) — a ceil-boundary double-rounding flip in
+    either engine would silently change (R, radius) and desync the
+    candidate sets."""
+    import duckdb
+
+    from nyc_open_data_pipeline_spark.functions import vectors as VEC
+    from nyc_open_data_pipeline_spark.plans.llmdata import (
+        MP_MAX_RADIUS,
+        MP_MAX_SETS,
+        MP_TARGET_RECALL,
+        MP_THRESHOLD,
+        MP_THRESHOLD_HI,
+        _sql_mp_design,
+    )
+
+    con = duckdb.connect()
+    for thr in (MP_THRESHOLD, MP_THRESHOLD_HI):
+        for nbits in range(4, 17):
+            q = (
+                f"WITH w0 AS (SELECT {nbits} AS nbits, 64 AS dim), "
+                f"{_sql_mp_design(thr)} SELECT r_sets, radius FROM w"
+            )
+            got = con.sql(q).fetchall()[0]
+            exp = VEC.multiprobe_design(
+                nbits, thr, MP_TARGET_RECALL, MP_MAX_SETS, MP_MAX_RADIUS
+            )
+            assert tuple(got) == exp, (thr, nbits, got, exp)
+            if thr == MP_THRESHOLD_HI:
+                # the round-7 claim under measurement: production-threshold
+                # designs stay single-digit sets, zero probe radius
+                assert exp[0] <= 9 and exp[1] == 0, (nbits, exp)

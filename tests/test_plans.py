@@ -364,6 +364,7 @@ BNLJ_ALLOWED = {
     "bm2_hybrid_rrf",          # corpus stats (1 row) + 3 query vectors
     "q11_important_stock",     # grand-total threshold (1 row)
     "d20_multiprobe_recall",   # 16 query vectors + 1-row x 1-row aggregates
+    "d24_multiprobe_recall_hi",  # d20 shape at the production threshold
     "c4_training_manifest",    # epoch-plan normalizer (1 row, mix4 shape)
     "tx10_token_surprisal",    # corpus token total (1 row)
     "s1_cosine_topk",          # 5 query vectors
