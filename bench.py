@@ -267,6 +267,24 @@ def main() -> None:
         families[fam] = families.get(fam, 0.0) + v
     families = {k: round(v, 3) for k, v in sorted(families.items())}
 
+    # Streaming rate metrics (round-7 VERDICT #8): the foreachBatch sinks
+    # record per-micro-batch (rows out, new state keys, wall sec); attach
+    # the records from the LAST timed pass so st3/st11's per-batch cost
+    # structure ships with the bench artifact instead of being inferred
+    # from totals. Drained (not cleared mid-run) so warm-up batches from
+    # earlier passes don't pile up: keep only the final pass's batches per
+    # sink (batch ids restart at 0 each run).
+    from nyc_open_data_pipeline_spark.streaming.windows import drain_batch_metrics
+
+    raw_bm = drain_batch_metrics()
+    stream_batches: dict[str, list] = {}
+    for m in raw_bm:
+        rec = dict(m)
+        sink = rec.pop("sink", "?")
+        if rec.get("batch_id") == 0:
+            stream_batches[sink] = []  # a new run of this sink starts
+        stream_batches.setdefault(sink, []).append(rec)
+
     out = {
         "metric": f"total wall-clock of {len(ok)} "
                   + ("registered" if "--full" in sys.argv[1:] else "headline")
@@ -279,6 +297,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    if stream_batches:
+        out["stream_batches"] = stream_batches
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

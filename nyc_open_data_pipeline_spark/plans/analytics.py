@@ -12,6 +12,8 @@ DuckDB oracles must match value-for-value with no float tolerance.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -540,10 +542,29 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy projections of that checkpoint, so the stored bytes are ~60% of
     the naive both-directions frame. That matters because on offset-key
     corpora the pair table is fact-scale (sf100: ~5.5e8 pairs, ~22 GB
-    checkpointed — the measured single-box disk ceiling in SCALE.md); on
+    checkpointed — the round-6 single-box disk ceiling in SCALE.md); on
     a cluster the checkpoint lands on executor storage and pre-bucketing
     the pair table by src makes every round's join exchange-free on the
-    edge side."""
+    edge side.
+
+    DISK-LIGHT MODE (SPARK_GRAFT_GR1_DISKLIGHT=1, round 7): replace the
+    fact-scale pair checkpoint with a ONE-TIME bucketed edge table
+    (bucketBy src, sortBy src) and iterate over bucketed scans — every
+    round's big-side join is then EXCHANGE-FREE on the edge side (only
+    the two-BIGINT rank frame shuffles to match the bucket count), so
+    the per-round scratch drops from a fact-scale exchange to the
+    partially-combined inflow shuffle. A first disk-light attempt that
+    merely skipped the checkpoint and re-consumed the lazy pair lineage
+    still died at sf100: Spark reuses exchanges only WITHIN a query, so
+    every round re-shuffled ~1.1e9 edge rows and ten rounds of shuffle
+    files (~47 GB observed high-water) outran the ContextCleaner — the
+    bucketed table converts that recurring cost into one write. Each
+    round still unpersists the previous rank blocks and nudges the JVM
+    GC so retired shuffles actually leave the disk. Same integer
+    arithmetic, bit-identical output (pinned by
+    tests/test_plans.test_gr1_disklight_bit_identical); this is also
+    exactly the cluster design (pre-bucketed edge table on shared
+    storage), demoted to a single box."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pair = (
@@ -556,7 +577,10 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outc = pair.groupBy("c").agg(F.sum("w").cast("long").alias("s_c"))
     outs = pair.groupBy("s").agg(F.sum("w").cast("long").alias("s_s"))
-    p2 = pair.join(outc, "c").join(outs, "s").localCheckpoint(eager=True)
+    disklight = os.environ.get("SPARK_GRAFT_GR1_DISKLIGHT") == "1"
+    p2 = pair.join(outc, "c").join(outs, "s")
+    if not disklight:
+        p2 = p2.localCheckpoint(eager=True)
     e2 = p2.select(
         F.col("c").alias("src"), F.col("s").alias("dst"), "w",
         F.col("s_c").alias("s_u"),
@@ -566,6 +590,23 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_s").alias("s_u"),
         )
     )
+    if disklight:
+        from nyc_open_data_pipeline_spark.catalog import (
+            _dir_slug,
+            autosize_shuffle_partitions,
+        )
+
+        bt = f"sg_gr1_edges_{_dir_slug(sf_dir)}"
+        if not spark.catalog.tableExists(bt):
+            nb = autosize_shuffle_partitions(spark, sf_dir) or 32
+            (
+                e2.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(nb, "src")
+                .sortBy("src")
+                .saveAsTable(bt)
+            )
+        e2 = spark.table(bt)
     nodes = (
         p2.select(F.col("c").alias("node"))
         .unionByName(p2.select(F.col("s").alias("node")))
@@ -588,6 +629,7 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("contrib").cast("long").alias("inflow"))
         )
+        prev = ranks
         ranks = (
             nodes.join(inflow, nodes.node == inflow.dst, "left")
             .select(
@@ -601,6 +643,15 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        if disklight:
+            # retire the previous round's scratch promptly: its rank
+            # blocks and (via ContextCleaner after the GC nudge) its
+            # inflow shuffle files — live disk stays O(one round)
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+            spark.sparkContext._jvm.System.gc()
     return (
         ranks.orderBy(F.desc("r"), F.asc("node"))
         .limit(_PR_TOP)

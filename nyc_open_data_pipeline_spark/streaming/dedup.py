@@ -96,6 +96,9 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed():
             return  # replay of an already-applied batch
+        import time as _time
+
+        _t0 = _time.perf_counter()
         sess = batch_df.sparkSession
         batch = (
             hashed_docs(batch_df)
@@ -130,6 +133,16 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, marker)
+        from nyc_open_data_pipeline_spark.streaming.windows import (
+            record_batch_metrics,
+        )
+
+        record_batch_metrics(
+            sink="incremental_dedup",
+            batch_id=batch_id,
+            n_out=survivors.count(),  # cheap: counts the checkpointed blocks
+            sec=round(_time.perf_counter() - _t0, 3),
+        )
 
     return process
 
@@ -188,6 +201,9 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed():
             return
+        import time as _time
+
+        _t0 = _time.perf_counter()
         sess = batch_df.sparkSession
         from nyc_open_data_pipeline_spark.operators.dedup import band_keys
 
@@ -244,6 +260,17 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, marker)
+        from nyc_open_data_pipeline_spark.streaming.windows import (
+            record_batch_metrics,
+        )
+
+        record_batch_metrics(
+            sink="incremental_neardup",
+            batch_id=batch_id,
+            n_out=out.count(),
+            n_new_keys=keys.count(),
+            sec=round(_time.perf_counter() - _t0, 3),
+        )
 
     return process
 

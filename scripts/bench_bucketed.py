@@ -28,7 +28,29 @@ import time
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
 PASSES = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-QUERIES = ["q18_large_orders", "q3_shipping_priority", "q10_returned_items"]
+# Which join axis to bucket (round-7 VERDICT #7: the orderkey axis is
+# proven; q10/q13's residual is the custkey-side shuffle — measure whether
+# the second axis pays, and whether MIXING axes (lineitem by orderkey,
+# orders+customer by custkey) composes or one axis dominates):
+#   orderkey: lineitem+orders bucketed by orderkey (the round-6 experiment)
+#   custkey:  orders+customer bucketed by custkey
+#   mixed:    lineitem by orderkey, orders+customer by custkey
+AXIS = sys.argv[3] if len(sys.argv) > 3 else "orderkey"
+AXES = {
+    "orderkey": [("lineitem", "l_orderkey"), ("orders", "o_orderkey")],
+    "custkey": [("orders", "o_custkey"), ("customer", "c_custkey")],
+    "mixed": [
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_custkey"),
+        ("customer", "c_custkey"),
+    ],
+}
+QUERIES = [
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q13_custdist",
+]
 
 
 def main() -> None:
@@ -54,21 +76,23 @@ def main() -> None:
     specs = all_queries()
     buckets = autosize_shuffle_partitions(spark, SF_DIR) or 384
 
+    # each run is one self-contained axis: drop every bucketed copy for
+    # this scale dir first so a stale table from another axis can never be
+    # served mid-measurement, then write the axis's tables (timed)
+    slug = _dir_slug(SF_DIR)
+    for tname in ("lineitem", "orders", "customer"):
+        spark.sql(f"DROP TABLE IF EXISTS sg_bucketed_{slug}_{tname}")
     t0 = time.perf_counter()
-    bt_li = f"sg_bucketed_{_dir_slug(SF_DIR)}_lineitem"
-    bt_o = f"sg_bucketed_{_dir_slug(SF_DIR)}_orders"
-    if not spark.catalog.tableExists(bt_li):
-        li = load_table(spark, SF_DIR, "lineitem").repartition(
-            buckets, "l_orderkey"
+    write_secs = {}
+    for tname, key in AXES[AXIS]:
+        tw = time.perf_counter()
+        df = load_table(spark, SF_DIR, tname).repartition(buckets, key)
+        write_bucketed(
+            df, f"sg_bucketed_{slug}_{tname}", key, buckets=buckets,
+            normalized=True,
         )
-        write_bucketed(li, bt_li, "l_orderkey", buckets=buckets, normalized=True)
-        o = load_table(spark, SF_DIR, "orders").repartition(
-            buckets, "o_orderkey"
-        )
-        write_bucketed(o, bt_o, "o_orderkey", buckets=buckets, normalized=True)
-        write_sec = round(time.perf_counter() - t0, 1)
-    else:
-        write_sec = None  # pre-existing tables (re-run)
+        write_secs[tname] = round(time.perf_counter() - tw, 1)
+    write_sec = round(time.perf_counter() - t0, 1)
 
     def run_mode(bucketed: bool) -> dict:
         if bucketed:
@@ -102,8 +126,10 @@ def main() -> None:
             {
                 "metric": "bucketed_layout_probe",
                 "sf_dir": SF_DIR,
+                "axis": AXIS,
                 "buckets": buckets,
                 "write_sec": write_sec,
+                "write_secs": write_secs,
                 "plain": plain,
                 "bucketed": buck,
             }

@@ -607,3 +607,19 @@ def test_d22_split_discriminates(spark, sf_dir):
     from nyc_open_data_pipeline_spark.plans import all_queries
 
     assert all_queries()["d22_incremental_neardup"].fn(spark, sf_dir).count() > 0
+
+
+def test_gr1_disklight_bit_identical(spark, sf_dir, monkeypatch):
+    """The disk-light mode (round 7: lazy pair lineage + per-round scratch
+    retirement instead of the fact-scale checkpoint) must produce the
+    EXACT same ranks — integer micro-unit arithmetic makes this a
+    bit-identity check, not a tolerance check."""
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    fn = all_queries()["gr1_pagerank"].fn
+    monkeypatch.delenv("SPARK_GRAFT_GR1_DISKLIGHT", raising=False)
+    base = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_GR1_DISKLIGHT", "1")
+    light = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert base == light
+    assert len(base) > 0
