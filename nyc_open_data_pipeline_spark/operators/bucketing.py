@@ -13,6 +13,9 @@ Replaces the reference's Postgres indexes for the join-acceleration role
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -34,6 +37,16 @@ def write_bucketed(
     unmarked table is never served, so a copy written from a raw
     ``spark.read.parquet`` cannot silently skip normalization."""
     keys = [key] if isinstance(key, str) else key
+    sess = df.sparkSession
+    if not sess.catalog.tableExists(table):
+        # the default metastore is per-session: a managed table written by
+        # an earlier session leaves its LOCATION behind with no catalog
+        # entry, and saveAsTable then fails with LOCATION_ALREADY_EXISTS —
+        # reclaim the orphan directory before writing
+        wh = sess.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        orphan = os.path.join(wh.removeprefix("file:"), table.lower())
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)

@@ -548,23 +548,27 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge side.
 
     DISK-LIGHT MODE (SPARK_GRAFT_GR1_DISKLIGHT=1, round 7): replace the
-    fact-scale pair checkpoint with a ONE-TIME bucketed edge table
-    (bucketBy src, sortBy src) and iterate over bucketed scans — every
-    round's big-side join is then EXCHANGE-FREE on the edge side (only
-    the two-BIGINT rank frame shuffles to match the bucket count), so
-    the per-round scratch drops from a fact-scale exchange to the
-    partially-combined inflow shuffle. A first disk-light attempt that
-    merely skipped the checkpoint and re-consumed the lazy pair lineage
-    still died at sf100: Spark reuses exchanges only WITHIN a query, so
-    every round re-shuffled ~1.1e9 edge rows and ten rounds of shuffle
-    files (~47 GB observed high-water) outran the ContextCleaner — the
-    bucketed table converts that recurring cost into one write. Each
-    round still unpersists the previous rank blocks and nudges the JVM
-    GC so retired shuffles actually leave the disk. Same integer
+    fact-scale pair checkpoint with a ONE-TIME bucketed edge table of
+    the LEAN schema (src, dst, w) — no degree column — and run the whole
+    iteration off bucketed scans. Keeping s_u off the fact table removes
+    the two fact-scale degree joins from the build (its only exchanges
+    are the pair join, the groupBy, and the write repartition), and the
+    degree lives in a node-level frame (|C|+|S| rows) that joins the
+    two-BIGINT rank frame per round BEFORE touching edges. nodes, N and
+    deg all derive from the bucketed table exchange-free, so after the
+    one-time write NOTHING re-runs the pair build — the failure mode
+    that killed the first two sf100 attempts (p2's lazy lineage was
+    re-shuffled by the edge write, by `nodes`, and by every round: ~6
+    live fact-scale exchanges, ~47-50 GB scratch high-water, twice the
+    single-box budget). Each round's big-side join is exchange-free on
+    the edge side (only ranks-join-deg shuffles to match the bucket
+    layout), the previous round's rank blocks are unpersisted eagerly,
+    and a GC nudge lets the ContextCleaner retire round-k shuffle files
+    before round k+2 — live scratch stays O(one round). Same integer
     arithmetic, bit-identical output (pinned by
     tests/test_plans.test_gr1_disklight_bit_identical); this is also
     exactly the cluster design (pre-bucketed edge table on shared
-    storage), demoted to a single box."""
+    storage, degree as a node dimension), demoted to a single box."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pair = (
@@ -575,21 +579,7 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("w"))
     )
-    outc = pair.groupBy("c").agg(F.sum("w").cast("long").alias("s_c"))
-    outs = pair.groupBy("s").agg(F.sum("w").cast("long").alias("s_s"))
     disklight = os.environ.get("SPARK_GRAFT_GR1_DISKLIGHT") == "1"
-    p2 = pair.join(outc, "c").join(outs, "s")
-    if not disklight:
-        p2 = p2.localCheckpoint(eager=True)
-    e2 = p2.select(
-        F.col("c").alias("src"), F.col("s").alias("dst"), "w",
-        F.col("s_c").alias("s_u"),
-    ).unionByName(
-        p2.select(
-            F.col("s").alias("src"), F.col("c").alias("dst"), "w",
-            F.col("s_s").alias("s_u"),
-        )
-    )
     if disklight:
         from nyc_open_data_pipeline_spark.catalog import (
             _dir_slug,
@@ -599,20 +589,51 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         bt = f"sg_gr1_edges_{_dir_slug(sf_dir)}"
         if not spark.catalog.tableExists(bt):
             nb = autosize_shuffle_partitions(spark, sf_dir) or 32
-            (
-                e2.write.mode("overwrite")
-                .format("parquet")
-                .bucketBy(nb, "src")
-                .sortBy("src")
-                .saveAsTable(bt)
+            lean = pair.select(
+                F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+            ).unionByName(
+                pair.select(
+                    F.col("s").alias("src"), F.col("c").alias("dst"), "w"
+                )
             )
+            from nyc_open_data_pipeline_spark.operators.bucketing import (
+                write_bucketed,
+            )
+
+            write_bucketed(
+                lean.repartition(nb, "src"), bt, "src", buckets=nb
+            )
+            spark.sparkContext._jvm.System.gc()  # retire build shuffles
         e2 = spark.table(bt)
-    nodes = (
-        p2.select(F.col("c").alias("node"))
-        .unionByName(p2.select(F.col("s").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        # degree and node set read the bucketed layout exchange-free;
+        # both are node-level (two BIGINTs wide), checkpointed once
+        deg = (
+            e2.groupBy("src")
+            .agg(F.sum("w").cast("long").alias("s_u"))
+            .localCheckpoint(eager=True)
+        )
+        nodes = deg.select(F.col("src").alias("node")).localCheckpoint(
+            eager=True
+        )
+    else:
+        outc = pair.groupBy("c").agg(F.sum("w").cast("long").alias("s_c"))
+        outs = pair.groupBy("s").agg(F.sum("w").cast("long").alias("s_s"))
+        p2 = pair.join(outc, "c").join(outs, "s").localCheckpoint(eager=True)
+        e2 = p2.select(
+            F.col("c").alias("src"), F.col("s").alias("dst"), "w",
+            F.col("s_c").alias("s_u"),
+        ).unionByName(
+            p2.select(
+                F.col("s").alias("src"), F.col("c").alias("dst"), "w",
+                F.col("s_s").alias("s_u"),
+            )
+        )
+        nodes = (
+            p2.select(F.col("c").alias("node"))
+            .unionByName(p2.select(F.col("s").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     n_nodes = nodes.count()  # control-plane scalar (graph order)
     if n_nodes == 0:
         return spark.createDataFrame(
@@ -623,8 +644,12 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(_PR_SCALE // n_nodes).cast("long").alias("r")
     )
     for _ in range(_PR_ITERS):
+        # disk-light: fold the node-level degree onto the rank frame
+        # first (node-sized join), so the edge-side join stays a bucketed
+        # scan with no fact-scale exchange and identical arithmetic
+        rhs = ranks.join(deg, ranks.node == deg.src).select("node", "r", "s_u") if disklight else ranks
         inflow = (
-            e2.join(ranks, e2.src == ranks.node)
+            e2.join(rhs, e2.src == rhs.node)
             .select("dst", F.expr("(r * w) div s_u").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").cast("long").alias("inflow"))
