@@ -278,6 +278,33 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_write_bucketed_reclaims_orphan_location(spark, sf_dir):
+    """The default metastore is per-session: a managed table written by a
+    previous session leaves its warehouse directory behind with no catalog
+    entry, and a bare saveAsTable then fails with LOCATION_ALREADY_EXISTS
+    (hit live by the round-7 gr1 sf100 runs). write_bucketed must reclaim
+    the orphan directory and succeed."""
+    import os
+    import shutil
+
+    from nyc_open_data_pipeline_spark.operators.bucketing import write_bucketed
+
+    table = "b_orphan_probe"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    os.makedirs(loc, exist_ok=True)  # simulate the prior session's leftovers
+    with open(os.path.join(loc, "stale.parquet"), "w") as f:
+        f.write("not parquet")
+    try:
+        df = spark.range(100).selectExpr("id", "id % 5 AS k")
+        write_bucketed(df, table, "k", buckets=2)
+        assert spark.table(table).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
     from nyc_open_data_pipeline_spark.operators.compact import compact
 
