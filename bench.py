@@ -165,6 +165,8 @@ HEADLINE += [
     # round 7
     "d23_multiprobe_neardup_hi",
     "d24_multiprobe_recall_hi",
+    "rj2_interval_join",
+    "smp3_weighted_sample",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

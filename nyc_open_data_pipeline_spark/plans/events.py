@@ -751,3 +751,80 @@ def st10_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"st10_{uuid.uuid4().hex[:8]}"
     run_to_memory(session_counts(events_stream(spark, path=d)), name, mode="complete")
     return spark.table(name)
+
+
+# rj2: KEYLESS interval join (rj1 has user_id as an equi-key; here the
+# bin is the ONLY equi-key, manufactured). Window length == bin width so every interval
+# covers at most 2 bins; all time arithmetic is exact BIGINT microseconds
+# (epoch_us / unix_micros + integer div), so bin assignment can never
+# straddle a float rounding between engines.
+_RJ1_K = 20
+_RJ1_WIN_US = 7_200_000_000  # 2 h campaign window == bin width
+
+
+@register(
+    "rj2_interval_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS campaign_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + {_RJ1_WIN_US} AS e_us
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY value DESC, event_id LIMIT {_RJ1_K}
+    )
+    SELECT p.campaign_id, CAST(p.s_us AS BIGINT) AS start_us,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           {sql_dsum("e.value", "total_value")}
+    FROM p JOIN events e
+      ON epoch_us(e.ts) >= p.s_us AND epoch_us(e.ts) < p.e_us
+    GROUP BY p.campaign_id, p.s_us
+    """,
+    survey_ref="extension: KEYLESS interval join — rj1's range join has a "
+    "natural equi-key (user_id); this is the harder no-key case, where a raw "
+    "ts BETWEEN lo AND hi join plans as BroadcastNestedLoop or cartesian. "
+    "Re-expressed as the bin-bucketed equi-join + residual "
+    "range predicate (the standard range-join strategy, cf. Databricks' "
+    "range-join hints): each interval is exploded to its covered time bins, "
+    "the join is a hash equi-join on bin, and the inequality runs as a "
+    "post-join filter. DuckDB oracle uses the native inequality join.",
+)
+def rj2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute every event to the top-K purchase 'campaign' windows
+    [ts, ts+2h) it falls in. Scale shape: the interval side is exploded to
+    <=2 bins/interval and broadcast, so the fact scan joins by bin hash —
+    no BNLJ, no cartesian — and an event matches an interval in exactly ONE
+    bin (its own), so no post-join dedup is needed. With both sides large
+    the same plan shuffles on bin; bin width trades replication (intervals
+    spanning many bins) against candidate fan-in, exactly the range-join
+    bucketing knob."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    camps = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(_RJ1_K)
+        .select(
+            F.col("event_id").alias("campaign_id"),
+            F.col("t_us").alias("s_us"),
+            (F.col("t_us") + _RJ1_WIN_US).alias("e_us"),
+        )
+    )
+    bins = camps.select(
+        "campaign_id", "s_us", "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_RJ1_WIN_US}"),
+                F.expr(f"(e_us - 1) div {_RJ1_WIN_US}"),
+            )
+        ).alias("bin"),
+    )
+    matched = ev.withColumn("bin", F.expr(f"t_us div {_RJ1_WIN_US}")).join(
+        F.broadcast(bins), "bin"
+    ).filter((F.col("t_us") >= F.col("s_us")) & (F.col("t_us") < F.col("e_us")))
+    return matched.groupBy("campaign_id", F.col("s_us").alias("start_us")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        dsum("value", "total_value"),
+    )

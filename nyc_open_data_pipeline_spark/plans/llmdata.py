@@ -6822,3 +6822,65 @@ def v8_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# smp3: weighted sampling without replacement (Efraimidis & Spirakis 2006,
+# "Weighted random sampling with a reservoir"). Item i gets key
+# ln(u_i)/w_i with u_i uniform in (0,1]; the k largest keys ARE an exact
+# without-replacement sample proportional to the weights. u_i derives from
+# the salted portable hash (exact dyadic rational, bit-identical in both
+# engines), so the sample is reproducible across engines, runs, and
+# partitionings — the same determinism contract as smp1/d9.
+_SMP3_K = 200
+_SMP3_DENOM = float(1 << 60)  # hash is 15 hex digits = 60 bits
+
+
+@register(
+    "smp3_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, GREATEST(n_chars, 1) AS weight,
+             ln((CAST({sql_hash64("concat('smp3:', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+                 + 1.0) / 1152921504606846976.0)
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS k
+      FROM documents
+    ),
+    top AS (
+      SELECT doc_id, weight, k FROM keyed ORDER BY k DESC, doc_id LIMIT {_SMP3_K}
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rnk
+    FROM top
+    """,
+    survey_ref="extension: weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-Res: key = ln(u)/w, top-k) — the "
+    "proportional-to-size corpus sampler (longer docs more likely, no doc "
+    "twice) next to smp1's per-stratum quotas and smp2's geometric "
+    "coverage. Deterministic u from the salted md5 hash, so "
+    "engine/run/partitioning-reproducible where RNG-based sample() is not.",
+)
+def smp3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample _SMP3_K docs proportional to n_chars without replacement.
+    One narrow pass computes each doc's A-Res key; the k largest are taken
+    by TakeOrderedAndProject (per-partition heaps + driver merge of k*P
+    candidates — never a global sort), then ranked in a single bounded
+    window over the k survivors. The only double arithmetic is ln() on
+    bit-identical dyadic inputs; a cross-engine 1-ulp divergence would have
+    to land exactly between two order statistics of the key distribution to
+    flip the selection, and the key itself is never emitted."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    h = DD._hash64(F.concat(F.lit("smp3:"), F.col("doc_id").cast("string")))
+    key = F.log((h.cast("double") + F.lit(1.0)) / F.lit(_SMP3_DENOM)) / w.cast("double")
+    top = (
+        d.select("doc_id", w.cast("long").alias("weight"), key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(_SMP3_K)
+    )
+    return (
+        top.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("k").desc(), "doc_id")).cast("long"),
+        )
+        .select("doc_id", "weight", "rnk")
+    )
