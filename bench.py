@@ -167,6 +167,7 @@ HEADLINE += [
     "d24_multiprobe_recall_hi",
     "rj2_interval_join",
     "smp3_weighted_sample",
+    "ts3_rollup_cascade",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

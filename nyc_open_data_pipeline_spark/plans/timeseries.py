@@ -151,3 +151,42 @@ def w7_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).over(w).cast("double").alias("roll_sum7"),
         F.max("value").over(w).alias("roll_max7"),
     )
+
+
+@register(
+    "ts3_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(28,4))) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT date_trunc('day', h) AS day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM hourly GROUP BY 1
+    """,
+    survey_ref="extension: hierarchical rollup cascade (the hypertable "
+    "continuous-aggregate pattern, cf. TimescaleDB): the daily level is "
+    "re-aggregated from the HOURLY partials, never from the facts — COUNT "
+    "sums exactly and the value sum stays in DECIMAL through both levels, "
+    "so the cascade is bit-equal to a direct daily aggregation.",
+)
+def ts3_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour -> day rollup where the day level consumes hourly partials.
+    At 100 TB the fact scan happens once (the hourly materialization);
+    every coarser resolution is O(|finer buckets|) — the reason warehouse
+    rollup chains exist. Both aggregation levels are decimal-exact, so
+    cascade == direct-aggregation exactly, which the oracle (same cascade
+    in SQL) and the e1-family direct hourly queries jointly pin."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("n"), F.sum(dec("value")).alias("v")
+    )
+    return hourly.groupBy(F.date_trunc("day", F.col("h")).alias("day")).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
