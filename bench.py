@@ -168,6 +168,7 @@ HEADLINE += [
     "rj2_interval_join",
     "smp3_weighted_sample",
     "ts3_rollup_cascade",
+    "v10_t_closeness",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -6884,3 +6884,115 @@ def smp3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "weight", "rnk")
     )
+
+
+# v10: t-closeness (Li, Li & Venkatasubramanian 2007) — third rung of the
+# privacy ladder after v6 k-anonymity and v7 l-diversity. A cell can be
+# k-anonymous AND l-diverse yet still leak if its sensitive-value
+# DISTRIBUTION deviates from the corpus's (the skewness attack); the gate
+# bounds the total-variation distance per cell. All distances here are
+# exact-integer: with c_v = cell count of value v, n = cell size,
+# g_v = global count, N = global size,
+#   TVD = [ sum_v |c_v*N - g_v*n| + n*(N - sum_{v in cell} g_v) ] / (2*n*N)
+# so the numerator and denominator are BIGINTs and the violation test
+# TVD > 1/5 becomes 5*numer > 2*n*N — no float anywhere in the gate.
+# (Beyond ~1e9 rows the products need DECIMAL(38,0)/HUGEINT — one cast,
+# same recipe as tx12/mix6.)
+_TCLOSE_DEN = 5  # t = 1/5 = 0.2
+
+
+@register(
+    "v10_t_closeness",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, date_trunc('day', ts) AS hb,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM base),
+    gdist AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS g FROM base GROUP BY k),
+    cellv AS (
+      SELECT event_type, hb, k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT cv.event_type, cv.hb,
+             CAST(SUM(cv.c) AS BIGINT) AS n,
+             CAST(SUM(abs(cv.c * tot.n_tot - gdist.g * cs.n_cell)) AS BIGINT)
+               AS present_term,
+             CAST(SUM(gdist.g) AS BIGINT) AS g_seen,
+             MAX(tot.n_tot) AS n_tot
+      FROM cellv cv
+      JOIN gdist ON cv.k = gdist.k
+      JOIN (SELECT event_type, hb, CAST(SUM(c) AS BIGINT) AS n_cell
+            FROM cellv GROUP BY 1, 2) cs
+        ON cv.event_type = cs.event_type AND cv.hb = cs.hb, tot
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type,
+             present_term + n * (n_tot - g_seen) AS numer,
+             2 * n * n_tot AS denom
+      FROM cells
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) FILTER (WHERE {_TCLOSE_DEN} * numer > denom)
+                AS BIGINT) AS n_t_violations,
+           MAX(CAST(numer AS DOUBLE) / CAST(denom AS DOUBLE)) AS max_tvd
+    FROM scored GROUP BY event_type
+    """,
+    survey_ref="§2.15 validation / governance extension: t-closeness audit — "
+    "completes the k-anonymity (v6) / l-diversity (v7) / t-closeness ladder; "
+    "per-cell (event_type x day) total-variation distance to the corpus "
+    "sensitive-value (decile-bucketed) "
+    "distribution in exact BIGINT arithmetic (the violation gate is an "
+    "integer comparison, 5*numer > 2*n*N).",
+)
+def v10_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness profile over the (event_type, day) quasi-identifier
+    cells, sensitive attribute bucketed to deciles (cells sized so the
+    audit discriminates: 8 of 150 fixture cells violate t, not all/none). Shape: one fact pass to (cell, k) counts; the global value
+    distribution (|k| rows) broadcasts onto it; two hash aggregations up
+    to cells then event_type. Only the reported max_tvd divides — the
+    violation count itself is integer-exact, so a 1-ulp division
+    difference can never flip the audit."""
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint").getField("k")
+    base = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("hb"),
+                  k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .withColumn("k", F.expr("k div 10"))  # decile buckets of the sensitive value
+    )
+    cellv = base.groupBy("event_type", "hb", "k").agg(
+        F.count("*").alias("c")
+    )
+    glob = base.groupBy("k").agg(F.count("*").alias("g"))
+    n_total = base.count()  # scalar N: one job, drives exact integer terms
+    cs = cellv.groupBy("event_type", "hb").agg(F.sum("c").alias("n_cell"))
+    cells = (
+        cellv.join(F.broadcast(glob), "k")
+        .join(cs, ["event_type", "hb"])
+        .groupBy("event_type", "hb")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.abs(F.col("c") * F.lit(n_total) - F.col("g") * F.col("n_cell")))
+             .alias("present_term"),
+            F.sum("g").alias("g_seen"),
+        )
+    )
+    scored = cells.select(
+        "event_type",
+        (F.col("present_term") + F.col("n") * (F.lit(n_total) - F.col("g_seen")))
+        .alias("numer"),
+        (F.lit(2) * F.col("n") * F.lit(n_total)).alias("denom"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_cells"),
+        F.count_if(F.lit(_TCLOSE_DEN) * F.col("numer") > F.col("denom"))
+         .cast("long").alias("n_t_violations"),
+        F.max(F.col("numer").cast("double") / F.col("denom").cast("double"))
+         .alias("max_tvd"),
+    )
