@@ -96,6 +96,27 @@ def test_rj1_range_join_is_equi_join(spark, sf_dir):
     assert "HashJoin" in plan  # broadcast at test scale, shuffled-hash at 100 TB
 
 
+def test_rj2_interval_join_is_equi_join(spark, sf_dir):
+    """The KEYLESS interval join (no natural equi-key at all) must still
+    plan as a hash equi-join on the manufactured bin key - the raw
+    ts-between-bounds predicate alone would be a BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, sf_dir, "rj2_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    # the interval side is built by top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_smp3_is_takeordered_not_global_sort(spark, sf_dir):
+    """A-Res weighted sampling selects its k survivors with per-partition
+    heaps (TakeOrderedAndProject), never a full corpus sort; the only
+    full-width Sort allowed is the bounded k-row ranking window."""
+    plan = plan_of(spark, sf_dir, "smp3_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort of the corpus
+
+
 def test_seq1_has_no_single_partition_stage(spark, sf_dir):
     """Sequence packing's running sum must be the two-pass range-partitioned
     form - a serial Window.orderBy would show Exchange SinglePartition.
