@@ -6254,9 +6254,15 @@ def v7_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     large cells move to approx_count_distinct."""
     ev = t(spark, sf_dir, "events")
     k = F.from_json("props", "k bigint").getField("k")
-    cells = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour_bucket")
-    ).agg(F.countDistinct(k).alias("n_sensitive"))
+    # pre-parse round-robin exchange: the Jackson parse is the dominant
+    # cost and parquet splits cap its width (sf10 events = ONE 90 MB file
+    # = one scan task) — same measured fix as v10
+    cells = (
+        ev.select("event_type", "ts", "props")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_bucket"))
+        .agg(F.countDistinct(k).alias("n_sensitive"))
+    )
     return cells.groupBy("event_type").agg(
         F.count("*").alias("n_cells"),
         F.count_if(F.col("n_sensitive") < _LDIV_L).alias("n_low_diversity_cells"),
@@ -6959,18 +6965,35 @@ def v10_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     violation count itself is integer-exact, so a 1-ulp division
     difference can never flip the audit."""
     ev = t(spark, sf_dir, "events")
-    k = F.from_json("props", "k bigint").getField("k")
-    base = (
-        ev.select("event_type", F.date_trunc("day", "ts").alias("hb"),
-                  k.alias("k"))
+    # decile bucket of the sensitive value, parsed ONCE as a grouping key
+    kb = F.expr("from_json(props, 'k bigint').k div 10")
+    # Two scale traps, both measured at sf10 (10M rows, single 90 MB file):
+    # 1. parquet input splits cap the expensive Jackson parse at ~1 task —
+    #    a cheap round-robin exchange of the raw columns first lets the
+    #    parse stage run defaultParallelism-wide;
+    # 2. ANY isNotNull filter on the parsed value — even post-aggregation —
+    #    is constraint-propagated below the exchange into the single-split
+    #    scan, re-running the parse single-task. So the null bucket is kept
+    #    through the aggregation and dropped only PAST the checkpoint
+    #    boundary, which lineage-severs the constraint.
+    # Together: 40.4 s -> ~10 s for the cellv build.
+    pre = (
+        ev.select("event_type", "ts", "props")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # ONE fact pass: everything below derives from cellv, which is
+    # |cells| x |buckets| rows (bounded by the audit granularity, not the
+    # corpus) — checkpointed so the JSON-parsing scan never re-runs for
+    # the global-distribution / total / cell-size branches.
+    cellv = (
+        pre.groupBy("event_type", F.date_trunc("day", "ts").alias("hb"),
+                    kb.alias("k"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
         .filter(F.col("k").isNotNull())
-        .withColumn("k", F.expr("k div 10"))  # decile buckets of the sensitive value
     )
-    cellv = base.groupBy("event_type", "hb", "k").agg(
-        F.count("*").alias("c")
-    )
-    glob = base.groupBy("k").agg(F.count("*").alias("g"))
-    n_total = base.count()  # scalar N: one job, drives exact integer terms
+    glob = cellv.groupBy("k").agg(F.sum("c").alias("g"))
+    n_total = cellv.agg(F.sum("c")).collect()[0][0] or 0  # scalar N
     cs = cellv.groupBy("event_type", "hb").agg(F.sum("c").alias("n_cell"))
     cells = (
         cellv.join(F.broadcast(glob), "k")
