@@ -97,8 +97,13 @@ def get_spark(
         # let custom Python data sources receive pushed filters (SoQL S2)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # partition-size ceiling so 100TB scans split into sane tasks
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # partition-size ceiling so 100TB scans split into sane tasks;
+        # overridable for scan-width A/Bs (few-file tables cap CPU-heavy
+        # scan stages at bytes/ceiling tasks — see SCALE.md round 7)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
