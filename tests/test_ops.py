@@ -697,11 +697,13 @@ def test_cap_metrics_zero_at_gate_scale(spark):
 
     emb = load_table(spark, sf01, "embeddings")
     obs_emb = Observation("emb_cap_gate")
-    from nyc_open_data_pipeline_spark.plans.llmdata import _PLANES6
+    from nyc_open_data_pipeline_spark.functions import vectors as VEC
+    from nyc_open_data_pipeline_spark.plans.llmdata import _shared_emb_meta
 
+    _, dim = _shared_emb_meta(spark, sf01)
     DD.embedding_neardup_pairs(
-        emb, threshold=0.3, planes=_PLANES6, bucket_cap=EMB_BUCKET_CAP,
-        observation=obs_emb,
+        emb, threshold=0.3, planes=VEC.hyperplanes(dim, 6),
+        bucket_cap=EMB_BUCKET_CAP, observation=obs_emb,
     ).count()
     assert obs_emb.get["emb_rows_over_cap"] == 0
 
