@@ -92,17 +92,33 @@ _DIR_BYTES_CACHE: dict[tuple[str, int], int] = {}
 _AUTOSIZE_HIGH_WATER: dict[str, int] = {}
 
 
-def _dir_input_bytes(sf_dir: str) -> int:
-    # Cache keyed on (path, dir mtime): regenerating or growing a dataset
-    # in place (e.g. a generator writing sf100 into a dir probed while
-    # small) bumps the directory mtime — table files sit directly in the
-    # scale dir — so the autosizer re-walks instead of sizing from a stale
-    # byte count forever (round-6 ADVICE).
+def _dir_mtime_ns(sf_dir: str) -> int:
+    """Newest mtime anywhere under ``sf_dir`` (two levels deep) — the
+    corpus-staleness fingerprint. The MAX of the dir mtime and every entry
+    mtime is used because an O_TRUNC rewrite of an existing file or a
+    rewrite inside a per-table subdirectory does NOT bump the parent dir's
+    mtime (round-7 review), but it does bump the file's own. One cheap
+    os.scandir pass, orders cheaper than the byte walks it guards."""
+    mtime = -1
     try:
         mtime = os.stat(sf_dir).st_mtime_ns
+        with os.scandir(sf_dir) as it:
+            for e in it:
+                try:
+                    mtime = max(mtime, e.stat().st_mtime_ns)
+                    if e.is_dir():
+                        with os.scandir(e.path) as it2:
+                            for e2 in it2:
+                                mtime = max(mtime, e2.stat().st_mtime_ns)
+                except OSError:
+                    pass
     except OSError:
-        mtime = -1
-    key = (sf_dir, mtime)
+        pass
+    return mtime
+
+
+def _dir_input_bytes(sf_dir: str) -> int:
+    key = (sf_dir, _dir_mtime_ns(sf_dir))
     b = _DIR_BYTES_CACHE.get(key)
     if b is None:
         b = 0

@@ -57,6 +57,15 @@ def write_bucketed(
         df.sparkSession.sql(
             f"ALTER TABLE {table} SET TBLPROPERTIES ('{NORMALIZED_PROP}'='true')"
         )
+    # a rewrite changes the marker's truth for this table: drop the cached
+    # serving verdict so load_table re-reads the table properties (a stale
+    # True would serve an unnormalized overwrite; a stale False would
+    # permanently bypass a now-valid copy)
+    from nyc_open_data_pipeline_spark import catalog as _cat
+
+    _cat._BUCKETED_VERIFIED.pop(
+        (sess.sparkContext.applicationId, table), None
+    )
 
 
 def plan_string(df: DataFrame) -> str:

@@ -587,6 +587,22 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         bt = f"sg_gr1_edges_{_dir_slug(sf_dir)}"
+        # staleness guard (round-7 review): the edge table is a one-time
+        # materialization of THIS corpus — if the dataset at sf_dir was
+        # regenerated in place since the write, the stamped fingerprint
+        # mismatches and the table is rebuilt instead of silently serving
+        # ranks over the old data
+        from nyc_open_data_pipeline_spark.catalog import _dir_mtime_ns
+
+        _FP_PROP = "spark_graft.src_mtime_ns"
+        fp = str(_dir_mtime_ns(sf_dir))
+        if spark.catalog.tableExists(bt):
+            props = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {bt}").collect()
+            }
+            if props.get(_FP_PROP) != fp:
+                spark.sql(f"DROP TABLE {bt}")
         if not spark.catalog.tableExists(bt):
             nb = autosize_shuffle_partitions(spark, sf_dir) or 32
             lean = pair.select(
@@ -602,6 +618,9 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             write_bucketed(
                 lean.repartition(nb, "src"), bt, "src", buckets=nb
+            )
+            spark.sql(
+                f"ALTER TABLE {bt} SET TBLPROPERTIES ('{_FP_PROP}'='{fp}')"
             )
             spark.sparkContext._jvm.System.gc()  # retire build shuffles
         e2 = spark.table(bt)

@@ -58,11 +58,28 @@ def hashed_docs(df: DataFrame) -> DataFrame:
 
 
 def _has_batches(d: str) -> bool:
-    """True iff at least one committed-or-partial batch partition exists."""
+    """True iff at least one committed-or-partial batch partition exists.
+
+    A state dir holding flat part-*.parquet files is the PRE-batch-layout
+    format (before the idempotent ``batch=<id>`` partitions): silently
+    treating it as empty would drop the entire seen-hash state on resume
+    and re-admit every previously-deduplicated document (round-7 review),
+    so it raises instead — rebuild the state or resume under the old code.
+    """
     try:
-        return any(e.startswith("batch=") for e in os.listdir(d))
+        entries = os.listdir(d)
     except OSError:
         return False
+    if any(e.startswith("batch=") for e in entries):
+        return True
+    if any(e.endswith(".parquet") for e in entries):
+        raise ValueError(
+            f"state dir {d!r} holds a legacy flat-file state layout; the "
+            "batch-partitioned sink cannot resume from it without silently "
+            "dropping the seen-key state — migrate it into a batch=0 "
+            "subdirectory or start a fresh state dir"
+        )
+    return False
 
 
 def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):

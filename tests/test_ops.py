@@ -1250,11 +1250,11 @@ def test_bucketed_copy_served_only_when_normalized(spark, sf_dir, monkeypatch):
     decoy = full.limit(5)
     monkeypatch.setenv("SPARK_GRAFT_USE_BUCKETED", "1")
     try:
+        # write_bucketed itself must invalidate the cached serving verdict
+        # (round-7 review) — no manual cache clears between rewrites
         write_bucketed(decoy, bt, "o_orderkey", buckets=2)
-        catalog._BUCKETED_VERIFIED.clear()
         assert catalog.load_table(spark, sf_dir, "orders").count() == full.count()
         write_bucketed(decoy, bt, "o_orderkey", buckets=2, normalized=True)
-        catalog._BUCKETED_VERIFIED.clear()
         assert catalog.load_table(spark, sf_dir, "orders").count() == 5
     finally:
         catalog._BUCKETED_VERIFIED.clear()
@@ -1280,6 +1280,29 @@ def test_dir_bytes_cache_invalidates_on_growth(tmp_path):
     with open(os.path.join(d, "b.parquet"), "wb") as f:
         f.write(b"x" * 900)
     assert _dir_input_bytes(d) == 1000
+
+
+def test_dir_bytes_cache_invalidates_on_inplace_rewrite(tmp_path):
+    """An O_TRUNC rewrite of an existing file, or a rewrite inside a
+    per-table subdirectory, does NOT bump the parent dir's mtime (round-7
+    review) — the fingerprint must still change because it takes the MAX
+    over entry mtimes two levels deep."""
+    import os
+    import time
+
+    from nyc_open_data_pipeline_spark.catalog import _dir_input_bytes
+
+    d = str(tmp_path / "sf")
+    sub = os.path.join(d, "events.parquet")  # dir-per-table layout
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-0.parquet"), "wb") as f:
+        f.write(b"x" * 100)
+    assert _dir_input_bytes(d) == 100
+    time.sleep(0.01)
+    # same filename, truncate-and-grow: no entry added/removed anywhere
+    with open(os.path.join(sub, "part-0.parquet"), "wb") as f:
+        f.write(b"x" * 700)
+    assert _dir_input_bytes(d) == 700
 
 
 def test_hll_integer_scaled_sum_exact_high_registers(spark):
