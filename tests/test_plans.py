@@ -644,3 +644,18 @@ def test_gr1_disklight_bit_identical(spark, sf_dir, monkeypatch):
     light = [tuple(r) for r in fn(spark, sf_dir).collect()]
     assert base == light
     assert len(base) > 0
+
+
+def test_gr2_disklight_bit_identical(spark, sf_dir, monkeypatch):
+    """gr2's disk-light mode (round 7: TWO bucketed lean edge copies, one
+    per alternating join axis, degrees as node dimensions) must produce
+    the EXACT same hub/authority scores — bit-identity, not tolerance."""
+    from nyc_open_data_pipeline_spark.plans import all_queries
+
+    fn = all_queries()["gr2_salsa"].fn
+    monkeypatch.delenv("SPARK_GRAFT_GR2_DISKLIGHT", raising=False)
+    base = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_GR2_DISKLIGHT", "1")
+    light = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert base == light
+    assert len(base) > 0
