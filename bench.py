@@ -169,6 +169,7 @@ HEADLINE += [
     "smp3_weighted_sample",
     "ts3_rollup_cascade",
     "v10_t_closeness",
+    "s12_mips_topk",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -7019,3 +7019,65 @@ def v10_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("numer").cast("double") / F.col("denom").cast("double"))
          .alias("max_tvd"),
     )
+
+
+@register(
+    "s12_mips_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings),
+    p AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             (1.0 + (b.vec_id % 7) * 0.1) * list_dot_product(q.v, b.v)
+               AS score
+      FROM e q, e b
+      WHERE q.vec_id < 5 AND b.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk,
+           round(score, 6) AS dot_score
+    FROM p
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) <= 5
+    """,
+    survey_ref="extension: maximum-inner-product search (MIPS) top-k — the "
+    "retrieval primitive for UNNORMALIZED embeddings. The fixture corpus is "
+    "unit-normalized (MIPS would degenerate to cosine and the oracle would "
+    "not discriminate), so the corpus side carries a deterministic quality "
+    "prior w = 1 + (vec_id % 7)/10 folded into the score — the recommender "
+    "pattern (item prior x embedding match) that puts the query in the "
+    "genuine varying-norm MIPS regime: rankings differ from s1's cosine. "
+    "Exact baseline here; the scale path is the "
+    "asymmetric transform (Bachrach et al. 2014, RecSys): append "
+    "sqrt(M^2 - |x|^2) to each corpus vector and 0 to queries, which makes "
+    "argmax dot == argmax cosine in d+1 dims and hands MIPS to the EXISTING "
+    "sign-LSH / IVF candidate machinery (s2/s4/s11) unchanged.",
+)
+def s12_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 by inner product for queries vec_id<5 — s1's plan shape
+    (broadcast queries x corpus scan, per-partition TakeOrdered) with the
+    dot score instead of cosine. At 100 TB the brute-force scan gives way
+    to the d+1-dim asymmetric-transform reduction documented in the
+    survey_ref; the transform is one narrow map (norms + one literal),
+    after which every bucketed ANN path in this module applies verbatim."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("bv"))
+    joined = F.broadcast(q).crossJoin(b).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # deterministic quality prior (see survey_ref): folds into the corpus
+    # vector, i.e. scores against w_i * x_i — the varying-norm MIPS regime
+    prior = F.lit(1.0) + (F.col("neighbor_id") % 7).cast("double") * F.lit(0.1)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        joined.select(
+            "query_id", "neighbor_id",
+            (prior * VEC.dot(F.col("qv"), F.col("bv"))).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("dot_score"))
+    )
