@@ -170,6 +170,7 @@ HEADLINE += [
     "ts3_rollup_cascade",
     "v10_t_closeness",
     "s12_mips_topk",
+    "d25_setsim_join_prefix",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

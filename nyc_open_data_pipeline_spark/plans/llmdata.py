@@ -7081,3 +7081,134 @@ def s12_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("dot_score"))
     )
+
+
+# d25: exact set-similarity self-join via PREFIX FILTERING (Chaudhuri et
+# al. SSJoin 2006 / Bayardo et al. AllPairs 2007, the PPJoin family) —
+# the EXACT sub-quadratic companion to the approximate MinHash-LSH path
+# (d3/d4). Under a global token order (rarest-first), a doc keeps only
+# its first |T| - ceil(t*|T|) + 1 tokens as its prefix; any pair with
+# Jaccard >= t shares >= ceil(t*|T|) tokens, and the FIRST shared token
+# in the global order must fall inside BOTH prefixes (at most
+# ceil(t*|T|)-1 shared tokens can follow it on each side) — so the
+# prefix-on-prefix equi-join is a complete candidate set, no recall loss.
+_D25_T_NUM, _D25_T_DEN = 3, 5  # Jaccard threshold 0.6, kept as a ratio
+
+
+@register(
+    "d25_setsim_join_prefix",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    shl AS (SELECT doc_id, {_sql_shingles('tk')} AS sh FROM toks),
+    sh AS (SELECT doc_id, unnest(sh) AS tok FROM shl),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    freq AS (SELECT tok, COUNT(*) AS df FROM sh GROUP BY tok),
+    ranked AS (
+      SELECT s.doc_id, s.tok,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY f.df, s.tok) AS rnk
+      FROM sh s JOIN freq f ON s.tok = f.tok
+    ),
+    pref AS (
+      SELECT r.doc_id, r.tok
+      FROM ranked r JOIN sz ON r.doc_id = sz.doc_id
+      WHERE r.rnk <= sz.n
+                     - ({_D25_T_NUM} * sz.n + {_D25_T_DEN - 1}) // {_D25_T_DEN}
+                     + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.tok = x.tok
+      GROUP BY 1, 2
+    )
+    SELECT it.id_a, it.id_b,
+           CAST(it.i AS BIGINT) AS inter_sz,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(it.i * 1.0 / (sa.n + sb.n - it.i), 6) AS jaccard
+    FROM inter it
+    JOIN sz sa ON it.id_a = sa.doc_id
+    JOIN sz sb ON it.id_b = sb.doc_id
+    WHERE {_D25_T_DEN} * it.i
+          >= {_D25_T_NUM} * (sa.n + sb.n - it.i)
+    """,
+    survey_ref="extension: EXACT set-similarity self-join via prefix "
+    "filtering (SSJoin/AllPairs/PPJoin) — the exact sub-quadratic "
+    "complement to d4's approximate MinHash-LSH candidates: zero recall "
+    "loss by the prefix-filter theorem, candidates only where two docs "
+    "share a RAREST-first prefix token. Threshold kept as the integer "
+    "ratio 3/5 so the verify gate (5*inter >= 3*union) never touches a "
+    "float.",
+)
+def d25_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= 0.6, EXACTLY.
+    Scale shape: the global document-frequency order puts each doc's
+    RAREST tokens in its prefix, so the candidate equi-join key is by
+    construction low-frequency — the frequent-token quadratic blowup that
+    kills a naive token self-join cannot enter the prefix; verification
+    joins candidate pairs (not the corpus) back to the token sets. At
+    100 TB: sh/pref shuffle on token, candidates on (id_a, id_b), both
+    partial-agg friendly; the df dimension is |vocab|-sized."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(DD.shingles(F.col("text"))).alias("tok")
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = sh.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    p_len = (
+        F.col("n")
+        - F.expr(f"({_D25_T_NUM} * n + {_D25_T_DEN - 1}) div {_D25_T_DEN}")
+        + F.lit(1)
+    )
+    pref = (
+        sh.join(freq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .filter(F.col("rnk") <= p_len)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("x"), F.col("id_a") == F.col("x.doc_id"))
+        .join(
+            sh.alias("y"),
+            (F.col("id_b") == F.col("y.doc_id"))
+            & (F.col("x.tok") == F.col("y.tok")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.lit(_D25_T_DEN) * F.col("i")
+            >= F.lit(_D25_T_NUM) * (F.col("n_a") + F.col("n_b") - F.col("i"))
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("i").alias("inter_sz"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -117,6 +117,44 @@ def test_smp3_is_takeordered_not_global_sort(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan  # no global sort of the corpus
 
 
+def test_d25_prefix_filter_is_complete(spark, sf_dir):
+    """The prefix-filter theorem promises ZERO recall loss: d25's output
+    must equal the brute-force all-pairs Jaccard join (computed in DuckDB
+    over the same shingle recipe) exactly — pairs, intersection sizes and
+    all."""
+    import duckdb
+
+    from nyc_open_data_pipeline_spark.plans import all_queries
+    from nyc_open_data_pipeline_spark.plans.llmdata import (
+        _sql_shingles,
+        SQL_TOKENS,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"], r["inter_sz"])
+        for r in all_queries()["d25_setsim_join_prefix"].fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    brute = con.sql(f"""
+        WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+        shl AS (SELECT doc_id, {_sql_shingles('tk')} AS sh FROM toks),
+        sh AS (SELECT doc_id, unnest(sh) AS tok FROM shl),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id ia, b.doc_id ib, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT ia, ib, i FROM pairs
+        JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE 5 * i >= 3 * (sa.n + sb.n - i)
+    """).fetchall()
+    assert got == {(r[0], r[1], r[2]) for r in brute}
+
+
 def test_seq1_has_no_single_partition_stage(spark, sf_dir):
     """Sequence packing's running sum must be the two-pass range-partitioned
     form - a serial Window.orderBy would show Exchange SinglePartition.
