@@ -284,12 +284,18 @@ def main() -> None:
 
     raw_bm = drain_batch_metrics()
     stream_batches: dict[str, list] = {}
+    _last_bid: dict[str, int] = {}
     for m in raw_bm:
         rec = dict(m)
         sink = rec.pop("sink", "?")
-        if rec.get("batch_id") == 0:
-            stream_batches[sink] = []  # a new run of this sink starts
-        stream_batches.setdefault(sink, []).append(rec)
+        bid = rec.get("batch_id", -1)
+        # a new pass starts whenever the batch id stops increasing — not
+        # only at id 0: a checkpoint-resumed pass's first batch id is > 0
+        # and must still reset the sink's list (ADVICE r7)
+        if sink not in stream_batches or bid <= _last_bid.get(sink, -1):
+            stream_batches[sink] = []
+        _last_bid[sink] = bid
+        stream_batches[sink].append(rec)
 
     out = {
         "metric": f"total wall-clock of {len(ok)} "

@@ -88,7 +88,10 @@ _EXPRESSION_HEAVY = {"documents", "embeddings"}
 # an explicit operator override.
 _AUTOSIZE_TARGET_DISK_BYTES = 32 * 1024 * 1024
 _AUTOSIZE_MAX = 4096
-_DIR_BYTES_CACHE: dict[tuple[str, int], int] = {}
+# per-dir SINGLE entry (mtime_ns, bytes), overwritten on fingerprint
+# mismatch — a keyed-by-(dir, mtime) dict would leak one entry per corpus
+# regeneration for the session lifetime (ADVICE r7)
+_DIR_BYTES_CACHE: dict[str, tuple[int, int]] = {}
 _AUTOSIZE_HIGH_WATER: dict[str, int] = {}
 
 
@@ -118,17 +121,18 @@ def _dir_mtime_ns(sf_dir: str) -> int:
 
 
 def _dir_input_bytes(sf_dir: str) -> int:
-    key = (sf_dir, _dir_mtime_ns(sf_dir))
-    b = _DIR_BYTES_CACHE.get(key)
-    if b is None:
-        b = 0
-        for root, _dirs, files in os.walk(sf_dir):
-            for f in files:
-                try:
-                    b += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-        _DIR_BYTES_CACHE[key] = b
+    mt = _dir_mtime_ns(sf_dir)
+    hit = _DIR_BYTES_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
+    b = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                b += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    _DIR_BYTES_CACHE[sf_dir] = (mt, b)
     return b
 
 

@@ -18,6 +18,26 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Entry names a managed Spark parquet write leaves behind — anything else in
+# the directory means it is NOT ours to delete.
+_MANAGED_ENTRY = ("part-", "_SUCCESS", "_committed_", "_started_", "_temporary")
+
+
+def _is_stale_managed_dir(path: str) -> bool:
+    """True iff ``path`` is a directory whose every entry matches a Spark
+    managed-write artifact pattern (part-files, _SUCCESS, commit markers,
+    their .crc shadows). Guards the orphan-location reclaim in
+    ``write_bucketed`` from deleting arbitrary same-named directories."""
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return False
+    for name in entries:
+        base = name[1:-4] if name.startswith(".") and name.endswith(".crc") else name
+        if not base.startswith(_MANAGED_ENTRY):
+            return False
+    return True
+
 
 def write_bucketed(
     df: DataFrame,
@@ -38,19 +58,34 @@ def write_bucketed(
     ``spark.read.parquet`` cannot silently skip normalization."""
     keys = [key] if isinstance(key, str) else key
     sess = df.sparkSession
-    if not sess.catalog.tableExists(table):
-        # the default metastore is per-session: a managed table written by
-        # an earlier session leaves its LOCATION behind with no catalog
-        # entry, and saveAsTable then fails with LOCATION_ALREADY_EXISTS —
-        # reclaim the orphan directory before writing
-        wh = sess.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        orphan = os.path.join(wh.removeprefix("file:"), table.lower())
-        if os.path.isdir(orphan):
-            shutil.rmtree(orphan)
+    if "." in table:
+        # a db-qualified name would compute the wrong orphan path below
+        # (<warehouse>/<db>.db/<table>); the reclaim heuristic only handles
+        # default-database names, so reject others explicitly (ADVICE r7)
+        raise ValueError(
+            f"write_bucketed requires an unqualified table name, got {table!r}"
+        )
     writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
-    writer.saveAsTable(table)
+    try:
+        writer.saveAsTable(table)
+    except Exception as e:
+        # The default metastore is per-session: a managed table written by
+        # an earlier session leaves its LOCATION behind with no catalog
+        # entry, and saveAsTable fails with LOCATION_ALREADY_EXISTS.
+        # Reclaim REACTIVELY and only after verifying the directory is a
+        # stale managed Spark write (every entry a part-file / _SUCCESS /
+        # commit marker) — a preemptive name-heuristic rmtree destroyed
+        # legitimate same-named directories (ADVICE r7 medium).
+        wh = sess.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        orphan = os.path.join(wh.removeprefix("file:"), table.lower())
+        if "LOCATION_ALREADY_EXISTS" not in str(e) or not _is_stale_managed_dir(
+            orphan
+        ):
+            raise
+        shutil.rmtree(orphan)
+        writer.saveAsTable(table)
     if normalized:
         from nyc_open_data_pipeline_spark.catalog import NORMALIZED_PROP
 

@@ -40,3 +40,13 @@ def sql_davg(expr: str, alias: str, prec: int = 28, scale: int = 4) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+def sql_floordiv(expr: str, w: int) -> str:
+    """Integer FLOORING division as a Spark SQL fragment, exact for the
+    full BIGINT domain. Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors, so bare ``div`` diverges cross-engine for
+    negative operands (ADVICE r7: pre-1970 epoch-microsecond bins).
+    ``x - pmod(x, w)`` is an exact multiple of w (pmod is non-negative),
+    so ``div`` on it is exact flooring division with no double rounding."""
+    return f"((({expr}) - pmod(({expr}), {w})) div {w})"

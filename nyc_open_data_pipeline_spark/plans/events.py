@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_open_data_pipeline_spark.plans.common import dec, dsum, sql_dsum, t
+from nyc_open_data_pipeline_spark.plans.common import dec, dsum, sql_dsum, sql_floordiv, t
 from nyc_open_data_pipeline_spark.plans.registry import register
 
 
@@ -811,16 +811,21 @@ def rj2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_us") + _RJ1_WIN_US).alias("e_us"),
         )
     )
+    # flooring division (not bare `div`, which truncates toward zero) so
+    # bin assignment agrees with the flooring oracle arithmetic for
+    # pre-1970 negative timestamps too (ADVICE r7)
     bins = camps.select(
         "campaign_id", "s_us", "e_us",
         F.explode(
             F.sequence(
-                F.expr(f"s_us div {_RJ1_WIN_US}"),
-                F.expr(f"(e_us - 1) div {_RJ1_WIN_US}"),
+                F.expr(sql_floordiv("s_us", _RJ1_WIN_US)),
+                F.expr(sql_floordiv("e_us - 1", _RJ1_WIN_US)),
             )
         ).alias("bin"),
     )
-    matched = ev.withColumn("bin", F.expr(f"t_us div {_RJ1_WIN_US}")).join(
+    matched = ev.withColumn(
+        "bin", F.expr(sql_floordiv("t_us", _RJ1_WIN_US))
+    ).join(
         F.broadcast(bins), "bin"
     ).filter((F.col("t_us") >= F.col("s_us")) & (F.col("t_us") < F.col("e_us")))
     return matched.groupBy("campaign_id", F.col("s_us").alias("start_us")).agg(

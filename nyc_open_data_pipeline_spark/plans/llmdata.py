@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from nyc_open_data_pipeline_spark.functions import text as TXT
 from nyc_open_data_pipeline_spark.functions import vectors as VEC
 from nyc_open_data_pipeline_spark.operators import dedup as DD
-from nyc_open_data_pipeline_spark.plans.common import dec, t
+from nyc_open_data_pipeline_spark.plans.common import dec, sql_floordiv, t
 from nyc_open_data_pipeline_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -60,13 +60,37 @@ EMB_BUCKET_CAP = 2000
 _HV_CACHE: dict = {}
 
 
+def _hv_get(spark: SparkSession, sf_dir: str, label: str, build, *extra):
+    """Session cache with a corpus-staleness guard (ADVICE r7): each entry
+    is stamped with the corpus mtime fingerprint, and a regenerated corpus
+    OVERWRITES the entry in place (unpersisting any superseded DataFrames)
+    instead of serving stale derived data or leaking one persisted copy per
+    regeneration. One entry per (app, sf_dir, label, *extra) at any time."""
+    from nyc_open_data_pipeline_spark.catalog import _dir_mtime_ns
+
+    key = (spark.sparkContext.applicationId, sf_dir, label, *extra)
+    mt = _dir_mtime_ns(sf_dir)
+    hit = _HV_CACHE.get(key)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
+    if hit is not None:
+        stale = hit[1] if isinstance(hit[1], tuple) else (hit[1],)
+        for v in stale:
+            if isinstance(v, DataFrame):
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass
+    val = build()
+    _HV_CACHE[key] = (mt, val)
+    return val
+
+
 def _shared_hv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hv = _HV_CACHE.get(key)
-    if hv is None:
-        hv = DD.shingle_hash_sets(t(spark, sf_dir, "documents")).persist()
-        _HV_CACHE[key] = hv
-    return hv
+    return _hv_get(
+        spark, sf_dir, "hv",
+        lambda: DD.shingle_hash_sets(t(spark, sf_dir, "documents")).persist(),
+    )
 
 
 def _shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,16 +99,12 @@ def _shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from both sides of a self-join). The hash is an expensive expression
     fold; caching the 16-byte result rows means the join branches and
     repeated invocations never recompute it."""
-    key = ("simhash64", spark.sparkContext.applicationId, sf_dir)
-    sh = _HV_CACHE.get(key)
-    if sh is None:
-        sh = (
-            t(spark, sf_dir, "documents")
-            .select("doc_id", DD.simhash64(F.col("text")).alias("h"))
-            .persist()
-        )
-        _HV_CACHE[key] = sh
-    return sh
+    return _hv_get(
+        spark, sf_dir, "simhash64",
+        lambda: t(spark, sf_dir, "documents")
+        .select("doc_id", DD.simhash64(F.col("text")).alias("h"))
+        .persist(),
+    )
 
 
 def _shared_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,19 +112,15 @@ def _shared_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir) — s6/s10 each run several jobs over the cast vectors (init
     collect, two assignment passes, codebook update); caching the cast
     output means only the first job pays the scan + float->double pass."""
-    key = ("vectors64", spark.sparkContext.applicationId, sf_dir)
-    e = _HV_CACHE.get(key)
-    if e is None:
-        e = (
-            t(spark, sf_dir, "embeddings")
-            .select(
-                "vec_id",
-                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-            )
-            .persist()
+    return _hv_get(
+        spark, sf_dir, "vectors64",
+        lambda: t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
-        _HV_CACHE[key] = e
-    return e
+        .persist(),
+    )
 
 
 def _shared_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,18 +129,16 @@ def _shared_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly and d7 filters it to >= 0.5 edges; sharing it means the
     expensive band-bucket self-join runs once for the whole dedup family
     (same cache policy as _shared_hv)."""
-    key = ("scored_pairs", spark.sparkContext.applicationId, sf_dir)
-    scored = _HV_CACHE.get(key)
-    if scored is None:
+    def build() -> DataFrame:
         docs = t(spark, sf_dir, "documents")
         hv = _shared_hv(spark, sf_dir)
         cand = DD.minhash_lsh_pairs(
             docs, num_hashes=16, bands=NBANDS, precomputed_hashes=hv,
             bucket_cap=LSH_BUCKET_CAP,
         )
-        scored = DD.jaccard_pairs_hashed(hv, cand).persist()
-        _HV_CACHE[key] = scored
-    return scored
+        return DD.jaccard_pairs_hashed(hv, cand).persist()
+
+    return _hv_get(spark, sf_dir, "scored_pairs", build)
 
 
 # ---------------------------------------------------------------------------
@@ -942,9 +956,7 @@ def _shared_emb_meta(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     invocation pays a count() job plus a first() job before any real work
     — pure scheduler overhead at bench time, and at cluster scale these
     are exactly the numbers a catalog serves from table metadata."""
-    key = ("embmeta", spark.sparkContext.applicationId, sf_dir)
-    meta = _HV_CACHE.get(key)
-    if meta is None:
+    def build() -> tuple[int, int]:
         row = (
             t(spark, sf_dir, "embeddings")
             .agg(
@@ -953,20 +965,19 @@ def _shared_emb_meta(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
             )
             .collect()[0]
         )
-        meta = (int(row["n"]), int(row["dim"] or 0))
-        _HV_CACHE[key] = meta
-    return meta
+        return (int(row["n"]), int(row["dim"] or 0))
+
+    return _hv_get(spark, sf_dir, "embmeta", build)
 
 
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus + the deterministic planted near-dup rows (_SQL_MP_PLANT's
     Spark twin): identical elementwise arithmetic, identical ids."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    key = ("embmax", spark.sparkContext.applicationId, sf_dir)
-    maxid = _HV_CACHE.get(key, "miss")
-    if maxid == "miss":
-        maxid = e.agg(F.max("vec_id")).collect()[0][0]
-        _HV_CACHE[key] = maxid
+    maxid = _hv_get(
+        spark, sf_dir, "embmax",
+        lambda: e.agg(F.max("vec_id")).collect()[0][0],
+    )
     if maxid is None:
         return e
     sp = e.filter(F.col("vec_id") < 16).select(
@@ -995,15 +1006,7 @@ def _shared_multiprobe_cands(
     queries (d19/d23) and their recall audits (d20/d24). The (nbits, R,
     radius) design derives from the RAW corpus stats in both engines;
     ``augment`` only adds the planted rows to the bucketed corpus."""
-    key = (
-        "mp_cands",
-        spark.sparkContext.applicationId,
-        sf_dir,
-        threshold,
-        augment,
-    )
-    c = _HV_CACHE.get(key)
-    if c is None:
+    def build() -> DataFrame:
         e = (
             _augmented_embeddings(spark, sf_dir)
             if augment
@@ -1011,14 +1014,13 @@ def _shared_multiprobe_cands(
         )
         n, dim = _shared_emb_meta(spark, sf_dir)
         if n == 0 or dim == 0:
-            c = spark.createDataFrame([], "id_a long, id_b long")
-        else:
-            sets_, radius = _mp_plane_sets(n, dim, threshold)
-            c = DD.multiprobe_candidate_pairs(
-                e, sets_, bucket_cap=EMB_BUCKET_CAP, radius=radius
-            ).persist()
-        _HV_CACHE[key] = c
-    return c
+            return spark.createDataFrame([], "id_a long, id_b long")
+        sets_, radius = _mp_plane_sets(n, dim, threshold)
+        return DD.multiprobe_candidate_pairs(
+            e, sets_, bucket_cap=EMB_BUCKET_CAP, radius=radius
+        ).persist()
+
+    return _hv_get(spark, sf_dir, "mp_cands", build, threshold, augment)
 
 
 def _sql_mp_verify_oracle(
@@ -2234,10 +2236,10 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     by s6 (cluster stats) and d17 (SemDeDup within-cluster prune) so the
     collect-driven fit runs once per (session, sf). Returns (None, []) on
     an empty corpus."""
-    key = ("kmeans2", spark.sparkContext.applicationId, sf_dir)
-    hit = _HV_CACHE.get(key)
-    if hit is not None:
-        return hit
+    return _hv_get(spark, sf_dir, "kmeans2", lambda: _kmeans_fit_build(spark, sf_dir))
+
+
+def _kmeans_fit_build(spark: SparkSession, sf_dir: str):
     e = _shared_vectors(spark, sf_dir)
 
     def assign(cents: list) -> DataFrame:
@@ -2257,8 +2259,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     ]
     if not cents:  # empty corpus (array() of zero struct candidates would
         # not even analyze)
-        _HV_CACHE[key] = (None, [])
-        return _HV_CACHE[key]
+        return (None, [])
     a1 = assign(cents)
     from nyc_open_data_pipeline_spark.plans.common import dec
 
@@ -2281,8 +2282,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
         for cid in sorted({r["cid"] for r in upd})
     ]
     a2 = assign(c1).persist()
-    _HV_CACHE[key] = (a2, c1)
-    return _HV_CACHE[key]
+    return (a2, c1)
 
 
 def _sql_kmeans_assign(cents: str, out: str) -> str:
@@ -2541,16 +2541,15 @@ def tx8_top_terms_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the big one — it shuffles on term (uniform), and the window
     sees only per-source aggregates, never raw rows."""
     d = t(spark, sf_dir, "documents")
-    key = ("tx8_toks", spark.sparkContext.applicationId, sf_dir)
-    toks = _HV_CACHE.get(key)
-    if toks is None:
-        # persisted: BOTH aggregations below consume it, and re-tokenizing
-        # the corpus per consumer doubles the dominant stage
-        toks = d.select(
+    # persisted: BOTH aggregations below consume it, and re-tokenizing
+    # the corpus per consumer doubles the dominant stage
+    toks = _hv_get(
+        spark, sf_dir, "tx8_toks",
+        lambda: d.select(
             "doc_id", "source",
             F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("term"),
-        ).persist()
-        _HV_CACHE[key] = toks
+        ).persist(),
+    )
     df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
     tf = toks.groupBy("source", "term").agg(F.count("*").alias("cnt"))
@@ -2911,9 +2910,7 @@ def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus total, per-doc reduction) — without sharing, the tokenize+sort+
     run-length stage re-executes per consumer (measured 8 s -> ~2 s at
     sf0.1)."""
-    key = ("doc_tok", spark.sparkContext.applicationId, sf_dir)
-    dt = _HV_CACHE.get(key)
-    if dt is None:
+    def build() -> DataFrame:
         d = t(spark, sf_dir, "documents")
         # Stage the sorted array as a REAL column first: _run_counts
         # references its input many times (filter/zip_with element_at), and
@@ -2922,13 +2919,13 @@ def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = d.select(
             "doc_id", F.array_sort(TXT.tokens(F.col("text"))).alias("__tk")
         )
-        dt = (
+        return (
             staged.select("doc_id", F.explode(_run_counts(F.col("__tk"))).alias("r"))
             .select("doc_id", F.col("r.v").alias("tok"), F.col("r.c").alias("c_doc"))
             .persist()
         )
-        _HV_CACHE[key] = dt
-    return dt
+
+    return _hv_get(spark, sf_dir, "doc_tok", build)
 
 
 _SQL_DOC_TOK = f"""
@@ -4598,9 +4595,7 @@ def tx12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the big intermediate (super-Heaps but still far below token
     count); both model joins hash on w1/(w1,w2) — plain shuffle joins that
     AQE can skew-split if a stopword context dominates."""
-    key = ("doc_bigrams", spark.sparkContext.applicationId, sf_dir)
-    db = _HV_CACHE.get(key)
-    if db is None:
+    def build() -> DataFrame:
         d = t(spark, sf_dir, "documents").select(
             "doc_id", TXT.tokens(F.col("text")).alias("tk")
         )
@@ -4611,17 +4606,18 @@ def tx12_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
             ),
         ).otherwise(F.array())
-        # persisted per (session, sf_dir): the bigram-type frame feeds the
-        # corpus model twice and the per-doc reduction (same policy as
-        # _doc_token_counts — without sharing, the tokenize+explode stage
-        # re-executes per consumer)
-        db = (
+        return (
             d.select("doc_id", F.explode(pairs).alias("p"))
             .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
             .agg(F.count("*").alias("c_doc"))
             .persist()
         )
-        _HV_CACHE[key] = db
+
+    # persisted per (session, sf_dir): the bigram-type frame feeds the
+    # corpus model twice and the per-doc reduction (same policy as
+    # _doc_token_counts — without sharing, the tokenize+explode stage
+    # re-executes per consumer)
+    db = _hv_get(spark, sf_dir, "doc_bigrams", build)
     bc = db.groupBy("w1", "w2").agg(F.sum("c_doc").cast("long").alias("c12"))
     ctx = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     lp = bc.join(ctx, "w1").select(
@@ -5007,10 +5003,10 @@ def _pq_trained_codebook(
     the driver. With ``cache_key`` (an sf_dir), the trained codebook is
     session-cached so s10 and s11 train once between them."""
     if cache_key is not None:
-        key = ("pq_cb1", spark.sparkContext.applicationId, cache_key)
-        hit = _HV_CACHE.get(key)
-        if hit is not None:
-            return hit
+        return _hv_get(
+            spark, cache_key, "pq_cb1",
+            lambda: _pq_trained_codebook(spark, subs, cache_key=None),
+        )
     cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
         "m", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
     )
@@ -5033,8 +5029,6 @@ def _pq_trained_codebook(
         ],
         "m int, code long, cw array<double>",
     )
-    if cache_key is not None:
-        _HV_CACHE[("pq_cb1", spark.sparkContext.applicationId, cache_key)] = cb1
     return cb1
 
 
@@ -6966,7 +6960,10 @@ def v10_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference can never flip the audit."""
     ev = t(spark, sf_dir, "events")
     # decile bucket of the sensitive value, parsed ONCE as a grouping key
-    kb = F.expr("from_json(props, 'k bigint').k div 10")
+    # flooring division: DuckDB's // floors while Spark's div truncates,
+    # so a negative sensitive value would land in a different decile
+    # bucket per engine (ADVICE r7)
+    kb = F.expr(sql_floordiv("from_json(props, 'k bigint').k", 10))
     # Two scale traps, both measured at sf10 (10M rows, single 90 MB file):
     # 1. parquet input splits cap the expensive Jackson parse at ~1 task —
     #    a cheap round-robin exchange of the raw columns first lets the

@@ -283,9 +283,13 @@ def test_write_bucketed_reclaims_orphan_location(spark, sf_dir):
     previous session leaves its warehouse directory behind with no catalog
     entry, and a bare saveAsTable then fails with LOCATION_ALREADY_EXISTS
     (hit live by the round-7 gr1 sf100 runs). write_bucketed must reclaim
-    the orphan directory and succeed."""
+    the orphan directory — but ONLY when its contents are verifiably a
+    stale managed Spark write (part-files / _SUCCESS); a directory holding
+    anything else is not ours to delete (ADVICE r8) and the write raises."""
     import os
     import shutil
+
+    import pytest
 
     from nyc_open_data_pipeline_spark.operators.bucketing import write_bucketed
 
@@ -293,9 +297,12 @@ def test_write_bucketed_reclaims_orphan_location(spark, sf_dir):
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     loc = os.path.join(wh.removeprefix("file:"), table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    os.makedirs(loc, exist_ok=True)  # simulate the prior session's leftovers
-    with open(os.path.join(loc, "stale.parquet"), "w") as f:
-        f.write("not parquet")
+    # simulate a prior session's managed-write leftovers: a part-file and
+    # the _SUCCESS marker, exactly what saveAsTable leaves behind
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-00000-deadbeef.snappy.parquet"), "w") as f:
+        f.write("stale")
+    open(os.path.join(loc, "_SUCCESS"), "w").close()
     try:
         df = spark.range(100).selectExpr("id", "id % 5 AS k")
         write_bucketed(df, table, "k", buckets=2)
@@ -303,6 +310,28 @@ def test_write_bucketed_reclaims_orphan_location(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(loc, ignore_errors=True)
+
+    # a same-named directory holding a FOREIGN file must survive: the write
+    # fails instead of destroying it (the round-7 medium ADVICE scenario)
+    os.makedirs(loc, exist_ok=True)
+    foreign = os.path.join(loc, "precious_user_data.txt")
+    with open(foreign, "w") as f:
+        f.write("do not delete")
+    try:
+        with pytest.raises(Exception, match="LOCATION_ALREADY_EXISTS"):
+            write_bucketed(
+                spark.range(5).selectExpr("id", "id AS k"), table, "k", buckets=2
+            )
+        assert os.path.exists(foreign), "foreign directory was destroyed"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+    # db-qualified names compute the wrong orphan path — rejected up front
+    with pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(
+            spark.range(5).selectExpr("id", "id AS k"), "db.tbl", "k", buckets=2
+        )
 
 
 def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
