@@ -171,6 +171,8 @@ HEADLINE += [
     "v10_t_closeness",
     "s12_mips_topk",
     "d25_setsim_join_prefix",
+    # round 8
+    "s13_mips_ann",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -7209,3 +7209,306 @@ def d25_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# s13: MIPS -> ANN via the ASYMMETRIC d+1 TRANSFORM (Bachrach et al. 2014,
+# RecSys) — the scale path s12's docstring promises. Maximum-inner-product
+# over varying-norm corpus vectors y_i is not an LSH-able metric directly
+# (inner product violates the triangle equality sign-LSH needs), but with
+# M^2 = max_i |y_i|^2 the lift
+#     y_i -> [y_i ; sqrt(M^2 - |y_i|^2)],   q -> [q ; 0]
+# makes every corpus vector the SAME length M while preserving every
+# query-corpus inner product exactly, so argmax dot == argmax cosine in
+# d+1 dims and the EXISTING sign-LSH multi-probe machinery (s2/d19 shape)
+# applies verbatim. Design threshold: the fixture's true MIPS top-5 land
+# at augmented cosine ~0.24-0.35 (measured sf0.01/sf0.1), so the (nbits,
+# R, radius) design point is 0.25 — the same hostile-regime derivation
+# d19 runs at 0.3.
+_S13_T = 0.25
+_S13_K = 5
+_S13_NQ = 5
+
+
+@register(
+    "s13_mips_ann",
+    oracle=f"""
+    WITH RECURSIVE w0 AS (
+      SELECT {_SQL_NBITS} AS nbits,
+             CAST(any_value(len({SQL_VEC})) + 1 AS INT) AS dim
+      FROM embeddings
+    ),
+    {_sql_mp_design(_S13_T)},
+    lcg(k, state) AS (
+      SELECT 0, (CAST({_LCG_SEED} AS HUGEINT) * {_LCG_A} + {_LCG_C})
+                % CAST({_LCG_M} AS HUGEINT)
+      UNION ALL
+      SELECT k + 1, (state * {_LCG_A} + {_LCG_C}) % CAST({_LCG_M} AS HUGEINT)
+      FROM lcg WHERE k + 1 < (SELECT nbits * dim * r_sets FROM w)
+    ),
+    psets AS (
+      SELECT CAST((k // dim) // nbits AS INT) AS r,
+             CAST((k // dim) % nbits AS INT) AS i,
+             list(CASE WHEN (CAST(state AS BIGINT) >> 32) & 1 = 1
+                       THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(-1.0 AS DOUBLE) END
+                  ORDER BY k) AS plane
+      FROM lcg, w GROUP BY 1, 2
+    ),
+    y AS (
+      SELECT vec_id,
+             list_transform({SQL_VEC},
+                            x -> (1.0 + (vec_id % 7) * 0.1) * x) AS y
+      FROM embeddings
+    ),
+    n2t AS (SELECT vec_id, y, list_dot_product(y, y) AS n2 FROM y),
+    mx AS (SELECT MAX(n2) AS m2 FROM n2t),
+    ac AS (
+      SELECT vec_id,
+             list_append(y, sqrt(greatest(0.0, (SELECT m2 FROM mx) - n2)))
+               AS av
+      FROM n2t
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             list_append({SQL_VEC}, CAST(0.0 AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {_S13_NQ}
+    ),
+    cbm AS (
+      SELECT a.vec_id, p.r,
+             SUM(CASE WHEN list_dot_product(a.av, p.plane) > 0
+                      THEN CAST(1 AS BIGINT) << p.i
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM ac a CROSS JOIN psets p
+      GROUP BY a.vec_id, p.r
+    ),
+    cb AS (
+      SELECT vec_id, r, bucket FROM cbm
+      QUALIFY row_number() OVER (PARTITION BY r, bucket ORDER BY vec_id)
+              <= {EMB_BUCKET_CAP}
+    ),
+    qbm AS (
+      SELECT qq.query_id, p.r,
+             SUM(CASE WHEN list_dot_product(qq.qv, p.plane) > 0
+                      THEN CAST(1 AS BIGINT) << p.i
+                      ELSE CAST(0 AS BIGINT) END) AS b0
+      FROM q qq CROSS JOIN psets p
+      GROUP BY qq.query_id, p.r
+    ),
+    bits AS (
+      SELECT i FROM range(16) t(i) WHERE i < (SELECT nbits FROM w)
+    ),
+    masks AS (
+      SELECT CAST(0 AS BIGINT) AS mask
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) << i FROM bits
+      WHERE (SELECT radius FROM w) >= 1
+      UNION ALL
+      SELECT (CAST(1 AS BIGINT) << b1.i) | (CAST(1 AS BIGINT) << b2.i)
+      FROM bits b1, bits b2
+      WHERE b1.i < b2.i AND (SELECT radius FROM w) >= 2
+    ),
+    cand AS (
+      SELECT DISTINCT qb.query_id, c.vec_id AS neighbor_id
+      FROM qbm qb CROSS JOIN masks m
+      JOIN cb c ON c.r = qb.r AND c.bucket = xor(qb.b0, m.mask)
+      WHERE c.vec_id <> qb.query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_dot_product(qq.qv, a.av) AS score
+        FROM cand cd
+        JOIN q qq ON qq.query_id = cd.query_id
+        JOIN ac a ON a.vec_id = cd.neighbor_id
+      )
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+              <= {_S13_K}
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.query_id, a.vec_id AS neighbor_id,
+               list_dot_product(qq.qv, a.av) AS score
+        FROM q qq, ac a WHERE a.vec_id <> qq.query_id
+      )
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+              <= {_S13_K}
+    ),
+    ov AS (
+      SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM approx a JOIN exact x
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+      GROUP BY a.query_id
+    ),
+    nc AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+      FROM cand GROUP BY query_id
+    )
+    SELECT qq.query_id,
+           coalesce(nc.n_cand, 0) AS n_cand,
+           coalesce(ov.n_overlap, 0) AS n_overlap,
+           coalesce(ov.n_overlap, 0) / {float(_S13_K)} AS recall_at_k
+    FROM q qq
+    LEFT JOIN nc ON nc.query_id = qq.query_id
+    LEFT JOIN ov ON ov.query_id = qq.query_id
+    """,
+    survey_ref="extension: MIPS AT SCALE — s12's exact top-k re-run through "
+    "the asymmetric d+1 transform (Bachrach et al. 2014): append "
+    "sqrt(M^2 - |y|^2) to each prior-weighted corpus vector and 0 to "
+    "queries, making every corpus vector length M so argmax inner product "
+    "== argmax cosine in d+1 dims; the query then rides the UNCHANGED "
+    "sign-LSH multi-probe machinery (d19's derived (nbits, R, radius) "
+    "design) and the result is audited as recall@5 against the exact "
+    "brute-force top-k, d20/s7 style. The closing of the round-7 "
+    "'documented but not implemented' scale-path claim.",
+)
+def s13_mips_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the transformed-MIPS ANN path against the
+    exact MIPS top-5. Scale shape: the transform is ONE narrow map over
+    the corpus (prior multiply, self-dot, one appended component — no
+    shuffle); corpus bucketing is the d19 posexplode shape (R set-keys in
+    one pass, capped per (set, bucket)); the probe side is |Q| rows
+    exploded by <= 1+nbits+C(nbits,2) masks — at 100 TB the corpus side
+    is written DISTRIBUTE BY (r, bucket) once and each query reads only
+    its probed buckets, while the exact arm (the audit baseline) runs on
+    a sampled query set exactly as s7 does. M^2 is a one-scalar
+    control-plane agg, cached per corpus fingerprint."""
+    e = t(spark, sf_dir, "embeddings")
+    n, dim = _shared_emb_meta(spark, sf_dir)
+    if n == 0 or dim == 0:
+        return spark.createDataFrame(
+            [], "query_id long, n_cand long, n_overlap long, recall_at_k double"
+        )
+    wt = F.lit(1.0) + (F.col("vec_id") % 7).cast("double") * F.lit(0.1)
+    y = F.transform("embedding", lambda x: wt * x.cast("double"))
+    n2 = e.select("vec_id", y.alias("y")).withColumn(
+        "n2", VEC.dot(F.col("y"), F.col("y"))
+    )
+    m2 = float(
+        _hv_get(
+            spark, sf_dir, "mips_m2",
+            lambda: n2.agg(F.max("n2")).collect()[0][0],
+        )
+    )
+    ac = n2.select(
+        "vec_id",
+        F.concat(
+            F.col("y"),
+            F.array(F.sqrt(F.greatest(F.lit(0.0), F.lit(m2) - F.col("n2")))),
+        ).alias("av"),
+    )
+    qdf = e.filter(F.col("vec_id") < _S13_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.concat(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("qv"),
+    )
+    nbits, r_sets, radius = _mp_design(n, _S13_T)
+    pl = VEC.hyperplanes(dim + 1, nbits * r_sets)
+    sets_ = [pl[r * nbits : (r + 1) * nbits] for r in range(r_sets)]
+    # corpus buckets: R set-keys in ONE narrow pass, capped per (r, bucket)
+    cb = ac.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    VEC.hyperplane_bucket(F.col("av"), p, expected_dim=dim + 1)
+                    for p in sets_
+                ]
+            )
+        ).alias("r", "bucket"),
+    )
+    wcap = Window.partitionBy("r", "bucket").orderBy("vec_id")
+    cb = (
+        cb.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= EMB_BUCKET_CAP)
+        .drop("__rn")
+    )
+    # query probes: own bucket per set, expanded by XOR masks of Hamming
+    # weight <= radius (one-sided probing, multiprobe_candidate_pairs'
+    # mask construction for the query->corpus case)
+    qb = qdf.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    VEC.hyperplane_bucket(F.col("qv"), p, expected_dim=dim + 1)
+                    for p in sets_
+                ]
+            )
+        ).alias("r", "b0"),
+    )
+    masks = [0] + ([1 << i for i in range(nbits)] if radius >= 1 else [])
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(nbits)
+            for j in range(i + 1, nbits)
+        ]
+    probes = qb.select(
+        "query_id", "r",
+        F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("mask"),
+        F.col("b0"),
+    ).select(
+        "query_id", "r", F.col("b0").bitwiseXOR(F.col("mask")).alias("bucket")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cb, ["r", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    # exact verification of candidates + the exact brute-force baseline,
+    # both scored as dot in the AUGMENTED space (== the MIPS score: the
+    # appended query component is 0)
+    qv = qdf  # broadcast-sized: |Q| rows
+    scored_cand = (
+        cand.join(ac, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            VEC.dot(F.col("qv"), F.col("av")).alias("score"),
+        )
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    approx = (
+        scored_cand.withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= _S13_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        F.broadcast(qv)
+        .crossJoin(ac)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            VEC.dot(F.col("qv"), F.col("av")).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= _S13_K)
+        .select("query_id", "neighbor_id")
+    )
+    ov = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    nc = cand.groupBy("query_id").agg(F.count("*").cast("long").alias("n_cand"))
+    qs = qdf.select("query_id")
+    return (
+        qs.join(nc, "query_id", "left")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(float(_S13_K)))
+            .alias("recall_at_k"),
+        )
+    )

@@ -413,6 +413,7 @@ def test_q21_exists_rewrites_to_semi_and_anti(spark, sf_dir):
 BNLJ_ALLOWED = {
     # broadcast of a 1-row scalar or a <=k-row query/centroid relation
     "s12_mips_topk",           # 5 broadcast query vectors x corpus scan (s1's shape)
+    "s13_mips_ann",            # exact-audit arm: 5 broadcast queries x corpus scan
     "sk1_kmv_distinct",        # k-th minimum hash (1 row)
     "sk4_hll_distinct",        # 1-row register aggregate x 1-row exact count
     "mix3_temperature_sampling",  # mix normalizer (1 row)
