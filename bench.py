@@ -173,6 +173,7 @@ HEADLINE += [
     "d25_setsim_join_prefix",
     # round 8
     "s13_mips_ann",
+    "d26_substring_dedup",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -6593,6 +6593,112 @@ def sk5_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KC_K = 8  # greedy k-center sample size (bench scale; production k ~ 10^3-10^4)
+_KC_BATCH = 8  # candidates fetched per distributed pass (k-center|| batching)
+
+
+def _kc_py_dist(v: list, c: list, nrm_v: float, nrm_c: float) -> float:
+    """Driver-side twin of smp2's distance expression, replicating the
+    engine arithmetic BIT-FOR-BIT: vectors.dot is an exact left-to-right
+    double fold, cosine_prenormed one multiply + one divide, _pround one
+    floor(x*1e6+0.5)/1e6 — each a single IEEE op Python doubles perform
+    identically, so a pick proven locally equals the pick the distributed
+    scan would have made (and the radius it would have emitted)."""
+    import math
+
+    acc = 0.0
+    for x, yv in zip(v, c):
+        acc = acc + x * yv
+    d = 1.0 - acc / (nrm_v * nrm_c)
+    return math.floor(d * 1000000.0 + 0.5) / 1000000.0
+
+
+def _kcenter_greedy_batched(
+    pts: DataFrame, k: int, batch: int
+) -> tuple[list[tuple], int]:
+    """Greedy k-center (Gonzalez) with k-center||-style BATCHED passes:
+    each distributed pass fetches the top-``batch`` points by current
+    min-distance, then a driver-local greedy accepts as many of them as
+    are PROVABLY the next sequential picks — a locally-updated candidate
+    beats every unfetched point while its min-distance exceeds m_B (the
+    batch's smallest fetched distance: no outside point can be above it,
+    and distances only shrink as centers are added), or ties m_B with its
+    ORIGINAL distance intact (outside ties lost the fetch's vec_id
+    tie-break, so they lose the pick's too). The accepted ids/radii are
+    therefore IDENTICAL to the one-pick-per-pass loop — same oracle —
+    while the number of linear scans drops from k-1 to ~(k-1)/accepted-
+    per-batch. Returns (chosen rows, distributed passes)."""
+
+    def dist_to(vec: list, nrm: float):
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        return _pround(
+            F.lit(1.0)
+            - VEC.cosine_prenormed(F.col("v"), c, F.col("nrm"), F.lit(nrm))
+        )
+
+    seed_rows = pts.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        return [], 0
+    seed = seed_rows[0]
+    chosen: list[tuple] = [(0, seed.vec_id, None)]
+    cur = pts.filter(F.col("vec_id") != seed.vec_id).withColumn(
+        "mind", dist_to(list(seed.v), float(seed.nrm))
+    )
+    passes = 0
+    r = 1
+    while r < k:
+        rows = cur.orderBy(F.desc("mind"), "vec_id").limit(batch).collect()
+        passes += 1
+        if not rows:
+            break  # corpus smaller than k: emit what exists (oracle agrees)
+        full = len(rows) == batch  # not full => every remaining point is here
+        m_b = float(rows[-1]["mind"])
+        cands = [
+            {
+                "id": row["vec_id"],
+                "v": [float(x) for x in row["v"]],
+                "nrm": float(row["nrm"]),
+                "mind": float(row["mind"]),
+                "orig": float(row["mind"]),
+            }
+            for row in rows
+        ]
+        newly: list[dict] = []
+        while r < k and cands:
+            cands.sort(key=lambda c: (-c["mind"], c["id"]))
+            best = cands[0]
+            if (
+                newly
+                and full
+                and not (
+                    best["mind"] > m_b
+                    or (best["mind"] == m_b and best["mind"] == best["orig"])
+                )
+            ):
+                break  # cannot out-argue unfetched points: new pass
+            cands.pop(0)
+            chosen.append((r, best["id"], best["mind"]))
+            newly.append(best)
+            r += 1
+            for c in cands:
+                c["mind"] = min(
+                    c["mind"],
+                    _kc_py_dist(c["v"], best["v"], c["nrm"], best["nrm"]),
+                )
+        if r < k:
+            ids = [c["id"] for c in newly]
+            mind_col = F.col("mind")
+            for c in newly:
+                mind_col = F.least(mind_col, dist_to(c["v"], c["nrm"]))
+            # localCheckpoint pins this pass's min-distances: without it the
+            # lazily-chained least(...) lineage re-evaluates every prior
+            # pass's cosine columns on each fetch (O(k^2) distance work and
+            # a plan that grows r*dim literals)
+            cur = (
+                cur.filter(~F.col("vec_id").isin(ids))
+                .withColumn("mind", mind_col)
+                .localCheckpoint(eager=False)
+            )
+    return chosen, passes
 
 
 def _sql_kcenter(k: int) -> str:
@@ -6650,19 +6756,19 @@ def _sql_kcenter(k: int) -> str:
     "criterion; radius column = the covering radius bound after each pick.",
 )
 def smp2_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy k-center: seed = min vec_id, then k-1 rounds of
-    'farthest-point-first'. Each round is ONE narrow distributed pass —
-    update a running min-distance column against the (broadcast-literal)
-    newest center, then TakeOrdered(1) for the argmax — so the total cost
-    is k linear scans and k single-row collects (bounded control-plane
-    data, the same budget as the k-means fit). No pairwise join ever
-    forms: distances go point->center only, never point->point. At
-    production k (10^3+) the same loop batches picks per pass
-    (k-center|| oversampling, as k-means|| does for seeding); selection
-    order and the per-pick covering radius are emitted so downstream can
-    cut the sample at any prefix. Ties at equal (rounded) distance break
-    on min vec_id — deterministic cross-engine, like every ranked
-    operator here."""
+    """Greedy k-center: seed = min vec_id, then 'farthest-point-first' in
+    BATCHED distributed passes (round 8, the k-center|| variant the
+    round-7 docstring promised): each pass is ONE narrow linear scan +
+    a top-``_KC_BATCH`` fetch, and the driver-local greedy accepts every
+    fetched candidate it can PROVE is the next sequential pick (see
+    _kcenter_greedy_batched), so the scan count drops from k-1 to
+    ~(k-1)/batch-yield while ids and radii stay exactly the sequential
+    algorithm's — the oracle is unchanged. No pairwise join ever forms:
+    distances go point->center only, never point->point. Selection order
+    and the per-pick covering radius are emitted so downstream can cut
+    the sample at any prefix. Ties at equal (rounded) distance break on
+    min vec_id — deterministic cross-engine, like every ranked operator
+    here."""
     e = t(spark, sf_dir, "embeddings")
     n, _dim = _shared_emb_meta(spark, sf_dir)
     schema = "rnk long, vec_id long, radius double"
@@ -6673,41 +6779,7 @@ def smp2_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("v"),
         VEC.norm(F.col("embedding")).alias("nrm"),
     )
-    seed = pts.orderBy("vec_id").limit(1).collect()[0]
-
-    def dist_to(vec: list, nrm: float):
-        c = F.array(*[F.lit(float(x)) for x in vec])
-        return _pround(
-            F.lit(1.0)
-            - VEC.cosine_prenormed(F.col("v"), c, F.col("nrm"), F.lit(nrm))
-        )
-
-    chosen: list[tuple] = [(0, seed.vec_id, None)]
-    cur = pts.filter(F.col("vec_id") != seed.vec_id).withColumn(
-        "mind", dist_to(list(seed.v), float(seed.nrm))
-    )
-    for r in range(1, _KC_K):
-        rows = cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()
-        if not rows:
-            break  # corpus smaller than k: emit what exists (oracle agrees)
-        nxt = rows[0]
-        chosen.append((r, nxt.vec_id, float(nxt.mind)))
-        if r < _KC_K - 1:
-            # localCheckpoint pins round r's min-distances: without it the
-            # lazily-chained least(...) lineage re-evaluates every prior
-            # round's cosine column on each collect (O(k^2) distance work
-            # and a plan that grows r*dim literals); pinned, each round is
-            # the single linear scan the greedy algorithm costs on paper
-            cur = (
-                cur.filter(F.col("vec_id") != nxt.vec_id)
-                .withColumn(
-                    "mind",
-                    F.least(
-                        F.col("mind"), dist_to(list(nxt.v), float(nxt.nrm))
-                    ),
-                )
-                .localCheckpoint(eager=False)
-            )
+    chosen, _passes = _kcenter_greedy_batched(pts, _KC_K, _KC_BATCH)
     return spark.createDataFrame(chosen, schema)
 
 
@@ -7148,8 +7220,18 @@ def d25_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the global document-frequency order puts each doc's
     RAREST tokens in its prefix, so the candidate equi-join key is by
     construction low-frequency — the frequent-token quadratic blowup that
-    kills a naive token self-join cannot enter the prefix; verification
-    joins candidate pairs (not the corpus) back to the token sets. At
+    kills a naive token self-join cannot enter the prefix. Round 8 (the
+    sf1 probe showed verify dominating 215.8 s): the candidate join now
+    also applies PPJoin's SIZE filter (J >= t forces 5*min(n) >= 3*max(n))
+    and POSITIONAL filter (a match at prefix ranks (i, j) bounds the
+    remaining overlap by 1 + min(n_a - i, n_b - j), which must reach
+    ceil(t/(1+t)*(n_a+n_b)), i.e. 8*bound >= 3*(n_a+n_b) in integers) —
+    both complete: the FIRST shared token in the global order sits in
+    both prefixes and passes the bound whenever the pair truly qualifies.
+    Verification then joins the surviving pairs back to per-doc shingle
+    ARRAYS (the Vernica-Carey-Li MapReduce phase-3 shape) and intersects
+    in-expression — two hash joins instead of a pair x token explode.
+    Measured at sf1: 215.8 s -> 24 s, identical output (SCALE.md). At
     100 TB: sh/pref shuffle on token, candidates on (id_a, id_b), both
     partial-agg friendly; the df dimension is |vocab|-sized."""
     d = t(spark, sf_dir, "documents")
@@ -7169,45 +7251,56 @@ def d25_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .join(sz, "doc_id")
         .filter(F.col("rnk") <= p_len)
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "rnk", "n")
+    )
+    # positional upper bound on overlap from THIS matched prefix token:
+    # everything shared must be this token or follow it in both docs'
+    # global-order tails
+    ub = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.rnk"), F.col("b.n") - F.col("b.rnk")
     )
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "tok")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: 5*min >= 3*max
+            & (F.lit(_D25_T_DEN) * F.col("a.n") >= F.lit(_D25_T_NUM) * F.col("b.n"))
+            & (F.lit(_D25_T_DEN) * F.col("b.n") >= F.lit(_D25_T_NUM) * F.col("a.n"))
+            # positional filter: overlap must reach ceil(3(na+nb)/8)
+            & (
+                F.lit(_D25_T_NUM + _D25_T_DEN) * ub
+                >= F.lit(_D25_T_NUM) * (F.col("a.n") + F.col("b.n"))
+            )
+        )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .distinct()
     )
-    inter = (
-        cand.join(sh.alias("x"), F.col("id_a") == F.col("x.doc_id"))
-        .join(
-            sh.alias("y"),
-            (F.col("id_b") == F.col("y.doc_id"))
-            & (F.col("x.tok") == F.col("y.tok")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(
-            F.lit(_D25_T_DEN) * F.col("i")
-            >= F.lit(_D25_T_NUM) * (F.col("n_a") + F.col("n_b") - F.col("i"))
-        )
+    docsets = d.select("doc_id", DD.shingles(F.col("text")).alias("toks"))
+    ia = docsets.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    ib = docsets.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    verified = (
+        cand.join(ia, "id_a")
+        .join(ib, "id_b")
         .select(
             "id_a", "id_b",
-            F.col("i").alias("inter_sz"),
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.round(
-                F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i")), 6
-            ).alias("jaccard"),
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("i"),
+            F.size("ta").cast("long").alias("n_a"),
+            F.size("tb").cast("long").alias("n_b"),
         )
+    )
+    return verified.filter(
+        F.lit(_D25_T_DEN) * F.col("i")
+        >= F.lit(_D25_T_NUM) * (F.col("n_a") + F.col("n_b") - F.col("i"))
+    ).select(
+        "id_a", "id_b",
+        F.col("i").alias("inter_sz"),
+        "n_a", "n_b",
+        F.round(
+            F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i")), 6
+        ).alias("jaccard"),
     )
 
 
@@ -7512,3 +7605,101 @@ def s13_mips_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_at_k"),
         )
     )
+
+
+# d26: EXACT SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr pass). Their
+# suffix-array construction finds every duplicated substring of >= N
+# tokens; the distributed relaxation here is the standard n-gram-run
+# form: a substring of length L >= N is duplicated iff all of its
+# L - N + 1 token N-grams occur elsewhere, so maximal runs of
+# CONSECUTIVE cross-document-duplicated N-grams are exactly the maximal
+# spans in which every N-token window occurs in >= 2 documents (a
+# superset of single-source suffix-array spans: adjacent windows may
+# match different partners — the same spans ExactSubstr's cut-and-drop
+# policy removes). Grams are keyed by the portable 64-bit md5 hash
+# (sql_hash64 == operators/dedup._hash64) so the duplicate-detection
+# shuffle carries 8-byte keys, not 10-token strings; the oracle applies
+# the SAME hash, so parity is exact and the only approximation anywhere
+# is the ~2^-64 md5-prefix collision odds.
+_D26_N = 10
+
+
+@register(
+    "d26_substring_dedup",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, i AS p,
+             {sql_hash64(
+                 "array_to_string(list_slice(tk, i, i + "
+                 + str(_D26_N - 1) + "), ' ')"
+             )} AS g
+      FROM tk, UNNEST(generate_series(1, len(tk) - {_D26_N} + 1)) AS t(i)
+      WHERE len(tk) >= {_D26_N}
+    ),
+    dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    h AS (SELECT doc_id, p FROM g JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS start_pos,
+           CAST(MAX(p) + {_D26_N} - 1 AS BIGINT) AS end_pos,
+           CAST(MAX(p) - MIN(p) + {_D26_N} AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, grp
+    """,
+    survey_ref="extension: EXACT SUBSTRING dedup (Lee et al. 2022 "
+    "ExactSubstr) — the missing dedup modality between d15 (fixed "
+    "10-word aligned lines) and d18 (CDC chunks): maximal spans of >= 10 "
+    "tokens at ARBITRARY offsets whose every 10-token window occurs in "
+    ">= 2 documents. Suffix-array semantics re-expressed as n-gram runs: "
+    "duplicated-gram detection is one hash aggregation, span assembly "
+    "one gaps-and-islands window per doc.",
+)
+def d26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans (>= _D26_N tokens at
+    any offset), emitted as (doc_id, start_pos, end_pos, span_len),
+    1-based token positions. Scale shape: the gram build is pure array
+    math on the loaded row (sequence + slice + array_join, no explode
+    until the 8-byte hash exists); duplicate detection is ONE hash
+    aggregation on the gram key (partial-agg friendly, uniform md5
+    keys); the hits join back on the same key; span assembly is one
+    window per doc_id. Three shuffles total, all on narrow rows — the
+    distributed shape of Lee et al.'s suffix-array pass, which is
+    single-machine-sequential and does not shard. Positions come from
+    posexplode of the gram array, so no self-join over text ever forms."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", TXT.tokens(F.col("text")).alias("tk"))
+    grams = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("tk") >= _D26_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - _D26_N + 1),
+                    lambda i: F.array_join(F.slice("tk", i, _D26_N), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("p"),
+        DD._hash64(F.col("gram")).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = hits.withColumn("grp", F.col("p") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("p").cast("long").alias("start_pos"),
+        (F.max("p") + F.lit(_D26_N) - 1).cast("long").alias("end_pos"),
+        (F.max("p") - F.min("p") + F.lit(_D26_N)).cast("long").alias("span_len"),
+    ).select("doc_id", "start_pos", "end_pos", "span_len")

@@ -1409,3 +1409,31 @@ def test_mp_design_sql_matches_python_both_thresholds():
                 # the round-7 claim under measurement: production-threshold
                 # designs stay single-digit sets, zero probe radius
                 assert exp[0] <= 9 and exp[1] == 0, (nbits, exp)
+
+
+def test_kcenter_batched_equals_sequential_with_fewer_passes(spark, sf_dir):
+    """The k-center|| batching (round 8) must change the SCAN COUNT, not
+    the answer: ids and radii equal the one-pick-per-pass loop (batch=1
+    degenerates to it exactly), and the batched run proves several picks
+    per fetch so the distributed pass count drops strictly below k-1."""
+    from pyspark.sql import functions as F
+
+    from nyc_open_data_pipeline_spark.functions import vectors as VEC
+    from nyc_open_data_pipeline_spark.plans.common import t
+    from nyc_open_data_pipeline_spark.plans.llmdata import (
+        _KC_K,
+        _kcenter_greedy_batched,
+    )
+
+    pts = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+    )
+    seq, seq_passes = _kcenter_greedy_batched(pts, _KC_K, 1)
+    bat, bat_passes = _kcenter_greedy_batched(pts, _KC_K, _KC_K)
+    assert seq_passes == _KC_K - 1
+    assert bat == seq, "batched greedy diverged from the sequential picks"
+    assert bat_passes < _KC_K - 1, (
+        f"batching yielded no pass reduction ({bat_passes} passes)"
+    )

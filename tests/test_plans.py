@@ -699,3 +699,52 @@ def test_gr2_disklight_bit_identical(spark, sf_dir, monkeypatch):
     light = [tuple(r) for r in fn(spark, sf_dir).collect()]
     assert base == light
     assert len(base) > 0
+
+
+def test_d26_substring_spans_match_bruteforce(spark, sf_dir):
+    """d26's hashed-gram + gaps-and-islands pipeline must equal the
+    definitionally brute-force computation — gram STRINGS (no hash),
+    duplicate marking and run assembly in plain Python — span for span.
+    Also certifies the md5-prefix gram keys introduce no collisions on
+    the fixture."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from nyc_open_data_pipeline_spark.plans import all_queries
+    from nyc_open_data_pipeline_spark.plans.llmdata import _D26_N, SQL_TOKENS
+
+    got = {
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["span_len"])
+        for r in all_queries()["d26_substring_dedup"].fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rows = con.sql(f"""
+        SELECT doc_id, i AS p,
+               array_to_string(list_slice(tk, i, i + {_D26_N - 1}), ' ') AS gram
+        FROM (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+             UNNEST(generate_series(1, len(tk) - {_D26_N} + 1)) AS t(i)
+        WHERE len(tk) >= {_D26_N}
+    """).fetchall()
+    docs_by_gram: dict = defaultdict(set)
+    for d, _p, g in rows:
+        docs_by_gram[g].add(d)
+    dup_pos: dict = defaultdict(list)
+    for d, p, g in rows:
+        if len(docs_by_gram[g]) >= 2:
+            dup_pos[d].append(p)
+    expected = set()
+    for d, ps in dup_pos.items():
+        ps.sort()
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p == prev + 1:
+                prev = p
+                continue
+            expected.add((d, start, prev + _D26_N - 1, prev - start + _D26_N))
+            start = prev = p
+        expected.add((d, start, prev + _D26_N - 1, prev - start + _D26_N))
+    assert got == expected
