@@ -876,7 +876,11 @@ _SQL_MP_PLANT = f"""UNION ALL
         ON wp.sid = sp.vec_id"""
 
 
-def _sql_mp_ctes(threshold: float = MP_THRESHOLD, augment: bool = False) -> str:
+def _sql_mp_ctes(
+    threshold: float = MP_THRESHOLD,
+    augment: bool = False,
+    restrict: str | None = None,
+) -> str:
     """Shared CTE chain for the d19/d20 oracles: derive (nbits, dim,
     r_sets, probe radius) from corpus stats, generate the first
     nbits*dim*r_sets LCG values with a recursive CTE (verified value-
@@ -887,7 +891,13 @@ def _sql_mp_ctes(threshold: float = MP_THRESHOLD, augment: bool = False) -> str:
     to the derived width), and join into distinct candidate pairs — the
     oracle reproduces the WHOLE derivation, so it stays the production
     path at any corpus size or vector dim. Requires the query to open
-    with WITH RECURSIVE."""
+    with WITH RECURSIVE.
+
+    ``restrict``: name of an earlier CTE with a doc_id column — the
+    BUCKETED corpus keeps only those vec_ids (c5's exact-dedup-first
+    ordering: copy-explosion never reaches the candidate stage). The
+    (nbits, r_sets, radius) design still derives from the FULL corpus
+    stats, matching the Spark side's _shared_emb_meta derivation."""
     return f"""w0 AS (
       SELECT {_SQL_NBITS} AS nbits,
              CAST(any_value(len({SQL_VEC})) AS INT) AS dim
@@ -912,6 +922,7 @@ def _sql_mp_ctes(threshold: float = MP_THRESHOLD, augment: bool = False) -> str:
     ),
     aug AS (
       SELECT vec_id, {SQL_VEC} AS v FROM embeddings
+      {f"WHERE vec_id IN (SELECT doc_id FROM {restrict})" if restrict else ""}
       {_SQL_MP_PLANT if augment else ""}
     ),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug),
@@ -2012,13 +2023,7 @@ def write_cleanroom(spark: SparkSession, sf_dir: str, out_path: str) -> None:
 @register(
     "c5_cleanroom_v2",
     oracle=f"""
-    WITH RECURSIVE {_sql_mp_ctes()},
-    verified AS (
-      SELECT c.id_a, c.id_b
-      FROM cand c JOIN n a ON c.id_a = a.vec_id JOIN n b ON c.id_b = b.vec_id
-      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
-            >= {MP_THRESHOLD}
-    ),
+    WITH RECURSIVE
     wd AS (SELECT doc_id, source, string_split(text, ' ') AS words
            FROM documents),
     ch AS (
@@ -2070,11 +2075,14 @@ def write_cleanroom(spark: SparkSession, sf_dir: str, out_path: str) -> None:
         SELECT p1.*, md5({_sql_norm_of('cleaned')}) AS h FROM p1)
       QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
     ),
-    dropped AS (
-      SELECT DISTINCT v.id_b AS doc_id
-      FROM verified v JOIN p2 pa ON v.id_a = pa.doc_id
-                      JOIN p2 pb ON v.id_b = pb.doc_id
+    {_sql_mp_ctes(restrict="p2")},
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN n a ON c.id_a = a.vec_id JOIN n b ON c.id_b = b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+            >= {MP_THRESHOLD}
     ),
+    dropped AS (SELECT DISTINCT v.id_b AS doc_id FROM verified v),
     p3 AS (SELECT p.doc_id, p.lang, p.cleaned FROM p2 p
            LEFT JOIN dropped x USING (doc_id) WHERE x.doc_id IS NULL)
     SELECT CASE WHEN {sql_hash64("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
@@ -2152,15 +2160,45 @@ def c5_cleanroom_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", "cleaned")
     )
+    # Near-dup candidates are generated over the exact-dedup SURVIVORS
+    # only (round 8): on a copy-heavy crawl the full-corpus candidate
+    # stage is quadratic in the copy-group size (the d23/d24 sf100
+    # structural boundary), while every copy beyond the keeper is already
+    # gone by stage 3 — the production "exact dedup first" ordering this
+    # pipeline documents. The (nbits, R, radius) design still derives
+    # from the FULL corpus stats, and the oracle restricts its bucketed
+    # corpus identically (_sql_mp_ctes restrict="p2").
     surv = p2.select("doc_id")
-    pairs = d19_multiprobe_neardup(spark, sf_dir).select("id_a", "id_b")
-    dropped = (
-        pairs.join(surv.withColumnRenamed("doc_id", "id_a"), "id_a", "semi")
-        .join(surv.withColumnRenamed("doc_id", "id_b"), "id_b", "semi")
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    p3 = p2.join(dropped, "doc_id", "left_anti")
+    n_emb, dim_emb = _shared_emb_meta(spark, sf_dir)
+    if n_emb == 0 or dim_emb == 0:
+        p3 = p2
+    else:
+        e_surv = t(spark, sf_dir, "embeddings").join(
+            surv.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+        )
+        sets_, radius = _mp_plane_sets(n_emb, dim_emb, MP_THRESHOLD)
+        cand = DD.multiprobe_candidate_pairs(
+            e_surv, sets_, bucket_cap=EMB_BUCKET_CAP, radius=radius
+        )
+        nv = e_surv.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            VEC.norm(F.col("embedding")).alias("nrm"),
+        )
+        cosv = F.round(
+            VEC.cosine_prenormed(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+            ),
+            6,
+        )
+        pairs = (
+            cand.join(nv.alias("a"), F.col("id_a") == F.col("a.vec_id"))
+            .join(nv.alias("b"), F.col("id_b") == F.col("b.vec_id"))
+            .filter(cosv >= F.lit(MP_THRESHOLD))
+            .select("id_a", "id_b")
+        )
+        dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        p3 = p2.join(dropped, "doc_id", "left_anti")
     sbucket = DD._hash64(F.col("doc_id").cast("string")) % 100
     split = (
         F.when(sbucket < 80, "train").when(sbucket < 90, "val").otherwise("test")
