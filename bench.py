@@ -174,6 +174,7 @@ HEADLINE += [
     # round 8
     "s13_mips_ann",
     "d26_substring_dedup",
+    "gr3_components_star",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -911,3 +911,82 @@ def boilerplate_cleaned_text(
             " ",
         ).alias("cleaned")
     )
+
+
+def star_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") -> (id, cluster_id), cluster_id = MIN id in the
+    component — ``dedup_clusters``' contract, with the round count
+    O(log^2 n) INDEPENDENT of graph diameter. Label propagation
+    (dedup_clusters) converges in O(diameter) rounds: right for the tiny
+    dense near-dup clusters it serves, hopeless for chain-shaped graphs
+    (sessions, citation paths, linked records) whose diameter grows with
+    the corpus. Star contraction hangs every node directly off its
+    component minimum in a logarithmic number of alternations.
+
+    Edges are kept canonical (hi > lo), distinct, self-loop-free:
+
+    - large-star: group BOTH orientations by u, m = min(N(u) ∪ {u});
+      every strictly-larger neighbor re-attaches to m -> (v, m).
+    - small-star: group by hi, m = min(N(hi)); hi and every other
+      smaller neighbor re-attach to m.
+
+    Both phases are one hash aggregation + one equi-join back — two
+    shuffles per phase on narrow (long, long) rows, partial-agg
+    friendly. Each round ``localCheckpoint``s (the iterative-lineage
+    rule) and convergence is an EXACT multiset check (counts equal +
+    exceptAll empty) on the canonical edge set, not a heuristic.
+
+    ``nodes``: one column ``id``; ``pairs``: columns ``id_a``, ``id_b``.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        m = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        others = (
+            e.join(m, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        centers = m.select("hi", F.col("m").alias("lo"))
+        return others.union(centers).distinct()
+
+    edges = (
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.greatest("id_a", "id_b").alias("hi"),
+            F.least("id_a", "id_b").alias("lo"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = edges.count()
+    for _ in range(max_iters):
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        n = nxt.count()
+        if n == prev_n and nxt.exceptAll(edges).isEmpty():
+            edges = nxt
+            break
+        edges, prev_n = nxt, n
+    stars = edges.select(F.col("hi").alias("id"), F.col("lo").alias("cluster_id"))
+    return nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )

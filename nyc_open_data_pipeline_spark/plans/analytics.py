@@ -889,3 +889,57 @@ def gr2_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auth.unionByName(hubs).orderBy(
         "side", F.desc("score_micro"), "entity_id"
     )
+
+
+# gr3: connected components via ALTERNATING STAR CONTRACTION (Kiveris et
+# al. 2014) — the diameter-independent scale path for the CC role d7's
+# min-label propagation fills on tiny near-dup clusters. The fixture
+# graph is chosen to be exactly the shape label propagation CANNOT
+# finish: each user's events chained consecutively by time, so component
+# diameter == events-per-user and grows LINEARLY with the corpus (d7's
+# O(diameter) rounds would already exceed its iteration budget at bench
+# scale; star contraction converges in O(log^2) alternations at any
+# scale). The oracle never runs a graph algorithm: the chain structure
+# makes the answer closed-form (component = the user's events, id = the
+# min event_id), so parity checks the distributed contraction against
+# ground truth that cannot itself be wrong.
+
+
+@register(
+    "gr3_components_star",
+    oracle="""
+    SELECT MIN(event_id) AS component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM events GROUP BY user_id
+    """,
+    survey_ref="extension: connected components via alternating "
+    "large-star/small-star contraction (Kiveris et al. 2014, 'Connected "
+    "Components in MapReduce and Beyond') — O(log^2 n) rounds independent "
+    "of graph diameter, vs d7's O(diameter) label propagation; fixture "
+    "graph = per-user consecutive-event chains, whose diameter grows "
+    "linearly with the corpus.",
+)
+def gr3_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components of the consecutive-event chain graph, summarized as
+    (component_id = min event_id, n_nodes). Scale shape: the edge build
+    is one window over user_id (the exchange every session operator
+    already pays); each star alternation is two hash aggregations + two
+    equi-joins on narrow (long, long) edges with per-round
+    localCheckpoint lineage truncation (operators/dedup.star_components).
+    At 100 TB the round count stays ~log(corpus) while the per-round
+    shuffle is linear in edges — the Kiveris et al. result this query
+    exists to demonstrate; a diameter-bound algorithm has no such bound."""
+    from nyc_open_data_pipeline_spark.operators.dedup import star_components
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("nxt", F.lead("event_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("event_id").alias("id_a"), F.col("nxt").alias("id_b"))
+    )
+    nodes = ev.select(F.col("event_id").alias("id"))
+    comp = star_components(nodes, edges)
+    return comp.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    ).select(F.col("cluster_id").alias("component_id"), "n_nodes")

@@ -1437,3 +1437,41 @@ def test_kcenter_batched_equals_sequential_with_fewer_passes(spark, sf_dir):
     assert bat_passes < _KC_K - 1, (
         f"batching yielded no pass reduction ({bat_passes} passes)"
     )
+
+
+def test_star_components_match_label_propagation_and_survive_long_chains(spark):
+    """star_components must produce exactly dedup_clusters' labels on a
+    general random graph (both are exact CC), AND solve a 400-node chain
+    — diameter 399, where label propagation's O(diameter) rounds exceed
+    any sane iteration budget while star contraction needs ~log rounds."""
+    from pyspark.sql import functions as F
+
+    from nyc_open_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        star_components,
+    )
+
+    # deterministic random graph: 120 nodes, ~100 hash-derived edges
+    nodes = spark.range(120).select(F.col("id"))
+    edges = spark.range(100).select(
+        (F.xxhash64("id") % 120).alias("id_a"),
+        (F.xxhash64(F.col("id") + 1000) % 120).alias("id_b"),
+    ).select(F.abs("id_a").alias("id_a"), F.abs("id_b").alias("id_b"))
+    star = {
+        (r["id"], r["cluster_id"])
+        for r in star_components(nodes, edges).collect()
+    }
+    prop = {
+        (r["id"], r["cluster_id"])
+        for r in dedup_clusters(nodes, edges, max_iters=200).collect()
+    }
+    assert star == prop
+
+    # a single 400-chain: every node must label to 0 in O(log) alternations
+    cnodes = spark.range(400).select(F.col("id"))
+    cedges = spark.range(399).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels = star_components(cnodes, cedges).collect()
+    assert all(r["cluster_id"] == 0 for r in labels)
+    assert len(labels) == 400
