@@ -175,6 +175,7 @@ HEADLINE += [
     "s13_mips_ann",
     "d26_substring_dedup",
     "gr3_components_star",
+    "st12_stream_substring_dedup",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -990,3 +990,51 @@ def star_components(
     return nodes.join(stars, "id", "left").select(
         "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
     )
+
+
+def token_gram_rows(
+    df: DataFrame, n: int = 10, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, p, g): 1-based token position and portable md5-64 gram key
+    for every n-token window of the normalized text — the shared gram
+    build of d26 (batch substring dedup) and st12 (its streaming twin).
+    Pure array math on the loaded row until the 8-byte hash exists; the
+    explode emits narrow (long, long, long) rows."""
+    from nyc_open_data_pipeline_spark.functions import text as TXT
+
+    tk = df.select(
+        F.col(id_col).alias("doc_id"), TXT.tokens(F.col(text_col)).alias("tk")
+    )
+    return tk.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("tk") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - n + 1),
+                    lambda i: F.array_join(F.slice("tk", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("p"),
+        _hash64(F.col("gram")).alias("g"),
+    )
+
+
+def maximal_spans(hits: DataFrame, n: int) -> DataFrame:
+    """Gaps-and-islands assembly: duplicated window positions (doc_id, p)
+    -> maximal spans (doc_id, start_pos, end_pos, span_len). One window
+    per doc_id."""
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = hits.withColumn("grp", F.col("p") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("start_pos"),
+            (F.max("p") + F.lit(n) - 1).cast("long").alias("end_pos"),
+            (F.max("p") - F.min("p") + F.lit(n)).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "start_pos", "end_pos", "span_len")
+    )

@@ -896,10 +896,10 @@ def gr2_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min-label propagation fills on tiny near-dup clusters. The fixture
 # graph is chosen to be exactly the shape label propagation CANNOT
 # finish: each user's events chained consecutively by time, so component
-# diameter == events-per-user and grows LINEARLY with the corpus (d7's
-# O(diameter) rounds would already exceed its iteration budget at bench
-# scale; star contraction converges in O(log^2) alternations at any
-# scale). The oracle never runs a graph algorithm: the chain structure
+# diameter == events-per-user (66 at every driver fixture scale — already
+# 3x past d7's default 20-round budget; in the wild it grows with user
+# history length, unbounded by corpus sharding; star contraction
+# converges in O(log^2) alternations at any diameter). The oracle never runs a graph algorithm: the chain structure
 # makes the answer closed-form (component = the user's events, id = the
 # min event_id), so parity checks the distributed contraction against
 # ground truth that cannot itself be wrong.
@@ -916,8 +916,8 @@ def gr2_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large-star/small-star contraction (Kiveris et al. 2014, 'Connected "
     "Components in MapReduce and Beyond') — O(log^2 n) rounds independent "
     "of graph diameter, vs d7's O(diameter) label propagation; fixture "
-    "graph = per-user consecutive-event chains, whose diameter grows "
-    "linearly with the corpus.",
+    "graph = per-user consecutive-event chains (diameter 66, past label "
+    "propagation's default round budget at every fixture scale).",
 )
 def gr3_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Components of the consecutive-event chain graph, summarized as

@@ -7710,23 +7710,7 @@ def d26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-machine-sequential and does not shard. Positions come from
     posexplode of the gram array, so no self-join over text ever forms."""
     d = t(spark, sf_dir, "documents")
-    tk = d.select("doc_id", TXT.tokens(F.col("text")).alias("tk"))
-    grams = tk.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.size("tk") >= _D26_N,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - _D26_N + 1),
-                    lambda i: F.array_join(F.slice("tk", i, _D26_N), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("p0", "gram"),
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).cast("long").alias("p"),
-        DD._hash64(F.col("gram")).alias("g"),
-    )
+    grams = DD.token_gram_rows(d, n=_D26_N)
     dup = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -7734,10 +7718,90 @@ def d26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     hits = grams.join(dup, "g").select("doc_id", "p")
-    w = Window.partitionBy("doc_id").orderBy("p")
-    isl = hits.withColumn("grp", F.col("p") - F.row_number().over(w))
-    return isl.groupBy("doc_id", "grp").agg(
-        F.min("p").cast("long").alias("start_pos"),
-        (F.max("p") + F.lit(_D26_N) - 1).cast("long").alias("end_pos"),
-        (F.max("p") - F.min("p") + F.lit(_D26_N)).cast("long").alias("span_len"),
-    ).select("doc_id", "start_pos", "end_pos", "span_len")
+    return DD.maximal_spans(hits, _D26_N)
+
+
+# st12: d26's STREAMING twin — continuous exact-substring dedup in the
+# keep-first orientation (Lee et al.'s actual removal policy: the first
+# occurrence stays, later occurrences are the duplicated spans). The
+# batch answer is windows whose gram FIRST occurs in a lower doc_id;
+# because the replayed micro-batches are doc_id-ordered ranges, "prior
+# batches' gram state OR a lower id within my batch" equals "any lower
+# doc_id globally", so stream == batch exactly (st3's equivalence
+# argument, applied to gram state instead of document hashes).
+
+
+@register(
+    "st12_stream_substring_dedup",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, i AS p,
+             {sql_hash64(
+                 "array_to_string(list_slice(tk, i, i + "
+                 + str(_D26_N - 1) + "), ' ')"
+             )} AS g
+      FROM tk, UNNEST(generate_series(1, len(tk) - {_D26_N} + 1)) AS t(i)
+      WHERE len(tk) >= {_D26_N}
+    ),
+    firstg AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g),
+    h AS (
+      SELECT x.doc_id, x.p FROM g x JOIN firstg f ON x.g = f.g
+      WHERE x.doc_id > f.first_doc
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS start_pos,
+           CAST(MAX(p) + {_D26_N} - 1 AS BIGINT) AS end_pos,
+           CAST(MAX(p) - MIN(p) + {_D26_N} AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, grp
+    """,
+    survey_ref="§2.13 Structured Streaming x substring-dedup extension: "
+    "d26 run continuously via foreachBatch with a gram-hash state store "
+    "(streaming/dedup.py incremental_substring_sink) in the keep-first "
+    "orientation — per micro-batch, documents' 10-token windows check "
+    "against the accumulated corpus gram state plus lower-id batchmates; "
+    "oracle = the batch keep-first span answer, exact by the st3 "
+    "doc_id-ordered-replay equivalence.",
+)
+def st12_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous substring dedup: documents replayed as 4 doc_id-ordered
+    micro-batches; each batch emits the maximal spans already seen in the
+    corpus-so-far and appends its distinct gram hashes to the state
+    table. Scale shape: state is ONE narrow long column (gram hash),
+    batch-partitioned and anti-joined per micro-batch — the st3/st11
+    state discipline; per-batch span assembly is d26's window. Sinks are
+    idempotent under crash-before-commit replay (batch-partitioned
+    out/state + marker-last)."""
+    import os
+    import tempfile
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        SPAN_SCHEMA,
+        run_incremental_substring,
+    )
+    from nyc_open_data_pipeline_spark.streaming.replay import ordered_range_chunks
+    from nyc_open_data_pipeline_spark.streaming.windows import cached_fixture
+
+    root = tempfile.mkdtemp(prefix="st12_")
+    out_dir, state_dir = os.path.join(root, "out"), os.path.join(root, "state")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    stream_dir = cached_fixture(
+        spark, sf_dir, "doc4range",
+        lambda p: ordered_range_chunks(docs, "doc_id", p, n_chunks=4),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    run_incremental_substring(spark, stream, out_dir, state_dir)
+    return (
+        spark.read.schema(SPAN_SCHEMA)
+        .parquet(out_dir)
+        .select("doc_id", "start_pos", "end_pos", "span_len")
+    )

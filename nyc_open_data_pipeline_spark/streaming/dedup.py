@@ -325,3 +325,115 @@ def deduped_events(stream: DataFrame, delay: str = "3650 days") -> DataFrame:
     at scale: minutes-to-hours, keeping state at |ids per horizon|, not
     |corpus|)."""
     return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+GRAM_SCHEMA = "g long"
+SPAN_SCHEMA = "doc_id long, start_pos long, end_pos long, span_len long"
+_SUBSTR_N = 10
+
+
+def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str):
+    """foreachBatch sink for CONTINUOUS exact-substring dedup (d26's
+    streaming twin, keep-first orientation): per micro-batch, every
+    document's >= N-token windows are checked against (a) the accumulated
+    gram-hash state from PRIOR batches and (b) lower-doc_id documents in
+    the SAME batch; maximal duplicated spans are appended to ``out_dir``
+    and the batch's distinct gram hashes to ``state_dir``. Because the
+    replayed micro-batches are doc_id-ordered ranges, "prior state or
+    lower id in batch" equals "any lower doc_id globally", so the
+    streamed spans equal the batch keep-first answer exactly (st3's
+    equivalence argument). Same idempotence discipline as the other
+    incremental sinks: batch-partitioned out/state dirs + a marker
+    committed LAST, so a crash-before-commit replay overwrites its own
+    partial partitions and never feeds its own output back into the
+    anti-state."""
+    os.makedirs(state_dir, exist_ok=True)
+    marker = os.path.join(state_dir, "_last_batch")
+
+    def last_committed() -> int:
+        try:
+            with open(marker) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed():
+            return  # replay of an already-applied batch
+        import time as _time
+
+        from nyc_open_data_pipeline_spark.operators.dedup import (
+            maximal_spans,
+            token_gram_rows,
+        )
+
+        _t0 = _time.perf_counter()
+        sess = batch_df.sparkSession
+        grams = token_gram_rows(batch_df, n=_SUBSTR_N).localCheckpoint(
+            eager=True
+        )
+        firstb = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+        hits = (
+            grams.join(firstb, "g")
+            .filter(F.col("doc_id") > F.col("first_doc"))
+            .select("doc_id", "p")
+        )
+        if _has_batches(state_dir):
+            seen = (
+                sess.read.schema(GRAM_SCHEMA)
+                .parquet(state_dir)
+                .filter(F.col("batch") < batch_id)
+                .select("g")
+            )
+            hits = hits.unionByName(
+                grams.join(seen, "g", "semi").select("doc_id", "p")
+            ).distinct()
+        from nyc_open_data_pipeline_spark.streaming.windows import (
+            record_batch_metrics,
+            record_stream_plan,
+        )
+
+        spans = maximal_spans(hits, _SUBSTR_N)
+        try:
+            record_stream_plan(
+                f"incremental_substring#batch{batch_id}",
+                spans._jdf.queryExecution().executedPlan().toString(),
+            )
+        except Exception:
+            pass
+        spans = spans.localCheckpoint(eager=True)
+        spans.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        grams.select("g").distinct().write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+        # clock stops before the (cheap, checkpointed) count job
+        _sec = round(_time.perf_counter() - _t0, 3)
+        record_batch_metrics(
+            sink="incremental_substring",
+            batch_id=batch_id,
+            n_out=spans.count(),
+            sec=_sec,
+        )
+
+    return process
+
+
+def run_incremental_substring(
+    spark: SparkSession, stream: DataFrame, out_dir: str, state_dir: str
+) -> None:
+    """Drain all currently-available input through the substring-dedup sink."""
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_substring_sink(spark, out_dir, state_dir)
+        )
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q, "incremental_substring")

@@ -612,3 +612,57 @@ def test_incremental_neardup_sink_crash_before_marker_replay(spark, tmp_path):
     sink(b1, 1)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 6}
     assert len(spark.read.parquet(out).collect()) == 3
+
+
+def test_incremental_substring_sink_crash_before_marker_replay(spark, tmp_path):
+    """Crash-before-marker replay for the gram-state substring sink: the
+    replayed batch must overwrite its own span/state partitions (no
+    double-append) and the pre-batch state filter must keep the batch's
+    own landed gram keys out of its replayed seen-set (which would
+    otherwise mark EVERY window of the batch as duplicated)."""
+    import os
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        incremental_substring_sink,
+    )
+
+    # 12-token texts: one 10-token window per doc at offset 1..3
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    other = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_substring_sink(spark, out, state)
+    sink(spark.createDataFrame([(1, base)], "doc_id long, text string"), 0)
+    b1 = spark.createDataFrame(
+        [(5, base), (6, other)], "doc_id long, text string"
+    )
+    sink(b1, 1)
+    os.remove(os.path.join(state, "_last_batch"))
+    sink(b1, 1)  # replay after crash-before-marker
+    rows = spark.read.parquet(out).collect()
+    # doc 5 repeats doc 1's text -> one maximal span covering tokens 1..12;
+    # docs 1 and 6 are first occurrences -> no spans
+    assert [(r["doc_id"], r["start_pos"], r["end_pos"], r["span_len"]) for r in rows] == [
+        (5, 1, 12, 12)
+    ]
+
+
+def test_incremental_substring_within_batch_keep_first(spark, tmp_path):
+    """Within one micro-batch, only the LOWER doc_id is the keeper: the
+    higher id's windows are duplicated spans even with empty prior state."""
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        incremental_substring_sink,
+    )
+
+    text = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_substring_sink(spark, out, state)
+    sink(
+        spark.createDataFrame(
+            [(3, text), (9, text)], "doc_id long, text string"
+        ),
+        0,
+    )
+    rows = spark.read.parquet(out).collect()
+    assert [(r["doc_id"], r["start_pos"], r["end_pos"], r["span_len"]) for r in rows] == [
+        (9, 1, 10, 10)
+    ]
