@@ -80,9 +80,13 @@ def write_bucketed(
         # legitimate same-named directories (ADVICE r7 medium).
         wh = sess.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         orphan = os.path.join(wh.removeprefix("file:"), table.lower())
-        if "LOCATION_ALREADY_EXISTS" not in str(e) or not _is_stale_managed_dir(
-            orphan
-        ):
+        # prefer the stable error class over message text; fall back to the
+        # substring for exception types that don't carry one
+        err_cls = getattr(e, "getErrorClass", lambda: None)()
+        is_loc = err_cls == "LOCATION_ALREADY_EXISTS" or (
+            err_cls is None and "LOCATION_ALREADY_EXISTS" in str(e)
+        )
+        if not is_loc or not _is_stale_managed_dir(orphan):
             raise
         shutil.rmtree(orphan)
         writer.saveAsTable(table)

@@ -441,6 +441,36 @@ def embedding_neardup_pairs(
     return cross.unionByName(same)
 
 
+def probe_masks(nbits: int, radius: int) -> list[int]:
+    """XOR masks of Hamming weight <= radius over an nbits-bit bucket key
+    (Lv et al. multi-probe) — the single source for every probing caller
+    (pair self-join AND query->corpus), so the probing policy cannot
+    drift between them (round-8 review)."""
+    if radius < 0 or radius > 2:
+        raise ValueError(f"probe_masks: radius must be 0, 1 or 2 (got {radius})")
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(nbits)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(nbits) for j in range(i + 1, nbits)
+        ]
+    return masks
+
+
+def cap_buckets(b: DataFrame, bucket_cap: int) -> DataFrame:
+    """Per-(set, bucket) occupancy cap, lowest ids kept — the shared
+    overflow policy of every sign-LSH bucketing (mirrored by the oracles'
+    QUALIFY row_number)."""
+    wcap = Window.partitionBy("r", "bucket").orderBy("vec_id")
+    return (
+        b.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= bucket_cap)
+        .drop("__rn")
+    )
+
+
+
 def multiprobe_candidate_pairs(
     e: DataFrame,
     planes_sets: list[list[list[float]]],
@@ -488,11 +518,7 @@ def multiprobe_candidate_pairs(
 
     if not planes_sets:
         raise ValueError("multiprobe_candidate_pairs: planes_sets is empty")
-    if radius < 0 or radius > 2:
-        raise ValueError(
-            "multiprobe_candidate_pairs: radius must be 0, 1 or 2 "
-            f"(got {radius})"
-        )
+    masks = probe_masks(len(planes_sets[0]), radius)
     b = e.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(
@@ -504,21 +530,8 @@ def multiprobe_candidate_pairs(
             )
         ).alias("r", "bucket"),
     )
-    wcap = Window.partitionBy("r", "bucket").orderBy("vec_id")
-    b = (
-        b.withColumn("__rn", F.row_number().over(wcap))
-        .filter(F.col("__rn") <= bucket_cap)
-        .drop("__rn")
-    )
+    b = cap_buckets(b, bucket_cap)
     if radius > 0:
-        nbits = len(planes_sets[0])
-        masks = [0] + [1 << i for i in range(nbits)]
-        if radius >= 2:
-            masks += [
-                (1 << i) | (1 << j)
-                for i in range(nbits)
-                for j in range(i + 1, nbits)
-            ]
         probe = b.select(
             "vec_id",
             "r",
@@ -979,13 +992,24 @@ def star_components(
         .localCheckpoint(eager=True)
     )
     prev_n = edges.count()
+    converged = False
     for _ in range(max_iters):
         nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
         n = nxt.count()
         if n == prev_n and nxt.exceptAll(edges).isEmpty():
             edges = nxt
+            converged = True
             break
         edges, prev_n = nxt, n
+    if not converged:
+        # mid-contraction edges can hold several (hi, lo) rows per node —
+        # labeling from them would emit duplicate rows with non-min
+        # labels SILENTLY (round-8 review); fail loudly instead
+        raise RuntimeError(
+            f"star_components: no fixpoint within {max_iters} alternations "
+            "— raise max_iters (rounds are O(log^2 n); this graph should "
+            "not need more than ~40)"
+        )
     stars = edges.select(F.col("hi").alias("id"), F.col("lo").alias("cluster_id"))
     return nodes.join(stars, "id", "left").select(
         "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")

@@ -43,10 +43,13 @@ def sql_davg(expr: str, alias: str, prec: int = 28, scale: int = 4) -> str:
 
 
 def sql_floordiv(expr: str, w: int) -> str:
-    """Integer FLOORING division as a Spark SQL fragment, exact for the
-    full BIGINT domain. Spark's ``div`` truncates toward zero while
-    DuckDB's ``//`` floors, so bare ``div`` diverges cross-engine for
-    negative operands (ADVICE r7: pre-1970 epoch-microsecond bins).
-    ``x - pmod(x, w)`` is an exact multiple of w (pmod is non-negative),
-    so ``div`` on it is exact flooring division with no double rounding."""
+    """Integer FLOORING division as a Spark SQL fragment. Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, so bare ``div``
+    diverges cross-engine for negative operands (ADVICE r7: pre-1970
+    epoch-microsecond bins). ``x - pmod(x, w)`` is an exact multiple of w
+    (pmod is non-negative), so ``div`` on it is exact flooring division
+    with no double rounding — for every BIGINT except the bottom sliver
+    x in [LONG_MIN, LONG_MIN + w), where the subtraction itself would
+    wrap (round-8 review); no timestamp or bucketed metric here is
+    within w of LONG_MIN."""
     return f"((({expr}) - pmod(({expr}), {w})) div {w})"

@@ -794,14 +794,17 @@ MP_MAX_RADIUS = 2  # probe-radius cap; d20 reports any shortfall past it
 
 
 def _mp_design(
-    n: int, threshold: float = MP_THRESHOLD
+    n: int, threshold: float = MP_THRESHOLD, max_sets: int = MP_MAX_SETS
 ) -> tuple[int, int, int]:
     """(nbits, r_sets, radius) for a corpus of n vectors at a design
     threshold (d19/d20 use the synthetic-corpus point MP_THRESHOLD;
-    d23/d24 the production point MP_THRESHOLD_HI)."""
+    d23/d24 the production point MP_THRESHOLD_HI). ``max_sets`` is the
+    plan-size cap: each plane set adds nbits*dim literals to the bucket
+    expression, so callers in wide spaces (s13's d+1 lift) cap it lower
+    and let the ladder escalate to bit-flip probing instead."""
     nbits = VEC.nbits_for_corpus(n, max_bits=16)
     r_sets, radius = VEC.multiprobe_design(
-        nbits, threshold, MP_TARGET_RECALL, MP_MAX_SETS, MP_MAX_RADIUS
+        nbits, threshold, MP_TARGET_RECALL, max_sets, MP_MAX_RADIUS
     )
     return nbits, r_sets, radius
 
@@ -821,7 +824,7 @@ def _mp_plane_sets(
 # provide nbits and dim). Term order in p0/p1/p2 matches the Python sum
 # exactly; the ceil boundaries sit >=0.3 away from integers at every
 # width in [4,16], so double-rounding cannot flip an engine.
-def _sql_mp_design(threshold: float = MP_THRESHOLD) -> str:
+def _sql_mp_design(threshold: float = MP_THRESHOLD, max_sets: int = MP_MAX_SETS) -> str:
     return f"""w1 AS (
       SELECT nbits, dim, 1.0 - acos({threshold})/pi() AS p FROM w0
     ),
@@ -846,11 +849,11 @@ def _sql_mp_design(threshold: float = MP_THRESHOLD) -> str:
     ),
     w AS (
       SELECT nbits, dim,
-        CASE WHEN r0 <= {MP_MAX_SETS} THEN r0
-             WHEN r1 <= {MP_MAX_SETS} THEN r1
-             ELSE LEAST(r2, {MP_MAX_SETS}) END AS r_sets,
-        CASE WHEN r0 <= {MP_MAX_SETS} THEN 0
-             WHEN r1 <= {MP_MAX_SETS} THEN 1
+        CASE WHEN r0 <= {max_sets} THEN r0
+             WHEN r1 <= {max_sets} THEN r1
+             ELSE LEAST(r2, {max_sets}) END AS r_sets,
+        CASE WHEN r0 <= {max_sets} THEN 0
+             WHEN r1 <= {max_sets} THEN 1
              ELSE 2 END AS radius
       FROM w3
     )"""
@@ -7069,11 +7072,6 @@ def v10_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     violation count itself is integer-exact, so a 1-ulp division
     difference can never flip the audit."""
     ev = t(spark, sf_dir, "events")
-    # decile bucket of the sensitive value, parsed ONCE as a grouping key
-    # flooring division: DuckDB's // floors while Spark's div truncates,
-    # so a negative sensitive value would land in a different decile
-    # bucket per engine (ADVICE r7)
-    kb = F.expr(sql_floordiv("from_json(props, 'k bigint').k", 10))
     # Two scale traps, both measured at sf10 (10M rows, single 90 MB file):
     # 1. parquet input splits cap the expensive Jackson parse at ~1 task —
     #    a cheap round-robin exchange of the raw columns first lets the
@@ -7087,7 +7085,20 @@ def v10_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = (
         ev.select("event_type", "ts", "props")
         .repartition(spark.sparkContext.defaultParallelism)
+        # the sensitive value parsed ONCE as a STAGED column — the
+        # flooring-division bucket below references its operand twice
+        # (value and pmod), and feeding it the raw from_json would make
+        # the single-parse guarantee depend on codegen subexpression
+        # elimination instead of plan structure (round-8 review)
+        .select(
+            "event_type", "ts",
+            F.expr("from_json(props, 'k bigint').k").alias("k0"),
+        )
     )
+    # decile bucket; flooring division: DuckDB's // floors while Spark's
+    # div truncates, so a negative sensitive value would land in a
+    # different decile bucket per engine (ADVICE r7)
+    kb = F.expr(sql_floordiv("k0", 10))
     # ONE fact pass: everything below derives from cellv, which is
     # |cells| x |buckets| rows (bounded by the audit granularity, not the
     # corpus) — checkpointed so the JSON-parsing scan never re-runs for
@@ -7358,6 +7369,12 @@ def d25_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S13_T = 0.25
 _S13_K = 5
 _S13_NQ = 5
+# plan-size cap: the lifted space is dim+1 wide, so each extra plane set
+# costs (dim+1)*nbits expression literals; 16 sets + bit-flip probing
+# reaches the same design recall with a ~7x smaller bucket expression
+# than the 54 radius-0 sets the default cap would pick at sf1 (measured
+# 46.6 s -> see SCALE.md round 8)
+_S13_MAX_SETS = 16
 
 
 @register(
@@ -7368,7 +7385,7 @@ _S13_NQ = 5
              CAST(any_value(len({SQL_VEC})) + 1 AS INT) AS dim
       FROM embeddings
     ),
-    {_sql_mp_design(_S13_T)},
+    {_sql_mp_design(_S13_T, _S13_MAX_SETS)},
     lcg(k, state) AS (
       SELECT 0, (CAST({_LCG_SEED} AS HUGEINT) * {_LCG_A} + {_LCG_C})
                 % CAST({_LCG_M} AS HUGEINT)
@@ -7536,30 +7553,28 @@ def s13_mips_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit(0.0)),
         ).alias("qv"),
     )
-    nbits, r_sets, radius = _mp_design(n, _S13_T)
+    nbits, r_sets, radius = _mp_design(n, _S13_T, _S13_MAX_SETS)
     pl = VEC.hyperplanes(dim + 1, nbits * r_sets)
     sets_ = [pl[r * nbits : (r + 1) * nbits] for r in range(r_sets)]
     # corpus buckets: R set-keys in ONE narrow pass, capped per (r, bucket)
-    cb = ac.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    VEC.hyperplane_bucket(F.col("av"), p, expected_dim=dim + 1)
-                    for p in sets_
-                ]
-            )
-        ).alias("r", "bucket"),
+    # via the shared occupancy policy (operators/dedup.cap_buckets)
+    cb = DD.cap_buckets(
+        ac.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        VEC.hyperplane_bucket(F.col("av"), p, expected_dim=dim + 1)
+                        for p in sets_
+                    ]
+                )
+            ).alias("r", "bucket"),
+        ),
+        EMB_BUCKET_CAP,
     )
-    wcap = Window.partitionBy("r", "bucket").orderBy("vec_id")
-    cb = (
-        cb.withColumn("__rn", F.row_number().over(wcap))
-        .filter(F.col("__rn") <= EMB_BUCKET_CAP)
-        .drop("__rn")
-    )
-    # query probes: own bucket per set, expanded by XOR masks of Hamming
-    # weight <= radius (one-sided probing, multiprobe_candidate_pairs'
-    # mask construction for the query->corpus case)
+    # query probes: own bucket per set, expanded by the SHARED XOR-mask
+    # builder (operators/dedup.probe_masks — one probing policy for the
+    # self-join and query->corpus cases)
     qb = qdf.select(
         "query_id",
         F.posexplode(
@@ -7571,13 +7586,7 @@ def s13_mips_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r", "b0"),
     )
-    masks = [0] + ([1 << i for i in range(nbits)] if radius >= 1 else [])
-    if radius >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(nbits)
-            for j in range(i + 1, nbits)
-        ]
+    masks = DD.probe_masks(nbits, radius)
     probes = qb.select(
         "query_id", "r",
         F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("mask"),

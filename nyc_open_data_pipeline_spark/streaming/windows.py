@@ -209,24 +209,35 @@ _FIXTURE_LOCK = threading.Lock()
 def _cleanup_fixtures() -> None:
     import shutil
 
-    for d in _FIXTURE_CACHE.values():
+    for _mt, d in _FIXTURE_CACHE.values():
         shutil.rmtree(d, ignore_errors=True)
     _FIXTURE_CACHE.clear()
 
 
 def cached_fixture(spark, sf_dir: str, tag: str, build) -> str:
     """Return a directory containing the stream input for (sf_dir, tag),
-    building it with ``build(dir)`` on first use in this session."""
+    building it with ``build(dir)`` on first use in this session. Entries
+    carry the corpus mtime fingerprint: an in-session corpus regeneration
+    rebuilds the fixture instead of serving stale replay chunks while the
+    oracle reads the new parquet (the same staleness class every other
+    session cache guards — catalog autosizer, _hv_get, edge tables)."""
     import atexit
+    import shutil
     import tempfile
 
+    from nyc_open_data_pipeline_spark.catalog import _dir_mtime_ns
+
     key = (spark.sparkContext.applicationId, sf_dir, tag)
+    mt = _dir_mtime_ns(sf_dir)
     with _FIXTURE_LOCK:
-        d = _FIXTURE_CACHE.get(key)
-        if d is None:
-            if not _FIXTURE_CACHE:
-                atexit.register(_cleanup_fixtures)
-            d = tempfile.mkdtemp(prefix=f"{tag}_")
-            build(d)
-            _FIXTURE_CACHE[key] = d
+        hit = _FIXTURE_CACHE.get(key)
+        if hit is not None and hit[0] == mt:
+            return hit[1]
+        if hit is not None:
+            shutil.rmtree(hit[1], ignore_errors=True)
+        if not _FIXTURE_CACHE:
+            atexit.register(_cleanup_fixtures)
+        d = tempfile.mkdtemp(prefix=f"{tag}_")
+        build(d)
+        _FIXTURE_CACHE[key] = (mt, d)
     return d
