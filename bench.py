@@ -176,6 +176,7 @@ HEADLINE += [
     "d26_substring_dedup",
     "gr3_components_star",
     "st12_stream_substring_dedup",
+    "sk6_hll_rollup",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

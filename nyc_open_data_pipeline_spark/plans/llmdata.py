@@ -7814,3 +7814,107 @@ def st12_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out_dir)
         .select("doc_id", "start_pos", "end_pos", "span_len")
     )
+
+
+# sk6: HLL ROLLUP — the mergeability property exercised as a query. sk4
+# proves the registers reproduce cross-engine; sk6 proves the reason
+# HLL is the distributed cardinality workhorse: sketches STORED at one
+# granularity (hour) roll up to coarser grains (day) by register-wise
+# MAX alone — the fact table is scanned once to build the hour
+# sketches and never again, which is how a 100 TB cube materializes
+# daily/weekly/monthly distinct-user counts from 256-byte partials
+# instead of re-aggregating raw events per grain (ts3's rollup cascade,
+# for a non-algebraic aggregate).
+
+
+@register(
+    "sk6_hll_rollup",
+    oracle=f"""
+    WITH hh AS (
+      SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hr,
+             {_HLL_SQL_H} AS h
+      FROM events
+    ),
+    rh AS (
+      SELECT day, hr, (h % {_HLL_M}) AS b,
+             MAX(CASE WHEN (h >> 8) = 0 THEN 53
+                      ELSE strpos(lpad(bin(h >> 8), 52, '0'), '1') END) AS m_j
+      FROM hh GROUP BY 1, 2, 3
+    ),
+    rd AS (SELECT day, b, MAX(m_j) AS m_j FROM rh GROUP BY 1, 2),
+    a AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - m_j)) AS BIGINT) AS spi
+      FROM rd GROUP BY 1
+    ),
+    hc AS (SELECT day, CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_hours
+           FROM rh GROUP BY 1),
+    x AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT a.day, hc.n_hours,
+           CAST({_HLL_M} - a.nb AS BIGINT) AS v_zero,
+           {_sql_pround(_HLL_SQL_EST)} AS est,
+           x.n_exact,
+           {_sql_pround(f"(({_HLL_SQL_EST}) - x.n_exact) / x.n_exact")}
+             AS rel_err
+    FROM a JOIN hc ON a.day = hc.day JOIN x ON a.day = x.day
+    """,
+    survey_ref="extension: HLL SKETCH ROLLUP — per-hour register sketches "
+    "merged to per-day estimates by register-wise MAX with NO fact "
+    "rescan: the mergeability property that makes sketch-backed cubes "
+    "work at 100 TB (store 256-byte partials per grain cell, roll up "
+    "algebraically), demonstrated with sk4's bit-portable registers and "
+    "per-day exact counts as the error audit.",
+)
+def sk6_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user estimates assembled from per-HOUR HLL
+    sketches. Scale shape: ONE fact pass builds the hour registers
+    (groupBy (day, hr, bucket) with map-side partial MAX — each executor
+    ships <= 256 rows per hour cell); the day rollup and the estimate
+    touch only register rows (|days| x 256). The per-day exact count
+    exists as the estimator audit; production reads it from the sketch
+    alone. Register construction is sk4's bit-portable recipe, so the
+    rolled-up estimate reproduces across engines to the 6-dp round."""
+    ev = t(spark, sf_dir, "events")
+    h = DD._hash64(F.col("user_id").cast("string"))
+    hh = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        h.alias("h"),
+    )
+    h2 = F.shiftright(F.col("h"), 8)
+    rho = F.when(h2 == 0, F.lit(53)).otherwise(
+        F.instr(F.lpad(F.bin(h2), 52, "0"), "1")
+    )
+    rh = hh.groupBy("day", "hr", (F.col("h") % _HLL_M).alias("b")).agg(
+        F.max(rho).alias("m_j")
+    )
+    rd = rh.groupBy("day", "b").agg(F.max("m_j").alias("m_j"))
+    a = rd.groupBy("day").agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - m_j) AS BIGINT)"))
+        .cast("long")
+        .alias("spi"),
+    )
+    hc = rh.groupBy("day").agg(
+        F.countDistinct("hr").cast("long").alias("n_hours")
+    )
+    x = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    v, raw, est = hll_estimate_cols()
+    return (
+        a.join(hc, "day")
+        .join(x, "day")
+        .select(
+            "day",
+            "n_hours",
+            v.alias("v_zero"),
+            _pround(est).alias("est"),
+            "n_exact",
+            _pround((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+        )
+    )

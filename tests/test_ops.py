@@ -1475,3 +1475,41 @@ def test_star_components_match_label_propagation_and_survive_long_chains(spark):
     labels = star_components(cnodes, cedges).collect()
     assert all(r["cluster_id"] == 0 for r in labels)
     assert len(labels) == 400
+
+
+def test_hll_rollup_merge_equals_direct_build(spark, sf_dir):
+    """The sk6 mergeability claim, asserted exactly: day registers built
+    by register-wise MAX over stored HOUR sketches must equal the day
+    registers built directly from the facts — so a sketch cube can roll
+    up without ever rescanning events."""
+    from pyspark.sql import functions as F
+
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+    from nyc_open_data_pipeline_spark.plans.common import t
+    from nyc_open_data_pipeline_spark.plans.llmdata import _HLL_M
+
+    ev = t(spark, sf_dir, "events")
+    h = DD._hash64(F.col("user_id").cast("string"))
+    hh = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        h.alias("h"),
+    )
+    h2 = F.shiftright(F.col("h"), 8)
+    rho = F.when(h2 == 0, F.lit(53)).otherwise(
+        F.instr(F.lpad(F.bin(h2), 52, "0"), "1")
+    )
+    rh = hh.groupBy("day", "hr", (F.col("h") % _HLL_M).alias("b")).agg(
+        F.max(rho).alias("m_j")
+    )
+    merged = {
+        (r["day"], r["b"]): r["m_j"]
+        for r in rh.groupBy("day", "b").agg(F.max("m_j").alias("m_j")).collect()
+    }
+    direct = {
+        (r["day"], r["b"]): r["m_j"]
+        for r in hh.groupBy("day", (F.col("h") % _HLL_M).alias("b"))
+        .agg(F.max(rho).alias("m_j"))
+        .collect()
+    }
+    assert merged == direct
