@@ -290,17 +290,19 @@ def main() -> None:
 
     raw_bm = drain_batch_metrics()
     stream_batches: dict[str, list] = {}
-    _last_bid: dict[str, int] = {}
+    _last_tok: dict[str, int] = {}
     for m in raw_bm:
         rec = dict(m)
         sink = rec.pop("sink", "?")
-        bid = rec.get("batch_id", -1)
-        # a new pass starts whenever the batch id stops increasing — not
-        # only at id 0: a checkpoint-resumed pass's first batch id is > 0
-        # and must still reset the sink's list (ADVICE r7)
-        if sink not in stream_batches or bid <= _last_bid.get(sink, -1):
+        # group on the explicit per-sink-construction pass token (ADVICE
+        # r8): inferring pass boundaries from batch-id monotonicity merged
+        # a checkpoint-resumed pass (ids keep increasing) into the prior
+        # pass. Records land in emission order, so "token changed" ==
+        # "new pass"; keep only the LAST pass per sink.
+        tok = rec.pop("pass_token", -1)
+        if sink not in stream_batches or tok != _last_tok.get(sink):
             stream_batches[sink] = []
-        _last_bid[sink] = bid
+        _last_tok[sink] = tok
         stream_batches[sink].append(rec)
 
     out = {

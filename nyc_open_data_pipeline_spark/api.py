@@ -38,6 +38,13 @@ def create_app(spark, storage_root: str):
     )
     app.add_middleware(GZipMiddleware, minimum_size=1000)
 
+    @app.get("/")
+    def root() -> dict:
+        # service-info document at the root (reference src/api/main.py:24-26
+        # returns {"message": "Poverty NYC API"}) — the first URL a user or
+        # health check hits
+        return {"message": app.title}
+
     @app.get("/api/food-gaps")
     def food_gaps() -> "Response":
         return Response(food_gaps_document(spark, storage), media_type="application/json")

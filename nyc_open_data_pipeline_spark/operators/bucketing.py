@@ -24,17 +24,23 @@ _MANAGED_ENTRY = ("part-", "_SUCCESS", "_committed_", "_started_", "_temporary")
 
 
 def _is_stale_managed_dir(path: str) -> bool:
-    """True iff ``path`` is a directory whose every entry matches a Spark
-    managed-write artifact pattern (part-files, _SUCCESS, commit markers,
-    their .crc shadows). Guards the orphan-location reclaim in
-    ``write_bucketed`` from deleting arbitrary same-named directories."""
+    """True iff ``path`` is a non-empty directory whose every entry is a
+    regular FILE matching a Spark managed-write artifact pattern (part-files,
+    _SUCCESS, commit markers, their .crc shadows). Guards the orphan-location
+    reclaim in ``write_bucketed`` from deleting arbitrary same-named
+    directories: an empty dir or a subdirectory named like an artifact
+    (which could hold user data) is NOT reclaimable (ADVICE r8)."""
     try:
         entries = os.listdir(path)
     except OSError:
         return False
+    if not entries:
+        return False
     for name in entries:
         base = name[1:-4] if name.startswith(".") and name.endswith(".crc") else name
         if not base.startswith(_MANAGED_ENTRY):
+            return False
+        if not os.path.isfile(os.path.join(path, name)):
             return False
     return True
 
@@ -80,9 +86,13 @@ def write_bucketed(
         # legitimate same-named directories (ADVICE r7 medium).
         wh = sess.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         orphan = os.path.join(wh.removeprefix("file:"), table.lower())
-        # prefer the stable error class over message text; fall back to the
-        # substring for exception types that don't carry one
-        err_cls = getattr(e, "getErrorClass", lambda: None)()
+        # prefer the stable error condition over message text; Spark 4
+        # renames getErrorClass -> getCondition, so probe the new name
+        # first, then the deprecated one, then the substring fallback for
+        # exception types that carry neither (ADVICE r8)
+        err_cls = getattr(e, "getCondition", lambda: None)() or getattr(
+            e, "getErrorClass", lambda: None
+        )()
         is_loc = err_cls == "LOCATION_ALREADY_EXISTS" or (
             err_cls is None and "LOCATION_ALREADY_EXISTS" in str(e)
         )

@@ -100,6 +100,9 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
     partially written cannot feed those keys back into the replay's
     anti-join and silently drop its own survivors — the replay recomputes
     from exactly the pre-batch state and overwrites both partitions."""
+    from nyc_open_data_pipeline_spark.streaming.windows import begin_stream_pass
+
+    _pass = begin_stream_pass()  # one token per sink construction = per pass
     os.makedirs(state_dir, exist_ok=True)
     marker = os.path.join(state_dir, "_last_batch")
 
@@ -163,6 +166,7 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             batch_id=batch_id,
             n_out=survivors.count(),
             sec=_sec,
+            pass_token=_pass,
         )
 
     return process
@@ -209,6 +213,9 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
     Idempotence under checkpoint replay: same per-batch ``batch=<id>``
     overwrite partitions + pre-batch state filter as the exact-hash sink
     (see ``incremental_dedup_sink``)."""
+    from nyc_open_data_pipeline_spark.streaming.windows import begin_stream_pass
+
+    _pass = begin_stream_pass()
     os.makedirs(state_dir, exist_ok=True)
     marker = os.path.join(state_dir, "_last_batch")
 
@@ -269,6 +276,13 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
         except Exception:
             pass
         new_keys = bk.select("band", "band_key").distinct()
+        if _has_batches(state_dir):
+            # store each unique (band, band_key) once: keys already in
+            # prior state add nothing to the semi-join semantics but grow
+            # state with total occurrences (same ADVICE-r8 hazard as the
+            # substring sink); replay-safe for the same pre-batch-filter
+            # reason
+            new_keys = new_keys.join(seen, ["band", "band_key"], "left_anti")
         out = survivors.localCheckpoint(eager=True)
         keys = new_keys.localCheckpoint(eager=True)
         out.write.mode("overwrite").parquet(
@@ -294,6 +308,7 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             n_out=out.count(),
             n_new_keys=keys.count(),
             sec=_sec,
+            pass_token=_pass,
         )
 
     return process
@@ -338,7 +353,8 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
     document's >= N-token windows are checked against (a) the accumulated
     gram-hash state from PRIOR batches and (b) lower-doc_id documents in
     the SAME batch; maximal duplicated spans are appended to ``out_dir``
-    and the batch's distinct gram hashes to ``state_dir``. Because the
+    and the batch's distinct NEW gram hashes (anti-joined against prior
+    state, so state holds each unique gram once) to ``state_dir``. Because the
     replayed micro-batches are doc_id-ordered ranges, "prior state or
     lower id in batch" equals "any lower doc_id globally", so the
     streamed spans equal the batch keep-first answer exactly (st3's
@@ -347,6 +363,9 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
     committed LAST, so a crash-before-commit replay overwrites its own
     partial partitions and never feeds its own output back into the
     anti-state."""
+    from nyc_open_data_pipeline_spark.streaming.windows import begin_stream_pass
+
+    _pass = begin_stream_pass()
     os.makedirs(state_dir, exist_ok=True)
     marker = os.path.join(state_dir, "_last_batch")
 
@@ -378,6 +397,7 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
             .filter(F.col("doc_id") > F.col("first_doc"))
             .select("doc_id", "p")
         )
+        new_grams = grams.select("g").distinct()
         if _has_batches(state_dir):
             seen = (
                 sess.read.schema(GRAM_SCHEMA)
@@ -388,6 +408,13 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
             hits = hits.unionByName(
                 grams.join(seen, "g", "semi").select("doc_id", "p")
             ).distinct()
+            # write only grams NOT already in state: otherwise state grows
+            # with total gram occurrences instead of unique grams, and the
+            # per-batch seen-scan compounds on duplicate-heavy streams
+            # (ADVICE r8; mirrors incremental_dedup_sink writing survivors
+            # only). Replay-safe: the read above filters batch < batch_id,
+            # so a replayed batch recomputes the same anti-join result.
+            new_grams = new_grams.join(seen, "g", "anti")
         from nyc_open_data_pipeline_spark.streaming.windows import (
             record_batch_metrics,
             record_stream_plan,
@@ -405,7 +432,7 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
         spans.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
         )
-        grams.select("g").distinct().write.mode("overwrite").parquet(
+        new_grams.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch={batch_id}")
         )
         tmp = f"{marker}.tmp"
@@ -419,6 +446,7 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
             batch_id=batch_id,
             n_out=spans.count(),
             sec=_sec,
+            pass_token=_pass,
         )
 
     return process

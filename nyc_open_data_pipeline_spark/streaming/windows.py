@@ -121,7 +121,22 @@ STREAM_BATCH_METRICS: list[dict] = []
 _STREAM_METRIC_CAP = 1024
 
 
+# Explicit pass token (ADVICE r8): bench.py previously inferred pass
+# boundaries from batch-id monotonicity, which silently merges a
+# checkpoint-resumed pass (ids keep increasing) into the prior pass. Each
+# sink FACTORY call bumps the token and stamps it on every record its
+# process closure emits; bench groups on (sink, pass_token) instead.
+_PASS_TOKEN = 0
+
+
+def begin_stream_pass() -> int:
+    global _PASS_TOKEN
+    _PASS_TOKEN += 1
+    return _PASS_TOKEN
+
+
 def record_batch_metrics(**m) -> None:
+    m.setdefault("pass_token", _PASS_TOKEN)
     STREAM_BATCH_METRICS.append(m)
     if len(STREAM_BATCH_METRICS) > _STREAM_METRIC_CAP:
         del STREAM_BATCH_METRICS[: len(STREAM_BATCH_METRICS) - _STREAM_METRIC_CAP]
