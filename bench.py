@@ -177,6 +177,8 @@ HEADLINE += [
     "gr3_components_star",
     "st12_stream_substring_dedup",
     "sk6_hll_rollup",
+    # round 9
+    "c6_exact_then_setsim",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -128,6 +128,16 @@ def probes_for_recall(
     return min(max(r, 1), max_sets)
 
 
+# Narrow-width radius floor (round 9): at nbits <= 4 the radius-0 ladder
+# lands essentially AT the target (union 0.515 at the 0.25/0.3 design
+# points) with zero margin, so true neighbors sitting marginally below the
+# design cosine pull measured recall under target — s13 measured 0.48 at
+# sf0.1 (SCALE.md round 8). One bit-flip ring lifts the design union to
+# ~0.69-0.72 at these widths for <= 5 probe masks per set; wider ladders
+# already carry margin and keep radius-0's better join efficiency.
+NARROW_WIDTH_BITS = 4
+
+
 def multiprobe_design(
     nbits: int,
     threshold: float,
@@ -161,11 +171,17 @@ def multiprobe_design(
     inside the cap, eliminating the capped-shortfall regime the round-6
     recall audit measured at sf10 (design union 0.198, measured 33.2%).
     Only past ``max_radius`` does the honest fallback remain:
-    (max_sets, max_radius) with the shortfall reported by the audit."""
+    (max_sets, max_radius) with the shortfall reported by the audit.
+
+    Narrow widths (nbits <= NARROW_WIDTH_BITS) START at radius 1: the
+    radius-0 derivation meets the target with zero margin there, and the
+    margin is what absorbs neighbors below the design cosine (the s13
+    sf0.1 recall-0.48 artifact). Mirrored in plans/llmdata._sql_mp_design."""
     import math
 
     p = collision_prob(threshold)
-    for radius in range(max_radius + 1):
+    min_radius = 1 if nbits <= NARROW_WIDTH_BITS else 0
+    for radius in range(min(min_radius, max_radius), max_radius + 1):
         per_set = sum(
             math.comb(nbits, j) * p ** (nbits - j) * (1.0 - p) ** j
             for j in range(radius + 1)

@@ -926,6 +926,12 @@ def boilerplate_cleaned_text(
     )
 
 
+# rounds whose superseded edge set exceeds this trigger a GC nudge so the
+# ContextCleaner retires their shuffle files promptly; small graphs skip it
+# (a System.gc() per round would dominate sub-second fixtures)
+_GC_NUDGE_EDGES = 5_000_000
+
+
 def star_components(
     nodes: DataFrame, pairs: DataFrame, max_iters: int = 50
 ) -> DataFrame:
@@ -952,6 +958,18 @@ def star_components(
     friendly. Each round ``localCheckpoint``s (the iterative-lineage
     rule) and convergence is an EXACT multiset check (counts equal +
     exceptAll empty) on the canonical edge set, not a heuristic.
+
+    SCRATCH RETIREMENT (round 9 — the gr1/gr2 disk-light discipline):
+    the superseded round's checkpoint blocks are ``unpersist``-ed as
+    soon as the convergence check has consumed them, and on fact-scale
+    graphs (edge count above ``_GC_NUDGE_EDGES``) a GC nudge lets the
+    ContextCleaner retire the round's shuffle files before round k+2.
+    Without this every round's full edge set stayed live — ~13 rounds
+    x fact-scale blocks was the sf100 storage wall (979.9 s, a 15x
+    decade, SCALE.md round 8); with it, live scratch is O(one round)
+    exactly as in gr1/gr2's measured ~linear sf100 modes. Output is
+    bit-identical: retirement only drops blocks that are re-computable
+    from lineage and never referenced again.
 
     ``nodes``: one column ``id``; ``pairs``: columns ``id_a``, ``id_b``.
     """
@@ -992,15 +1010,25 @@ def star_components(
         .localCheckpoint(eager=True)
     )
     prev_n = edges.count()
+    sc = edges.sparkSession.sparkContext
     converged = False
     for _ in range(max_iters):
         nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
         n = nxt.count()
-        if n == prev_n and nxt.exceptAll(edges).isEmpty():
-            edges = nxt
+        done = n == prev_n and nxt.exceptAll(edges).isEmpty()
+        # the convergence check was the last reader of the old round:
+        # retire its checkpoint blocks now, and on fact-scale rounds
+        # nudge GC so the ContextCleaner drops the round's shuffle files
+        try:
+            edges.unpersist()
+        except Exception:
+            pass
+        if prev_n > _GC_NUDGE_EDGES:
+            sc._jvm.System.gc()
+        edges, prev_n = nxt, n
+        if done:
             converged = True
             break
-        edges, prev_n = nxt, n
     if not converged:
         # mid-contraction edges can hold several (hi, lo) rows per node —
         # labeling from them would emit duplicate rows with non-min

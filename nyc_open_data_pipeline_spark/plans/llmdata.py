@@ -848,11 +848,14 @@ def _sql_mp_design(threshold: float = MP_THRESHOLD, max_sets: int = MP_MAX_SETS)
       FROM w2
     ),
     w AS (
+      -- radius 0 is selectable only above the narrow-width floor
+      -- (vectors.NARROW_WIDTH_BITS): at nbits <= 4 the radius-0 union
+      -- recall has zero margin over the target (round 9)
       SELECT nbits, dim,
-        CASE WHEN r0 <= {max_sets} THEN r0
+        CASE WHEN nbits > {VEC.NARROW_WIDTH_BITS} AND r0 <= {max_sets} THEN r0
              WHEN r1 <= {max_sets} THEN r1
              ELSE LEAST(r2, {max_sets}) END AS r_sets,
-        CASE WHEN r0 <= {max_sets} THEN 0
+        CASE WHEN nbits > {VEC.NARROW_WIDTH_BITS} AND r0 <= {max_sets} THEN 0
              WHEN r1 <= {max_sets} THEN 1
              ELSE 2 END AS radius
       FROM w3
@@ -7213,10 +7216,11 @@ def s12_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D25_T_NUM, _D25_T_DEN = 3, 5  # Jaccard threshold 0.6, kept as a ratio
 
 
-@register(
-    "d25_setsim_join_prefix",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+def _sql_setsim_chain(src: str = "documents") -> str:
+    """The d25 prefix-filter set-sim-join oracle chain over source CTE/table
+    ``src`` (must expose doc_id + the documents text columns). Shared with
+    c6, whose source is the exact-dedup survivor set."""
+    return f"""toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM {src}),
     shl AS (SELECT doc_id, {_sql_shingles('tk')} AS sh FROM toks),
     sh AS (SELECT doc_id, unnest(sh) AS tok FROM shl),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -7254,7 +7258,13 @@ _D25_T_NUM, _D25_T_DEN = 3, 5  # Jaccard threshold 0.6, kept as a ratio
     JOIN sz sa ON it.id_a = sa.doc_id
     JOIN sz sb ON it.id_b = sb.doc_id
     WHERE {_D25_T_DEN} * it.i
-          >= {_D25_T_NUM} * (sa.n + sb.n - it.i)
+          >= {_D25_T_NUM} * (sa.n + sb.n - it.i)"""
+
+
+@register(
+    "d25_setsim_join_prefix",
+    oracle=f"""
+    WITH {_sql_setsim_chain("documents")}
     """,
     survey_ref="extension: EXACT set-similarity self-join via prefix "
     "filtering (SSJoin/AllPairs/PPJoin) — the exact sub-quadratic "
@@ -7283,7 +7293,12 @@ def d25_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured at sf1: 215.8 s -> 24 s, identical output (SCALE.md). At
     100 TB: sh/pref shuffle on token, candidates on (id_a, id_b), both
     partial-agg friendly; the df dimension is |vocab|-sized."""
-    d = t(spark, sf_dir, "documents")
+    return _setsim_pairs(t(spark, sf_dir, "documents"))
+
+
+def _setsim_pairs(d: DataFrame) -> DataFrame:
+    """PPJoin prefix-filter set-sim self-join over document frame ``d``
+    (doc_id, text) — d25's body, shared with c6's survivors-only run."""
     sh = d.select(
         "doc_id", F.explode(DD.shingles(F.col("text"))).alias("tok")
     )
@@ -7351,6 +7366,41 @@ def d25_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i")), 6
         ).alias("jaccard"),
     )
+
+
+@register(
+    "c6_exact_then_setsim",
+    oracle=f"""
+    WITH surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5({SQL_NORM})
+    ),
+    sdocs AS (
+      SELECT d.* FROM documents d JOIN surv USING (doc_id)
+    ),
+    {_sql_setsim_chain("sdocs")}
+    """,
+    survey_ref="extension: the PRODUCTION dedup composition — exact dedup "
+    "(d1's hash-groupBy, keep MIN doc_id) BEFORE the exact set-similarity "
+    "join (d25), so the pair stage sees one representative per exact-copy "
+    "group. Registered because the ordering is the cost model: raw d25 "
+    "output is Theta(copies^2) on copy-heavy corpora (every crawl dump), "
+    "while survivors-first is linear in copies — measured 13.0 s vs "
+    "1,406 s at sf10 (108x, SCALE.md round 8); this query pins that "
+    "composition under the driver's oracle instead of leaving it prose.",
+)
+def c6_exact_then_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (Jaccard >= 0.6, exact) among exact-dedup survivors.
+    Scale shape: one hash-groupBy on content md5 (skew-free), a semi-join
+    to restrict the corpus to keepers, then d25's prefix-filtered
+    candidate join — identical pair semantics to d25 modulo exact copies,
+    which contribute nothing but quadratic bulk to the raw run. The
+    composition, not a new operator, is the artifact: on a 100 TB crawl
+    the exact-copy rate is the dominant cost knob and this ordering is
+    what makes the set-sim stage feasible at all."""
+    d = t(spark, sf_dir, "documents")
+    keep = DD.exact_dup_groups(d).select(F.col("keep_id").alias("doc_id"))
+    return _setsim_pairs(d.join(keep, "doc_id", "left_semi"))
 
 
 # s13: MIPS -> ANN via the ASYMMETRIC d+1 TRANSFORM (Bachrach et al. 2014,

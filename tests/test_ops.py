@@ -454,20 +454,26 @@ def test_multiprobe_design_radius_ladder():
     the cap (identical to probes_for_recall), escalates bit-flip probing
     past it, and the design union meets the target at EVERY width the
     corpus derivation can produce — the capped-shortfall regime is gone
-    through max_bits=16."""
+    through max_bits=16. Narrow widths (nbits <= NARROW_WIDTH_BITS) floor
+    the radius at 1: radius 0 meets the target with zero margin there
+    (union 0.515), which the s13 sf0.1 audit measured as recall 0.48 —
+    the floor buys ~0.2 design margin for <= 5 masks per set (round 9)."""
     import math
 
     import pytest
 
     from nyc_open_data_pipeline_spark.functions.vectors import (
+        NARROW_WIDTH_BITS,
         collision_prob,
         multiprobe_design,
         probes_for_recall,
     )
 
     p = collision_prob(0.3)
+    # narrow-width floor: one bit-flip ring instead of six marginal sets
+    assert NARROW_WIDTH_BITS == 4
+    assert multiprobe_design(4, 0.3) == (2, 1)
     # q=0 regime is byte-identical to the single-probe derivation
-    assert multiprobe_design(4, 0.3) == (6, 0)
     assert multiprobe_design(8, 0.3) == (43, 0)
     assert multiprobe_design(8, 0.3)[0] == probes_for_recall(8, 0.3)
     # the widths where the set cap used to bind now fit via probing
@@ -482,12 +488,19 @@ def test_multiprobe_design_radius_ladder():
         )
         assert r <= 64
         assert 1.0 - (1.0 - per) ** r >= 0.5  # design target met
-        if q > 0:  # radius escalated only because sets alone can't fit
+        if q > 0 and nbits > NARROW_WIDTH_BITS:
+            # above the floor, radius escalates only because sets can't fit
             assert probes_for_recall(nbits, 0.3, max_sets=10**9) > 64
-    # production design point (cos 0.9) never needs probing at these widths
+    # the floored widths now carry real margin over the bare target
+    r4, q4 = multiprobe_design(4, 0.3)
+    per4 = sum(
+        math.comb(4, j) * p ** (4 - j) * (1.0 - p) ** j for j in range(q4 + 1)
+    )
+    assert 1.0 - (1.0 - per4) ** r4 >= 0.65
+    # production design point (cos 0.9) never needs probing at wide ladders
     assert multiprobe_design(16, 0.9) == (probes_for_recall(16, 0.9), 0)
-    # degenerate: p == 1 -> one set, no probes
-    assert multiprobe_design(4, 1.0) == (1, 0)
+    # degenerate: p == 1 -> one set; the narrow floor still stamps radius 1
+    assert multiprobe_design(4, 1.0) == (1, 1)
     # operator rejects unsupported radii (masks exist for q <= 2 only)
     from nyc_open_data_pipeline_spark.operators.dedup import (
         multiprobe_candidate_pairs,
