@@ -6,17 +6,23 @@ converters are dependency-free (no shapely in this environment): a small
 parser/formatter pair for the geometry types the reference handles
 (Point, LineString, Polygon, MultiPolygon).
 
-These run as Python UDFs — acceptable because geometry columns belong to
-*dimension* tables (hundreds of polygons, reference scale: 197 NTAs /
-177 ZCTAs), never the 100 TB fact side. A Sedona GeometryType would replace
-this wholesale where available.
+These run as Arrow-batched pandas UDFs (round 9; previously row-at-a-time
+Python UDFs — the engine's last BatchEvalPython). Geometry columns belong
+to *dimension* tables (hundreds of polygons, reference scale: 197 NTAs /
+177 ZCTAs), never the 100 TB fact side, so either eval mode is cheap here —
+but Arrow batching removes the per-row pickle round-trip and keeps the
+whole engine on the two sanctioned UDF lanes (JVM expressions, Arrow
+batches). A Sedona GeometryType would replace this wholesale where
+available.
 """
 
 from __future__ import annotations
 
 import json
 
-from pyspark.sql import functions as F
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 
@@ -125,9 +131,21 @@ def promote_to_multipolygon_py(wkt: str | None) -> str | None:
 
 
 # ---------------------------------------------------------------------------
-# Spark UDF wrappers
+# Spark UDF wrappers — Arrow-batched (ArrowEvalPython in plans; the
+# hygiene gate in tests/test_plans.py rejects BatchEvalPython everywhere)
 # ---------------------------------------------------------------------------
 
-geojson_to_wkt = F.udf(geojson_to_wkt_py, StringType())
-wkt_to_geojson = F.udf(wkt_to_geojson_py, StringType())
-promote_to_multipolygon = F.udf(promote_to_multipolygon_py, StringType())
+
+@pandas_udf(StringType())
+def geojson_to_wkt(s: pd.Series) -> pd.Series:
+    return s.map(geojson_to_wkt_py)
+
+
+@pandas_udf(StringType())
+def wkt_to_geojson(s: pd.Series) -> pd.Series:
+    return s.map(wkt_to_geojson_py)
+
+
+@pandas_udf(StringType())
+def promote_to_multipolygon(s: pd.Series) -> pd.Series:
+    return s.map(promote_to_multipolygon_py)

@@ -437,14 +437,20 @@ BNLJ_ALLOWED = {
     "v9_distribution_drift",   # 1-row totals + 1-row psi_total broadcasts
     "sk5_quantile_sketch",     # 3-row (q, rank) targets broadcast
 }
-PY_ROW_ALLOWED = {
-    # shapely converters over dimension-scale geo rows (reference does the
-    # same row-wise apply; no JVM geo lib in this environment)
-    "g1_geojson_to_wkt",
-    "g3_promote_multipolygon",
-    "g4_wkt_to_geojson",
-    "g5_feature_collection",
-}
+# round 9: empty — the geo converters moved to Arrow-batched pandas UDFs
+# (ArrowEvalPython), so NO query may evaluate row-at-a-time Python anymore
+PY_ROW_ALLOWED: set[str] = set()
+
+
+def test_geo_converters_are_arrow_batched(spark, sf_dir):
+    """The geo UDFs must evaluate as Arrow batches (ArrowEvalPython), not
+    row-at-a-time Python (BatchEvalPython) — round-9 close of the last
+    per-row UDF in the engine (functions/geo.py)."""
+    for name in ("g1_geojson_to_wkt", "g3_promote_multipolygon",
+                 "g4_wkt_to_geojson"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "ArrowEvalPython" in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_every_query_plan_is_hygienic(spark, sf_dir):
