@@ -927,9 +927,13 @@ def boilerplate_cleaned_text(
 
 
 # rounds whose superseded edge set exceeds this trigger a GC nudge so the
-# ContextCleaner retires their shuffle files promptly; small graphs skip it
-# (a System.gc() per round would dominate sub-second fixtures)
-_GC_NUDGE_EDGES = 5_000_000
+# ContextCleaner retires their shuffle files promptly. The threshold is
+# sized to where accumulated per-round shuffle spill actually threatens
+# single-box disk (~100 M-edge rounds spill GBs each): below it, the
+# explicit unpersist already bounds storage blocks and a full GC per
+# round on a large heap just adds seconds — measured +14 s at sf10
+# (10 M edges) when the nudge fired every round.
+_GC_NUDGE_EDGES = 50_000_000
 
 
 def star_components(
@@ -974,31 +978,53 @@ def star_components(
     ``nodes``: one column ``id``; ``pairs``: columns ``id_a``, ``id_b``.
     """
 
+    # Each phase is ONE window aggregation over its grouping key instead of
+    # groupBy + join-back (round 9): min-over-partition attaches m to every
+    # row in the same exchange that grouped it, so a phase costs one
+    # fact-scale exchange (+ in-partition sort) instead of three (agg
+    # exchange, join re-exchange of the fact side, dim exchange). The
+    # large-star distinct is dropped outright: its output is exactly one
+    # row per input edge (sym filtered to v > u), so duplicates are bounded
+    # by E and the small-star terminal distinct removes them — measured
+    # together these take the per-round shuffle volume from ~10E to ~4E
+    # rows, the knob that actually moved the sf100 wall (scratch-block
+    # retirement alone did not: 979.9 -> 1008 s).
+
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        m = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
-        )
+        w = Window.partitionBy("u")
         return (
-            sym.join(m, "u")
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
-        m = e.groupBy("hi").agg(F.min("lo").alias("m"))
-        others = (
-            e.join(m, "hi")
-            .filter(F.col("lo") != F.col("m"))
-            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        w = Window.partitionBy("hi")
+        base = e.withColumn("m", F.min("lo").over(w))
+        others = base.filter(F.col("lo") != F.col("m")).select(
+            F.col("lo").alias("hi"), F.col("m").alias("lo")
         )
-        centers = m.select("hi", F.col("m").alias("lo"))
+        centers = base.select("hi", F.col("m").alias("lo"))
         return others.union(centers).distinct()
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        # order-independent multiset fingerprint: (row count, sum of
+        # per-row xxhash64). A MISMATCH proves the round changed the edge
+        # set, so the exact exceptAll comparison is skipped — on star
+        # graphs the edge COUNT is constant every round (one (node, min)
+        # row per non-root node), so gating on count alone ran the
+        # two-exchange exceptAll every round (measured ~25% of round cost
+        # at sf10). A match is only a hint: exceptAll below remains the
+        # exact arbiter, so a hash collision costs one wasted comparison,
+        # never a wrong fixpoint.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("hi", "lo")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
 
     edges = (
         pairs.filter(F.col("id_a") != F.col("id_b"))
@@ -1009,13 +1035,13 @@ def star_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_n = edges.count()
+    prev_fp = _fingerprint(edges)
     sc = edges.sparkSession.sparkContext
     converged = False
     for _ in range(max_iters):
         nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
-        n = nxt.count()
-        done = n == prev_n and nxt.exceptAll(edges).isEmpty()
+        fp = _fingerprint(nxt)
+        done = fp == prev_fp and nxt.exceptAll(edges).isEmpty()
         # the convergence check was the last reader of the old round:
         # retire its checkpoint blocks now, and on fact-scale rounds
         # nudge GC so the ContextCleaner drops the round's shuffle files
@@ -1023,9 +1049,9 @@ def star_components(
             edges.unpersist()
         except Exception:
             pass
-        if prev_n > _GC_NUDGE_EDGES:
+        if prev_fp[0] > _GC_NUDGE_EDGES:
             sc._jvm.System.gc()
-        edges, prev_n = nxt, n
+        edges, prev_fp = nxt, fp
         if done:
             converged = True
             break
