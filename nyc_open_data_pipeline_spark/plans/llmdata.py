@@ -7776,7 +7776,16 @@ def d26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("g")
     )
-    hits = grams.join(dup, "g").select("doc_id", "p")
+    # LEFT SEMI, not inner (round 9): with an inner join Catalyst's
+    # STATIC size estimate — derived from the ~26 MB compressed parquet,
+    # blind to the ~1000x posexplode expansion — chose to broadcast the
+    # GRAMS side at sf100 and died collecting 1.7 GB to the driver
+    # (maxResultSize). A semi join can only build on the right, so the
+    # fact side is structurally un-broadcastable, and AQE still picks
+    # broadcast-vs-shuffle for `dup` by its ACTUAL runtime size — tiny
+    # here, potentially billions of keys on a real crawl. Semantics are
+    # identical (dup's g is distinct). Measured sf100: fails -> 184.5 s.
+    hits = grams.join(dup, "g", "left_semi").select("doc_id", "p")
     return DD.maximal_spans(hits, _D26_N)
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_open_data_pipeline_spark.operators.dedup import normalized_text
@@ -391,9 +391,12 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
         grams = token_gram_rows(batch_df, n=_SUBSTR_N).localCheckpoint(
             eager=True
         )
-        firstb = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+        # within-batch keep-first as ONE window-min exchange on g (round 9;
+        # was groupBy + join-back, whose inner join is exposed to the
+        # static-estimate fact-side-broadcast hazard d26 hit at sf100)
+        wg = Window.partitionBy("g")
         hits = (
-            grams.join(firstb, "g")
+            grams.withColumn("first_doc", F.min("doc_id").over(wg))
             .filter(F.col("doc_id") > F.col("first_doc"))
             .select("doc_id", "p")
         )
