@@ -978,53 +978,93 @@ def star_components(
     ``nodes``: one column ``id``; ``pairs``: columns ``id_a``, ``id_b``.
     """
 
-    # Each phase is ONE window aggregation over its grouping key instead of
-    # groupBy + join-back (round 9): min-over-partition attaches m to every
-    # row in the same exchange that grouped it, so a phase costs one
-    # fact-scale exchange (+ in-partition sort) instead of three (agg
-    # exchange, join re-exchange of the fact side, dim exchange). The
-    # large-star distinct is dropped outright: its output is exactly one
-    # row per input edge (sym filtered to v > u), so duplicates are bounded
-    # by E and the small-star terminal distinct removes them — measured
-    # together these take the per-round shuffle volume from ~10E to ~4E
-    # rows, the knob that actually moved the sf100 wall (scratch-block
-    # retirement alone did not: 979.9 -> 1008 s).
+    # Each phase attaches the star center m to every row. Two physical
+    # strategies (round 9, refined by the round-9 review):
+    #
+    # - WINDOW attach: min-over-partition computes and attaches m inside
+    #   the single exchange that grouped the rows — one fact-scale
+    #   exchange per phase instead of three (agg exchange, fact-side
+    #   join re-exchange, dim side). This is what moved the sf100 wall
+    #   (scratch retirement alone did not: 979.9 -> 1008 s). Its cost:
+    #   a window partition cannot be split, so one giant star (a
+    #   component minimum's group) serializes into one task.
+    # - JOIN attach (the pre-round-9 shape): groupBy partial-agg (always
+    #   skew-safe) + join-back whose own exchange AQE's skew-join CAN
+    #   split across tasks.
+    #
+    # The choice is ADAPTIVE per round: the fingerprint job below also
+    # measures the round's max star size; rounds whose biggest group is
+    # comfortably single-task (< _WINDOW_ATTACH_MAX_GROUP rows) take the
+    # window fast path, rounds with a giant component fall back to the
+    # AQE-splittable join. The fixture (bounded chains) stays on the
+    # fast path every round; a one-giant-component dedup graph degrades
+    # gracefully instead of OOMing one task.
+    #
+    # The large-star distinct is dropped outright: its output is exactly
+    # one row per input edge (sym filtered to v > u), so duplicates are
+    # bounded by E and the small-star terminal distinct removes them.
 
-    def large_star(e: DataFrame) -> DataFrame:
+    def large_star(e: DataFrame, windowed: bool) -> DataFrame:
         sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        w = Window.partitionBy("u")
+        if windowed:
+            w = Window.partitionBy("u")
+            att = sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        else:
+            m = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m"))
+            )
+            att = sym.join(m, "u")
         return (
-            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
-            .filter(F.col("v") > F.col("u"))
+            att.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         )
 
-    def small_star(e: DataFrame) -> DataFrame:
-        w = Window.partitionBy("hi")
-        base = e.withColumn("m", F.min("lo").over(w))
+    def small_star(e: DataFrame, windowed: bool) -> DataFrame:
+        if windowed:
+            w = Window.partitionBy("hi")
+            base = e.withColumn("m", F.min("lo").over(w))
+        else:
+            m = e.groupBy("hi").agg(F.min("lo").alias("m"))
+            base = e.join(m, "hi")
         others = base.filter(F.col("lo") != F.col("m")).select(
             F.col("lo").alias("hi"), F.col("m").alias("lo")
         )
         centers = base.select("hi", F.col("m").alias("lo"))
         return others.union(centers).distinct()
 
-    def _fingerprint(e: DataFrame) -> tuple[int, int]:
-        # order-independent multiset fingerprint: (row count, sum of
-        # per-row xxhash64). A MISMATCH proves the round changed the edge
-        # set, so the exact exceptAll comparison is skipped — on star
-        # graphs the edge COUNT is constant every round (one (node, min)
-        # row per non-root node), so gating on count alone ran the
-        # two-exchange exceptAll every round (measured ~25% of round cost
-        # at sf10). A match is only a hint: exceptAll below remains the
-        # exact arbiter, so a hash collision costs one wasted comparison,
-        # never a wrong fixpoint.
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.xxhash64("hi", "lo")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
+    def _round_stats(e: DataFrame) -> tuple[tuple[int, int], int]:
+        # ((row count, XOR of per-row xxhash64), max hi-group size) in ONE
+        # two-level aggregation (per-hi partial agg — always skew-safe —
+        # then a scalar fold). The (n, xor) pair is an order-independent
+        # SET fingerprint (edge frames here are distinct sets): a MISMATCH
+        # proves the round changed the edge set, so the exact exceptAll
+        # comparison is skipped — on star graphs the edge COUNT is
+        # constant every round (one (node, center) row per non-root
+        # node), so gating on count alone ran the two-exchange exceptAll
+        # every round (~25% of round cost at sf10). A match is only a
+        # hint: exceptAll below remains the exact arbiter, so a collision
+        # costs one wasted comparison, never a wrong fixpoint. XOR (not
+        # SUM) keeps the fold exact under ANSI mode — summing full-range
+        # xxhash64 values overflows LongType (round-9 review). The max
+        # group size drives the adaptive attach strategy above.
+        row = (
+            e.groupBy("hi")
+            .agg(
+                F.count("*").alias("c"),
+                F.bit_xor(F.xxhash64("hi", "lo")).alias("x"),
+            )
+            .agg(
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+                F.coalesce(F.bit_xor("x"), F.lit(0)).alias("h"),
+                F.coalesce(F.max("c"), F.lit(0)).alias("mg"),
+            )
+            .collect()[0]
+        )
+        return (int(row["n"]), int(row["h"])), int(row["mg"])
 
     edges = (
         pairs.filter(F.col("id_a") != F.col("id_b"))
