@@ -935,6 +935,21 @@ def boilerplate_cleaned_text(
 # (10 M edges) when the nudge fired every round.
 _GC_NUDGE_EDGES = 50_000_000
 
+# Rounds whose biggest star (max per-node group in the SYMMETRIC edge
+# view) stays under this take the window attach; above it they fall back
+# to the AQE-skew-splittable join attach (see star_components). Sized to
+# a comfortably single-task window sort: 4 M (long, long) rows ~ 64 MB
+# unsafe-row payload, well inside one task's sort budget, while a giant
+# component at fact scale (tens of millions of members) would OOM or
+# straggle a single-task window.
+_WINDOW_ATTACH_MAX_GROUP = 4_000_000
+
+# Observability hook: star_components resets this at call start and
+# appends each round's attach decision (True = window, False = join).
+# Tests pin the adaptive routing through it; production code must not
+# read it (it is process-global, last-call-wins).
+_LAST_ATTACH_MODES: list[bool] = []
+
 
 def star_components(
     nodes: DataFrame, pairs: DataFrame, max_iters: int = 50
@@ -1037,25 +1052,35 @@ def star_components(
         return others.union(centers).distinct()
 
     def _round_stats(e: DataFrame) -> tuple[tuple[int, int], int]:
-        # ((row count, XOR of per-row xxhash64), max hi-group size) in ONE
-        # two-level aggregation (per-hi partial agg — always skew-safe —
-        # then a scalar fold). The (n, xor) pair is an order-independent
-        # SET fingerprint (edge frames here are distinct sets): a MISMATCH
-        # proves the round changed the edge set, so the exact exceptAll
-        # comparison is skipped — on star graphs the edge COUNT is
-        # constant every round (one (node, center) row per non-root
-        # node), so gating on count alone ran the two-exchange exceptAll
-        # every round (~25% of round cost at sf10). A match is only a
-        # hint: exceptAll below remains the exact arbiter, so a collision
-        # costs one wasted comparison, never a wrong fixpoint. XOR (not
-        # SUM) keeps the fold exact under ANSI mode — summing full-range
-        # xxhash64 values overflows LongType (round-9 review). The max
-        # group size drives the adaptive attach strategy above.
+        # ((sym row count, XOR of per-row xxhash64), max sym group size)
+        # in ONE two-level aggregation (per-node partial agg — always
+        # skew-safe — then a scalar fold). The (n, xor) pair is an
+        # order-independent SET fingerprint (edge frames here are
+        # distinct sets; sym doubles each edge deterministically): a
+        # MISMATCH proves the round changed the edge set, so the exact
+        # exceptAll comparison is skipped — on star graphs the edge
+        # COUNT is constant every round (one (node, center) row per
+        # non-root node), so gating on count alone ran the two-exchange
+        # exceptAll every round (~25% of round cost at sf10). A match is
+        # only a hint: exceptAll below remains the exact arbiter, so a
+        # collision costs one wasted comparison, never a wrong fixpoint.
+        # XOR (not SUM) keeps the fold exact under ANSI mode — summing
+        # full-range xxhash64 values overflows LongType (round-9
+        # review). Max group is measured on the SYMMETRIC view, not the
+        # canonical (hi, lo) frame: large_star windows over sym's
+        # u-groups, and a giant star centered at a component minimum m
+        # puts ALL its edges in m's lo column — hi-groups of size 1, one
+        # sym u-group of size E (round-9 review). Max sym group also
+        # bounds small_star's hi-groups (hi-count <= degree), so one
+        # measure gates both phases.
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
         row = (
-            e.groupBy("hi")
+            sym.groupBy("u")
             .agg(
                 F.count("*").alias("c"),
-                F.bit_xor(F.xxhash64("hi", "lo")).alias("x"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("x"),
             )
             .agg(
                 F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
@@ -1075,12 +1100,17 @@ def star_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_fp = _fingerprint(edges)
+    prev_fp, max_group = _round_stats(edges)
     sc = edges.sparkSession.sparkContext
     converged = False
+    _LAST_ATTACH_MODES.clear()
     for _ in range(max_iters):
-        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
-        fp = _fingerprint(nxt)
+        windowed = max_group < _WINDOW_ATTACH_MAX_GROUP
+        _LAST_ATTACH_MODES.append(windowed)
+        nxt = small_star(large_star(edges, windowed), windowed).localCheckpoint(
+            eager=True
+        )
+        fp, max_group = _round_stats(nxt)
         done = fp == prev_fp and nxt.exceptAll(edges).isEmpty()
         # the convergence check was the last reader of the old round:
         # retire its checkpoint blocks now, and on fact-scale rounds
@@ -1089,8 +1119,12 @@ def star_components(
             edges.unpersist()
         except Exception:
             pass
-        if prev_fp[0] > _GC_NUDGE_EDGES:
-            sc._jvm.System.gc()
+        # prev_fp[0] counts SYM rows (2x edges), hence the doubled bound
+        if prev_fp[0] > 2 * _GC_NUDGE_EDGES:
+            try:
+                sc._jvm.System.gc()
+            except Exception:
+                pass  # Spark Connect: no _jvm gateway — nudge is best-effort
         edges, prev_fp = nxt, fp
         if done:
             converged = True

@@ -41,21 +41,93 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # -curated slots 51-55 and got no driver row.
 
 
-def impl_hash(spec: "QuerySpec") -> str:
-    """Fingerprint a query's behavior-bearing text: oracle SQL + fn source.
+_PKG_PREFIX = "nyc_open_data_pipeline_spark"
 
-    Used by scripts/update_driver_green.py to stamp driver_green.json; a
-    mismatch at load time means the query changed since its last green driver
-    row, so its priority resets to never-checked.
-    """
-    import hashlib
+
+def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> None:
+    """Collect fn's source plus the sources of every PACKAGE callable,
+    class, module, and primitive constant it references, transitively.
+
+    This is the round-10 fix for the round-9 stamp-staleness hole: the
+    old fingerprint hashed only the plan fn's own text, so rewriting a
+    helper module (functions/geo.py, round 9's Arrow vectorization)
+    changed behavior without changing any stamp and the driver never
+    re-checked the affected queries. Granularity is per-OBJECT for
+    functions/classes in the package (so editing one llmdata helper
+    resets only its callers, not all 100+ llmdata queries) and per-FILE
+    for helper modules referenced as modules (``VEC.norm`` resets every
+    VEC user — helper files are small and change rarely). Non-package
+    objects (pyspark, stdlib) are skipped; primitive module-level
+    constants hash by repr so tuning MP_THRESHOLD-style knobs resets
+    their dependents. Deterministic: names sorted, cycles cut by id."""
     import inspect
 
-    h = hashlib.md5((spec.oracle or "").encode())
+    if id(fn) in seen or depth > 8:
+        return
+    seen.add(id(fn))
     try:
-        h.update(inspect.getsource(spec.fn).encode())
-    except (OSError, TypeError):  # builtins / dynamically-generated fns
-        pass
+        out.append(inspect.getsource(fn))
+    except (OSError, TypeError):
+        return
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return
+    names = set()
+    stack = [code]
+    while stack:  # nested lambdas/comprehensions reference globals too
+        c = stack.pop()
+        names.update(c.co_names)
+        for const in c.co_consts:
+            if hasattr(const, "co_names"):
+                stack.append(const)
+    g = getattr(fn, "__globals__", {})
+    cells = {
+        nm: cell.cell_contents
+        for nm, cell in zip(
+            code.co_freevars, getattr(fn, "__closure__", None) or [], strict=False
+        )
+    }
+    for nm in sorted(names | set(cells)):
+        obj = cells.get(nm, g.get(nm))
+        if obj is None:
+            continue
+        if inspect.ismodule(obj):
+            if (getattr(obj, "__name__", "") or "").startswith(_PKG_PREFIX):
+                try:
+                    out.append(inspect.getsource(obj))
+                except (OSError, TypeError):
+                    pass
+        elif callable(obj):
+            mod = getattr(obj, "__module__", None)
+            if not (isinstance(mod, str) and mod.startswith(_PKG_PREFIX)):
+                continue
+            if inspect.isclass(obj):
+                try:
+                    out.append(inspect.getsource(obj))
+                except (OSError, TypeError):
+                    pass
+            else:
+                _behavior_sources(obj, seen, out, depth + 1)
+        elif isinstance(obj, (bool, int, float, str, bytes, tuple, frozenset)):
+            out.append(f"{nm}={obj!r}")
+
+
+def impl_hash(spec: "QuerySpec") -> str:
+    """Fingerprint a query's behavior-bearing text: oracle SQL + the fn's
+    source CLOSURE over package helpers (see _behavior_sources).
+
+    Used by scripts/update_driver_green.py to stamp driver_green.json; a
+    mismatch at load time means the query (or a helper it calls) changed
+    since its last green driver row, so its priority resets to
+    never-checked and it re-enters the driver's ~50-row window.
+    """
+    import hashlib
+
+    out: list[str] = []
+    _behavior_sources(spec.fn, set(), out)
+    h = hashlib.md5((spec.oracle or "").encode())
+    for src in out:
+        h.update(src.encode())
     return h.hexdigest()[:12]
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_open_data_pipeline_spark.operators.dedup import normalized_text
@@ -391,12 +391,19 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
         grams = token_gram_rows(batch_df, n=_SUBSTR_N).localCheckpoint(
             eager=True
         )
-        # within-batch keep-first as ONE window-min exchange on g (round 9;
-        # was groupBy + join-back, whose inner join is exposed to the
-        # static-estimate fact-side-broadcast hazard d26 hit at sf100)
-        wg = Window.partitionBy("g")
+        # within-batch keep-first: groupBy partial-agg (skew-safe) +
+        # join-back with the build side PINNED to the aggregated mins via
+        # shuffle_hash hint. The hint closes BOTH hazards at once
+        # (round 10, ADVICE r9): it forces a shuffled join, so Catalyst's
+        # expansion-blind static estimate can never broadcast the
+        # exploded GRAMS side (the d26 sf100 killer the round-9 window
+        # rewrite was dodging), and unlike that window — whose per-gram
+        # partition serializes a hot gram (batch-wide boilerplate) into
+        # ONE task — a shuffled join's fact-side exchange is exactly
+        # what AQE's skew-join optimization can split.
+        mins = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
         hits = (
-            grams.withColumn("first_doc", F.min("doc_id").over(wg))
+            grams.join(mins.hint("shuffle_hash"), "g")
             .filter(F.col("doc_id") > F.col("first_doc"))
             .select("doc_id", "p")
         )

@@ -1419,9 +1419,19 @@ def test_mp_design_sql_matches_python_both_thresholds():
             )
             assert tuple(got) == exp, (thr, nbits, got, exp)
             if thr == MP_THRESHOLD_HI:
-                # the round-7 claim under measurement: production-threshold
-                # designs stay single-digit sets, zero probe radius
-                assert exp[0] <= 9 and exp[1] == 0, (nbits, exp)
+                # the round-7 claim, amended by the round-9 recall floor:
+                # production-threshold designs stay single-digit sets and
+                # radius <= 1, with radius nonzero ONLY at narrow widths
+                # (nbits <= NARROW_WIDTH_BITS). Rationale for the
+                # amendment: at thr=0.9/nbits=4 the radius-0 design is
+                # (1 set, union 0.538) — the slimmest margin of ANY hi-
+                # threshold width (nbits=5 gives 0.709, nbits=8 0.641),
+                # i.e. exactly the zero-margin regime the floor exists
+                # for; flooring lifts union to 0.899 for one 5-mask
+                # probe ring on a single set, so plan size stays trivial.
+                assert exp[0] <= 9 and exp[1] <= 1, (nbits, exp)
+                if nbits > VEC.NARROW_WIDTH_BITS:
+                    assert exp[1] == 0, (nbits, exp)
 
 
 def test_kcenter_batched_equals_sequential_with_fewer_passes(spark, sf_dir):
@@ -1488,6 +1498,43 @@ def test_star_components_match_label_propagation_and_survive_long_chains(spark):
     labels = star_components(cnodes, cedges).collect()
     assert all(r["cluster_id"] == 0 for r in labels)
     assert len(labels) == 400
+
+
+def test_star_components_giant_star_takes_join_attach(spark, monkeypatch):
+    """The adaptive attach's whole point (round 9/10): a giant star — one
+    component minimum owning ~every edge — must route to the AQE-skew-
+    splittable JOIN attach, not serialize into one window task, and still
+    produce exact labels. The fixture graphs (bounded chains) never
+    exercise this path, which is how the half-wired refactor shipped
+    broken in round 9; this test pins both the routing and the result."""
+    from pyspark.sql import functions as F
+
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+
+    # hub star: 300 spokes all attached to node 0. Canonical hi-groups
+    # are ALL size 1 (0 sits in lo everywhere); the symmetric u=0 group
+    # holds all 300 edges — exactly the shape the sym-side measure exists
+    # to catch (a hi-side measure reads max_group=1 and routes windowed).
+    nodes = spark.range(301).select(F.col("id"))
+    edges = spark.range(1, 301).select(
+        F.col("id").alias("id_a"), F.lit(0).alias("id_b")
+    )
+    monkeypatch.setattr(DD, "_WINDOW_ATTACH_MAX_GROUP", 100)
+    labels = DD.star_components(nodes, edges).collect()
+    assert len(labels) == 301
+    assert all(r["cluster_id"] == 0 for r in labels)
+    assert DD._LAST_ATTACH_MODES, "no rounds recorded"
+    assert not any(DD._LAST_ATTACH_MODES), (
+        f"giant star routed to the window attach: {DD._LAST_ATTACH_MODES}"
+    )
+
+    # and the same graph above the threshold keeps the window fast path
+    monkeypatch.setattr(DD, "_WINDOW_ATTACH_MAX_GROUP", 4_000_000)
+    labels = DD.star_components(nodes, edges).collect()
+    assert all(r["cluster_id"] == 0 for r in labels)
+    assert all(DD._LAST_ATTACH_MODES), (
+        f"bounded star fell off the window fast path: {DD._LAST_ATTACH_MODES}"
+    )
 
 
 def test_hll_rollup_merge_equals_direct_build(spark, sf_dir):
