@@ -12,7 +12,7 @@ comparisons only happen inside LSH buckets, never across the full corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -1007,32 +1007,49 @@ def star_components(
     #   skew-safe) + join-back whose own exchange AQE's skew-join CAN
     #   split across tasks.
     #
-    # The choice is ADAPTIVE per round: the fingerprint job below also
-    # measures the round's max star size; rounds whose biggest group is
-    # comfortably single-task (< _WINDOW_ATTACH_MAX_GROUP rows) take the
-    # window fast path, rounds with a giant component fall back to the
-    # AQE-splittable join. The fixture (bounded chains) stays on the
-    # fast path every round; a one-giant-component dedup graph degrades
-    # gracefully instead of OOMing one task.
+    # The choice is ADAPTIVE per round, measured for FREE via
+    # df.observe (round 10): a dedicated per-round stats job cost ~30%
+    # at sf10 (45.3 vs 34.9 s warm), so instead each round's checkpoint
+    # job itself collects (a) the fixpoint fingerprint — CollectMetrics
+    # on the post-distinct plan — and (b) the round's max star size: the
+    # large-star window/agg already groups the symmetric view by u, so a
+    # count over the same frame costs one column, and max(count) is a
+    # global metric. Small-star needs no observe: its hi=v group has one
+    # row per neighbor u < v, so |group| <= deg(v) <= the large-star max
+    # of the SAME round. Routing therefore LAGS one round (round k runs
+    # with round k-1's measured max; the seed max is an exact one-off
+    # sym groupBy on the input): a star that explodes past the threshold
+    # mid-round still finishes — a window partition sorts via
+    # UnsafeExternalSorter, which SPILLS rather than OOMs — and the next
+    # round flips to the AQE-skew-splittable join. Rounds whose biggest
+    # group is comfortably single-task (< _WINDOW_ATTACH_MAX_GROUP rows)
+    # take the window fast path; the fixture (bounded chains) stays on
+    # it every round; a one-giant-component dedup graph degrades
+    # gracefully instead of serializing every round into one task.
     #
     # The large-star distinct is dropped outright: its output is exactly
     # one row per input edge (sym filtered to v > u), so duplicates are
     # bounded by E and the small-star terminal distinct removes them.
 
-    def large_star(e: DataFrame, windowed: bool) -> DataFrame:
+    def large_star(e: DataFrame, windowed: bool, obs: "Observation") -> DataFrame:
         sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
         if windowed:
             w = Window.partitionBy("u")
-            att = sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            # min and count share the window frame: one pass, no second
+            # exchange — the group-size measure rides the attach itself
+            att = sym.withColumn(
+                "m", F.least(F.min("v").over(w), F.col("u"))
+            ).withColumn("gc", F.count("*").over(w))
         else:
             m = (
                 sym.groupBy("u")
-                .agg(F.min("v").alias("mn"))
-                .select("u", F.least("mn", F.col("u")).alias("m"))
+                .agg(F.min("v").alias("mn"), F.count("*").alias("gc"))
+                .select("u", F.least("mn", F.col("u")).alias("m"), "gc")
             )
             att = sym.join(m, "u")
+        att = att.observe(obs, F.coalesce(F.max("gc"), F.lit(0)).alias("mg"))
         return (
             att.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
@@ -1051,45 +1068,41 @@ def star_components(
         centers = base.select("hi", F.col("m").alias("lo"))
         return others.union(centers).distinct()
 
-    def _round_stats(e: DataFrame) -> tuple[tuple[int, int], int]:
-        # ((sym row count, XOR of per-row xxhash64), max sym group size)
-        # in ONE two-level aggregation (per-node partial agg — always
-        # skew-safe — then a scalar fold). The (n, xor) pair is an
-        # order-independent SET fingerprint (edge frames here are
-        # distinct sets; sym doubles each edge deterministically): a
-        # MISMATCH proves the round changed the edge set, so the exact
-        # exceptAll comparison is skipped — on star graphs the edge
-        # COUNT is constant every round (one (node, center) row per
-        # non-root node), so gating on count alone ran the two-exchange
-        # exceptAll every round (~25% of round cost at sf10). A match is
-        # only a hint: exceptAll below remains the exact arbiter, so a
-        # collision costs one wasted comparison, never a wrong fixpoint.
-        # XOR (not SUM) keeps the fold exact under ANSI mode — summing
-        # full-range xxhash64 values overflows LongType (round-9
-        # review). Max group is measured on the SYMMETRIC view, not the
-        # canonical (hi, lo) frame: large_star windows over sym's
-        # u-groups, and a giant star centered at a component minimum m
-        # puts ALL its edges in m's lo column — hi-groups of size 1, one
-        # sym u-group of size E (round-9 review). Max sym group also
-        # bounds small_star's hi-groups (hi-count <= degree), so one
-        # measure gates both phases.
+    # The fixpoint fingerprint is an order-independent SET fingerprint
+    # (count, XOR of per-row xxhash64) over the canonical distinct edge
+    # set: a MISMATCH proves the round changed the edge set, so the
+    # exact exceptAll comparison is skipped — on star graphs the edge
+    # COUNT is constant every round (one (node, center) row per non-root
+    # node), so gating on count alone ran the two-exchange exceptAll
+    # every round (~25% of round cost at sf10). A match is only a hint:
+    # exceptAll below remains the exact arbiter, so a collision costs
+    # one wasted comparison, never a wrong fixpoint. XOR (not SUM) keeps
+    # the fold exact under ANSI mode — summing full-range xxhash64
+    # values overflows LongType (round-9 review).
+    _FP_METRICS = (
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("h"),
+    )
+
+    def _seed_stats(e: DataFrame) -> tuple[tuple[int, int], int]:
+        # Once per call: the round-0 routing decision needs the max star
+        # size BEFORE any round has run, and the fingerprint needs a
+        # canonical-set baseline. Max group is measured on the SYMMETRIC
+        # view, not the canonical (hi, lo) frame: large_star windows over
+        # sym's u-groups, and a giant star centered at a component
+        # minimum m puts ALL its edges in m's lo column — hi-groups of
+        # size 1, one sym u-group of size E (round-9 review).
+        row = e.agg(*_FP_METRICS).collect()[0]
         sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        row = (
+        mg = (
             sym.groupBy("u")
-            .agg(
-                F.count("*").alias("c"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("x"),
-            )
-            .agg(
-                F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
-                F.coalesce(F.bit_xor("x"), F.lit(0)).alias("h"),
-                F.coalesce(F.max("c"), F.lit(0)).alias("mg"),
-            )
-            .collect()[0]
+            .agg(F.count("*").alias("c"))
+            .agg(F.coalesce(F.max("c"), F.lit(0)).alias("mg"))
+            .collect()[0]["mg"]
         )
-        return (int(row["n"]), int(row["h"])), int(row["mg"])
+        return (int(row["n"]), int(row["h"])), int(mg)
 
     edges = (
         pairs.filter(F.col("id_a") != F.col("id_b"))
@@ -1100,17 +1113,28 @@ def star_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_fp, max_group = _round_stats(edges)
+    prev_fp, max_group = _seed_stats(edges)
+    _LAST_ATTACH_MODES.clear()
+    if prev_fp[0] == 0:
+        # no edges: every node is its own component. Also load-bearing
+        # for the observe path below — AQE's empty-relation propagation
+        # ELIMINATES CollectMetrics nodes from an all-empty plan, so
+        # Observation.get would raise. Only the input can be empty: a
+        # nonempty edge set yields a nonempty round (sym keeps the v > u
+        # orientation of every edge, so large_star emits >= E rows and
+        # small_star >= 1 row per group), so no mid-loop guard is needed.
+        return nodes.select("id", F.col("id").alias("cluster_id"))
     sc = edges.sparkSession.sparkContext
     converged = False
-    _LAST_ATTACH_MODES.clear()
     for _ in range(max_iters):
         windowed = max_group < _WINDOW_ATTACH_MAX_GROUP
         _LAST_ATTACH_MODES.append(windowed)
-        nxt = small_star(large_star(edges, windowed), windowed).localCheckpoint(
-            eager=True
-        )
-        fp, max_group = _round_stats(nxt)
+        o_ls, o_fp = Observation(), Observation()
+        plan = small_star(large_star(edges, windowed, o_ls), windowed)
+        nxt = plan.observe(o_fp, *_FP_METRICS).localCheckpoint(eager=True)
+        # both observations resolved by the checkpoint job — zero extra jobs
+        fp = (int(o_fp.get["n"]), int(o_fp.get["h"]))
+        max_group = int(o_ls.get["mg"])
         done = fp == prev_fp and nxt.exceptAll(edges).isEmpty()
         # the convergence check was the last reader of the old round:
         # retire its checkpoint blocks now, and on fact-scale rounds
@@ -1119,8 +1143,7 @@ def star_components(
             edges.unpersist()
         except Exception:
             pass
-        # prev_fp[0] counts SYM rows (2x edges), hence the doubled bound
-        if prev_fp[0] > 2 * _GC_NUDGE_EDGES:
+        if prev_fp[0] > _GC_NUDGE_EDGES:
             try:
                 sc._jvm.System.gc()
             except Exception:
