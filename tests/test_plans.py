@@ -575,6 +575,40 @@ def test_driver_green_names_resolve():
     assert not missing, f"driver_green names not in registry: {missing}"
 
 
+def test_impl_hash_covers_transitive_helpers():
+    """The driver-green stamp must change when a HELPER a query calls
+    changes, not only when the query fn's own text changes — round 9's
+    geo vectorization rewrote functions/geo.py under unchanged stamps
+    and the driver never re-checked g1/g3/g4/g5 (round-9 verdict item 3).
+    Pin the closure: (a) a geo query's behavior-source closure contains
+    functions/geo source; (b) an llmdata query's contains the module
+    constant it tunes by repr, so constant tweaks reset stamps too;
+    (c) the closure is deterministic across calls (stable stamps)."""
+    from nyc_open_data_pipeline_spark.plans.registry import (
+        _behavior_sources,
+        impl_hash,
+    )
+
+    g1 = QUERIES["g1_geojson_to_wkt"]
+    out: list[str] = []
+    _behavior_sources(g1.fn, set(), out)
+    blob = "\n".join(out)
+    assert "def geojson_to_wkt" in blob or "functions.geo" in blob or (
+        "pandas_udf" in blob and "wkt" in blob.lower()
+    ), "g1 closure does not reach the geo helper module"
+
+    d19 = QUERIES["d19_multiprobe_neardup"]
+    out2: list[str] = []
+    _behavior_sources(d19.fn, set(), out2)
+    blob2 = "\n".join(out2)
+    assert "MP_THRESHOLD=" in blob2 or "MP_THRESHOLD" in blob2, (
+        "d19 closure misses the threshold constant"
+    )
+
+    assert impl_hash(g1) == impl_hash(g1)
+    assert impl_hash(g1) != impl_hash(d19)
+
+
 def test_c5_cleanroom_v2_single_plan_composition(spark, sf_dir):
     """c5 must compose d21 -> tx14 -> exact dedup -> d19 drop -> d9 split
     into ONE Catalyst plan with no cartesian/nested-loop fallback, and the
