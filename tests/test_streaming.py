@@ -666,3 +666,36 @@ def test_incremental_substring_within_batch_keep_first(spark, tmp_path):
     assert [(r["doc_id"], r["start_pos"], r["end_pos"], r["span_len"]) for r in rows] == [
         (9, 1, 10, 10)
     ]
+
+
+def test_incremental_substring_keep_first_join_is_shuffled(spark, tmp_path):
+    """The within-batch keep-first join must execute as a SHUFFLED hash
+    join with the aggregated mins as build side (round 10): a broadcast
+    here would be Catalyst's expansion-blind static estimate shipping the
+    posexploded grams side (the d26 sf100 killer), and the round-9
+    window-min alternative serializes a batch-wide hot gram into one
+    task. The shuffle_hash hint is the pin; this test keeps it pinned."""
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        incremental_substring_sink,
+    )
+    from nyc_open_data_pipeline_spark.streaming.windows import (
+        drain_stream_plans,
+    )
+
+    drain_stream_plans()
+    text = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_substring_sink(spark, out, state)
+    sink(
+        spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        ),
+        0,
+    )
+    recorded = drain_stream_plans()
+    assert recorded, "batch plan was not recorded"
+    plans = [p for name, p in recorded if "incremental_substring" in name]
+    assert plans, f"no substring batch plan among {[n for n, _ in recorded]}"
+    assert any("ShuffledHashJoin" in p for p in plans), (
+        "keep-first join is not a shuffled hash join"
+    )
