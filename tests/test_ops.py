@@ -1537,6 +1537,36 @@ def test_star_components_giant_star_takes_join_attach(spark, monkeypatch):
     )
 
 
+def test_star_components_flips_to_join_when_giant_star_forms(spark, monkeypatch):
+    """The routing is LAGGED one round (the measure rides each round's own
+    checkpoint job): a graph that STARTS skinny but contracts into a giant
+    star must begin on the window path and flip to the join path as soon
+    as the observed max group crosses the threshold. A chain is the
+    canonical such graph — initial degree <= 2, but star contraction
+    roughly doubles node 0's star every alternation, so with a low
+    threshold the modes must be monotone True...False with both present,
+    and the labels still exact."""
+    from pyspark.sql import functions as F
+
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+
+    n = 512
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    monkeypatch.setattr(DD, "_WINDOW_ATTACH_MAX_GROUP", 40)
+    labels = DD.star_components(nodes, edges).collect()
+    assert len(labels) == n
+    assert all(r["cluster_id"] == 0 for r in labels)
+    modes = list(DD._LAST_ATTACH_MODES)
+    assert modes[0] is True, f"chain did not start on the window path: {modes}"
+    assert modes[-1] is False, f"giant star never flipped to join: {modes}"
+    # single flip: once a giant star exists it never shrinks below the
+    # threshold (contraction only merges stars), so True never recurs
+    assert modes == sorted(modes, reverse=True), f"modes flapped: {modes}"
+
+
 def test_hll_rollup_merge_equals_direct_build(spark, sf_dir):
     """The sk6 mergeability claim, asserted exactly: day registers built
     by register-wise MAX over stored HOUR sketches must equal the day
