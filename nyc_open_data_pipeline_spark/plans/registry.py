@@ -44,6 +44,97 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _PKG_PREFIX = "nyc_open_data_pipeline_spark"
 
 
+def _const_repr(obj) -> str | None:
+    """Deterministic canonical repr for primitive constants and containers
+    of them, or None when ``obj`` holds anything non-primitive.
+
+    set/frozenset/dict iterate in hash order, which varies with
+    PYTHONHASHSEED — raw ``repr`` would make ``impl_hash`` differ between
+    driver runs and spuriously reset every stamp each round (ADVICE r10).
+    Canonicalize by SORTING element/item reprs instead of trusting
+    iteration order."""
+    if isinstance(obj, (bool, int, float, str, bytes)) or obj is None:
+        return repr(obj)
+    if isinstance(obj, (tuple, list)):
+        parts = [_const_repr(x) for x in obj]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(obj).__name__}[{','.join(parts)}]"
+    if isinstance(obj, (set, frozenset)):
+        parts = [_const_repr(x) for x in obj]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(obj).__name__}{{{','.join(sorted(parts))}}}"
+    if isinstance(obj, dict):
+        items = []
+        for k, v in obj.items():
+            kr, vr = _const_repr(k), _const_repr(v)
+            if kr is None or vr is None:
+                return None
+            items.append(f"{kr}:{vr}")
+        return f"dict{{{','.join(sorted(items))}}}"
+    return None
+
+
+def _walk_value(nm: str, obj, seen: set[int], out: list[str], depth: int) -> None:
+    """Fold one referenced global/closure value into the behavior material:
+    package modules/callables by source (transitively), primitives and
+    primitive containers by canonical repr, and — the round-10 verdict's
+    container blind spot — dict/list/tuple dispatch tables holding package
+    callables by recursing into their elements, in a deterministic order."""
+    import inspect
+
+    if inspect.ismodule(obj):
+        if (getattr(obj, "__name__", "") or "").startswith(_PKG_PREFIX):
+            try:
+                out.append(inspect.getsource(obj))
+            except (OSError, TypeError):
+                pass
+        return
+    if callable(obj):
+        mod = getattr(obj, "__module__", None)
+        if not (isinstance(mod, str) and mod.startswith(_PKG_PREFIX)):
+            return
+        if inspect.isclass(obj):
+            try:
+                out.append(inspect.getsource(obj))
+            except (OSError, TypeError):
+                pass
+        else:
+            _behavior_sources(obj, seen, out, depth + 1)
+        return
+    rep = _const_repr(obj)
+    if rep is not None:
+        out.append(f"{nm}={rep}")
+        return
+    # Mixed container (e.g. a name -> helper-fn dispatch dict): recurse so a
+    # container-reached package callable still enters the hash. Determinism:
+    # dicts iterate in insertion order (stable for module-level literals);
+    # sets are ordered by a stable sort key since hash order is seed-dependent.
+    if depth > 8 or id(obj) in seen:
+        return
+    if isinstance(obj, dict):
+        seen.add(id(obj))
+        for k, v in obj.items():
+            _walk_value(f"{nm}[{_const_repr(k) or type(k).__name__}]", v, seen, out, depth + 1)
+    elif isinstance(obj, (tuple, list)):
+        seen.add(id(obj))
+        for i, el in enumerate(obj):
+            _walk_value(f"{nm}[{i}]", el, seen, out, depth + 1)
+    elif isinstance(obj, (set, frozenset)):
+        seen.add(id(obj))
+        els = sorted(
+            obj,
+            key=lambda e: (
+                getattr(e, "__module__", "") or "",
+                getattr(e, "__qualname__", "") or "",
+                str(type(e)),
+            ),
+        )
+        for el in els:
+            _walk_value(f"{nm}{{}}", el, seen, out, depth + 1)
+
+
 def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> None:
     """Collect fn's source plus the sources of every PACKAGE callable,
     class, module, and primitive constant it references, transitively.
@@ -58,8 +149,13 @@ def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> Non
     for helper modules referenced as modules (``VEC.norm`` resets every
     VEC user — helper files are small and change rarely). Non-package
     objects (pyspark, stdlib) are skipped; primitive module-level
-    constants hash by repr so tuning MP_THRESHOLD-style knobs resets
-    their dependents. Deterministic: names sorted, cycles cut by id."""
+    constants — including set/frozenset/dict/list containers, via the
+    seed-independent canonical form in ``_const_repr`` — hash by value so
+    tuning MP_THRESHOLD-style knobs resets their dependents; containers
+    holding package callables (dispatch tables) are walked element-wise
+    (round-10 verdict blind spot); bound ``__defaults__`` are hashed so
+    defaults-only constants count too. Deterministic: names sorted,
+    cycles cut by id."""
     import inspect
 
     if id(fn) in seen or depth > 8:
@@ -72,6 +168,20 @@ def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> Non
     code = getattr(fn, "__code__", None)
     if code is None:
         return
+    # Default argument values bind at def time: a module constant used ONLY
+    # as a default (``threshold: float = MP_THRESHOLD``) never appears in any
+    # co_names, so hash the bound defaults themselves — tuning the constant
+    # then re-importing changes __defaults__ and resets the stamp.
+    defaults = getattr(fn, "__defaults__", None) or ()
+    kwdefaults = getattr(fn, "__kwdefaults__", None) or {}
+    for i, dv in enumerate(defaults):
+        rep = _const_repr(dv)
+        if rep is not None:
+            out.append(f"{getattr(fn, '__qualname__', '?')}.default[{i}]={rep}")
+    for kw in sorted(kwdefaults):
+        rep = _const_repr(kwdefaults[kw])
+        if rep is not None:
+            out.append(f"{getattr(fn, '__qualname__', '?')}.kwdefault[{kw}]={rep}")
     names = set()
     stack = [code]
     while stack:  # nested lambdas/comprehensions reference globals too
@@ -91,25 +201,7 @@ def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> Non
         obj = cells.get(nm, g.get(nm))
         if obj is None:
             continue
-        if inspect.ismodule(obj):
-            if (getattr(obj, "__name__", "") or "").startswith(_PKG_PREFIX):
-                try:
-                    out.append(inspect.getsource(obj))
-                except (OSError, TypeError):
-                    pass
-        elif callable(obj):
-            mod = getattr(obj, "__module__", None)
-            if not (isinstance(mod, str) and mod.startswith(_PKG_PREFIX)):
-                continue
-            if inspect.isclass(obj):
-                try:
-                    out.append(inspect.getsource(obj))
-                except (OSError, TypeError):
-                    pass
-            else:
-                _behavior_sources(obj, seen, out, depth + 1)
-        elif isinstance(obj, (bool, int, float, str, bytes, tuple, frozenset)):
-            out.append(f"{nm}={obj!r}")
+        _walk_value(nm, obj, seen, out, depth)
 
 
 def impl_hash(spec: "QuerySpec") -> str:

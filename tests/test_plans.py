@@ -600,13 +600,76 @@ def test_impl_hash_covers_transitive_helpers():
     d19 = QUERIES["d19_multiprobe_neardup"]
     out2: list[str] = []
     _behavior_sources(d19.fn, set(), out2)
-    blob2 = "\n".join(out2)
-    assert "MP_THRESHOLD=" in blob2 or "MP_THRESHOLD" in blob2, (
-        "d19 closure misses the threshold constant"
+    # the VALUE must enter the material, not merely the name in some
+    # signature text (ADVICE r10: the old disjunct was tautological)
+    assert any(s.startswith("MP_THRESHOLD=") for s in out2), (
+        "d19 closure misses the threshold constant's value"
     )
 
     assert impl_hash(g1) == impl_hash(g1)
     assert impl_hash(g1) != impl_hash(d19)
+
+
+def test_impl_hash_canonical_containers_and_defaults():
+    """Three stamp-fingerprint hardening pins (round-10 ADVICE + verdict #4):
+    (a) set/frozenset/dict constants hash via a sorted canonical form, so
+    the material is independent of hash-seed iteration order; (b) a package
+    callable reached only through a container (dispatch dict) still enters
+    the closure, and swapping it changes the material; (c) bound argument
+    defaults are hashed, so a defaults-only constant counts."""
+    from nyc_open_data_pipeline_spark.plans.registry import (
+        _behavior_sources,
+        _const_repr,
+    )
+
+    # (a) canonical container form: equal containers -> equal repr, with
+    # elements sorted rather than in (seed-dependent) iteration order
+    assert _const_repr(frozenset({"b", "a", "c"})) == _const_repr(
+        frozenset(["c", "a", "b"])
+    )
+    assert _const_repr({"z": 1, "a": 2}) == _const_repr({"a": 2, "z": 1})
+    assert _const_repr({1, 2}) != _const_repr(frozenset({1, 2}))  # type-tagged
+    assert _const_repr((1, [2, {"k": frozenset({3})}])) is not None
+    assert _const_repr((1, object())) is None  # non-primitive -> walk, not repr
+
+    # (b) container-dispatched package callable
+    def helper_v1():
+        return 1
+
+    def helper_v2():
+        return 2
+
+    helper_v1.__module__ = "nyc_open_data_pipeline_spark._fake_test_mod"
+    helper_v2.__module__ = "nyc_open_data_pipeline_spark._fake_test_mod"
+    dispatch = {"k": helper_v1}
+
+    def caller():
+        return dispatch["k"]()
+
+    out1: list[str] = []
+    _behavior_sources(caller, set(), out1)
+    assert any("helper_v1" in s for s in out1), "dispatch-dict callee not hashed"
+    dispatch["k"] = helper_v2
+    out2: list[str] = []
+    _behavior_sources(caller, set(), out2)
+    assert "\n".join(out1) != "\n".join(out2), "swapping the callee must change material"
+
+    # (c) defaults of reachable package fns are part of the material
+    threshold_default = 0.125
+
+    def helper_with_default(x=threshold_default):
+        return x
+
+    helper_with_default.__module__ = "nyc_open_data_pipeline_spark._fake_test_mod"
+
+    def caller2():
+        return helper_with_default()
+
+    out3: list[str] = []
+    _behavior_sources(caller2, set(), out3)
+    assert any(".default[0]=0.125" in s for s in out3), (
+        "bound __defaults__ must enter the hash material"
+    )
 
 
 def test_c5_cleanroom_v2_single_plan_composition(spark, sf_dir):
