@@ -6,9 +6,10 @@ the same anti-join per micro-batch inside ``foreachBatch``, appending
 survivors to the output table and their hashes to the state table. That is
 the production shape for continuous corpus ingestion at 100 TB:
 
-- the state table holds ONE narrow column (content_hash) — parquet-append
-  per batch, compacted/bucketed by hash out-of-band so the anti-join never
-  reshuffles the corpus side;
+- the state table holds ONE narrow column (content_hash) — one parquet
+  partition per batch, merged between batches by ``compact_state`` (below)
+  into a bounded number of key-hash-clustered files, so listing cost and
+  file count stay O(target size), not O(batches processed);
 - within-batch duplicates collapse first (groupBy hash, keep min id) so the
   anti-join's left side is already distinct;
 - ``foreachBatch`` gives exactly-once-per-batch semantics with the stream's
@@ -80,6 +81,154 @@ def _has_batches(d: str) -> bool:
             "subdirectory or start a fresh state dir"
         )
     return False
+
+
+class StateCompactionStats:
+    """Result of one compact_state run (plain attrs; no spark types)."""
+
+    def __init__(self, batches_merged: int, files_before: int, files_after: int):
+        self.batches_merged = batches_merged
+        self.files_before = files_before
+        self.files_after = files_after
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return (
+            f"StateCompactionStats(batches_merged={self.batches_merged}, "
+            f"files_before={self.files_before}, files_after={self.files_after})"
+        )
+
+
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _batch_ids(state_dir: str) -> list[int]:
+    out = []
+    try:
+        entries = os.listdir(state_dir)
+    except OSError:
+        return out
+    for e in entries:
+        if e.startswith("batch="):
+            try:
+                out.append(int(e.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _part_files(d: str) -> list[str]:
+    try:
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    except OSError:
+        return []
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    target_bytes: int = _COMPACT_TARGET_BYTES,
+    min_batches: int = 4,
+) -> StateCompactionStats:
+    """Merge the committed ``batch=<id>`` state partitions into ONE
+    partition of ~target-sized, key-hash-clustered files.
+
+    Why: the incremental sinks append one partition dir per micro-batch
+    forever; on a continuous feed the per-batch ``filter(batch < id)``
+    anti-join becomes listing- and small-file-bound after thousands of
+    batches (round-10 verdict #1). Compaction bounds both: file count
+    drops to ceil(bytes/target) and the dir count to one per
+    yet-uncompacted batch. Works for all three sinks (hash / band-key /
+    gram state) — the key columns are whatever the partitions hold.
+
+    Crash- and replay-safety (the protocol never makes committed state
+    invisible, so a crash at ANY point leaves a correct store):
+
+    1. only partitions with id <= the ``_last_batch`` marker are touched.
+       The marker is written AFTER a batch's writes, so a checkpoint
+       replay can only re-process ids STRICTLY ABOVE it — it can
+       overwrite its own ``batch=<id>`` partition but never the
+       compaction destination (``batch=<max merged id>`` <= marker);
+    2. the merged data is first written to a ``_compact_<token>`` temp
+       dir (underscore prefix: invisible to Spark's file listing), then
+       its files are MOVED into the destination partition one atomic
+       rename at a time, and only after ALL moves land are the source
+       partitions and the destination's superseded files deleted. A
+       crash mid-move or mid-delete leaves duplicate keys visible —
+       harmless for the sinks' semi/anti-join semantics (and for the
+       new-key anti-joins that bound state growth) — and the next
+       compact_state run, which starts with a DISTINCT over everything
+       below the marker, removes the duplicates;
+    3. stale ``_compact_*`` temp dirs from a crashed run are deleted at
+       entry: any of their files that were already moved live in the
+       destination, and the rest are still covered by the not-yet-deleted
+       source partitions.
+
+    Call it between micro-batches (e.g. between availableNow drains) —
+    it must not race a batch that is concurrently listing the state dir.
+    A run below ``min_batches`` committed partitions is a no-op, so a
+    nightly/periodic call is cheap at steady state."""
+    marker = os.path.join(state_dir, "_last_batch")
+    try:
+        with open(marker) as f:
+            last = int(f.read().strip())
+    except (OSError, ValueError):
+        return StateCompactionStats(0, 0, 0)
+
+    import shutil
+    import uuid
+
+    # roll forward/clean any crashed prior run's temp dirs (see docstring #3)
+    for e in os.listdir(state_dir):
+        if e.startswith("_compact_"):
+            shutil.rmtree(os.path.join(state_dir, e), ignore_errors=True)
+
+    ids = [i for i in _batch_ids(state_dir) if i <= last]
+    files_before = sum(len(_part_files(os.path.join(state_dir, f"batch={i}"))) for i in ids)
+    if len(ids) < min_batches:
+        return StateCompactionStats(0, files_before, files_before)
+    dest_id = max(ids)
+    dest = os.path.join(state_dir, f"batch={dest_id}")
+
+    src_bytes = sum(
+        os.path.getsize(f)
+        for i in ids
+        for f in _part_files(os.path.join(state_dir, f"batch={i}"))
+    )
+    want = max(1, -(-src_bytes // target_bytes))  # ceil
+
+    # read ONLY the committed partition dirs: a crash may have left a torn,
+    # uncommitted batch=<last+1> partition whose footers must not be touched
+    # (schema inference over the root could read them before pruning)
+    merged = spark.read.parquet(
+        *[os.path.join(state_dir, f"batch={i}") for i in ids]
+    )
+    keys = merged.columns
+    token = uuid.uuid4().hex[:8]
+    tmp = os.path.join(state_dir, f"_compact_{token}")
+    # distinct: idempotent over a crash-leftover duplicate window; the
+    # repartition hash-clusters each output file on the key columns
+    merged.distinct().repartition(want, *keys).write.mode("overwrite").parquet(tmp)
+
+    old_dest_files = set(_part_files(dest))
+    os.makedirs(dest, exist_ok=True)
+    for i, f in enumerate(_part_files(tmp)):
+        os.rename(f, os.path.join(dest, f"compact-{token}-{i:05d}.parquet"))
+    # all merged files are in place -> originals are now redundant
+    for i in ids:
+        if i != dest_id:
+            shutil.rmtree(os.path.join(state_dir, f"batch={i}"), ignore_errors=True)
+    for f in old_dest_files:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    shutil.rmtree(tmp, ignore_errors=True)
+    files_after = len(_part_files(dest))
+    return StateCompactionStats(len(ids), files_before, files_after)
 
 
 def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):

@@ -699,3 +699,231 @@ def test_incremental_substring_keep_first_join_is_shuffled(spark, tmp_path):
     assert any("ShuffledHashJoin" in p for p in plans), (
         "keep-first join is not a shuffled hash join"
     )
+
+
+def _state_parquet_files(state_dir):
+    """All visible parquet files under batch=* partitions of a state dir."""
+    import os
+
+    out = []
+    for e in sorted(os.listdir(state_dir)):
+        d = os.path.join(state_dir, e)
+        if e.startswith("batch=") and os.path.isdir(d):
+            out += [
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+    return out
+
+
+def test_compact_state_preserves_survivors_and_bounds_files(spark, tmp_path):
+    """Round-10 verdict #1: the state-store maintenance the module docstring
+    promised. Drive 10 micro-batches through the exact-hash sink twice —
+    once untouched, once with compact_state interleaved mid-stream — and
+    prove (a) identical survivors, (b) the compacted store's batch-dir and
+    file counts are bounded by (uncompacted batches + 1), not by total
+    batches processed."""
+    import os
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        compact_state,
+        incremental_dedup_sink,
+    )
+
+    # 10 batches; text j of batch i duplicates batch i-2's text j for even j
+    def batch(i):
+        rows = []
+        for j in range(4):
+            txt = f"doc {i - 2 if (j % 2 == 0 and i >= 2) else i} payload {j}"
+            rows.append((i * 100 + j, txt))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    out_a, state_a = str(tmp_path / "out_a"), str(tmp_path / "state_a")
+    sink_a = incremental_dedup_sink(spark, out_a, state_a)
+    for i in range(10):
+        sink_a(batch(i), i)
+
+    out_b, state_b = str(tmp_path / "out_b"), str(tmp_path / "state_b")
+    sink_b = incremental_dedup_sink(spark, out_b, state_b)
+    for i in range(10):
+        sink_b(batch(i), i)
+        if i in (4, 7):  # compact mid-stream, between batches
+            stats = compact_state(spark, state_b, min_batches=2)
+            assert stats.batches_merged == {4: 5, 7: 4}[i]
+            assert stats.files_after <= stats.files_before
+
+    surv = lambda p: {r["doc_id"] for r in spark.read.parquet(p).collect()}  # noqa: E731
+    assert surv(out_b) == surv(out_a) and len(surv(out_a)) > 0
+    state_keys = lambda p: {  # noqa: E731
+        r["content_hash"] for r in spark.read.parquet(p).collect()
+    }
+    assert state_keys(state_b) == state_keys(state_a)
+    # bounded: batches 0..7 merged into one partition, 8..9 still their own
+    dirs_b = [e for e in os.listdir(state_b) if e.startswith("batch=")]
+    assert len(dirs_b) == 3
+    assert len(_state_parquet_files(state_b)) < len(_state_parquet_files(state_a))
+
+
+def test_compact_state_then_crash_replay_overwrites_own_partition(spark, tmp_path):
+    """A checkpoint replay AFTER compaction must behave exactly as before:
+    the replayed batch overwrites only its OWN partition (id > marker at
+    write time > every compacted id) and anti-joins against exactly the
+    pre-batch state, so survivors match the never-crashed run and nothing
+    double-appends into the compaction destination."""
+    import os
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        compact_state,
+        incremental_dedup_sink,
+    )
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_dedup_sink(spark, out, state)
+    texts = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    for i in range(8):
+        sink(
+            spark.createDataFrame(
+                [(i * 10, texts[i]), (i * 10 + 1, texts[max(0, i - 1)])],
+                "doc_id long, text string",
+            ),
+            i,
+        )
+    stats = compact_state(spark, state, min_batches=2)
+    assert stats.batches_merged == 8
+    dest = os.path.join(state, "batch=7")
+    dest_files_before = sorted(os.listdir(dest))
+
+    # batch 8: one dup of batch 7's text, one new text
+    b8 = spark.createDataFrame(
+        [(80, texts[7]), (81, "iota")], "doc_id long, text string"
+    )
+    sink(b8, 8)
+    os.remove(os.path.join(state, "_last_batch"))  # crash-before-marker
+    sink(b8, 8)  # replay
+
+    assert sorted(os.listdir(dest)) == dest_files_before  # destination untouched
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # per batch i: doc i*10 survives (new text), i*10+1 is a dup of batch
+    # i-1's text except batch 0 where both rows are 'alpha' (within-batch
+    # collapse keeps doc 0); batch 8: 80 dups theta, 81 survives
+    assert got == {i * 10 for i in range(8)} | {81}
+    assert len(spark.read.parquet(out).collect()) == len(got)  # no double rows
+
+
+def test_compact_state_crash_mid_swap_is_harmless_and_self_heals(spark, tmp_path):
+    """Duplicate-window tolerance: simulate a compaction that crashed after
+    moving SOME merged files but before deleting the originals (duplicate
+    keys visible) plus a stale _compact_* temp dir. The sinks must still
+    produce correct survivors, and the next compact_state run must clean
+    the store back to distinct keys and drop the stale temp dir."""
+    import os
+    import shutil
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        compact_state,
+        incremental_dedup_sink,
+    )
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_dedup_sink(spark, out, state)
+    for i, t in enumerate(["one", "two", "three", "four"]):
+        sink(
+            spark.createDataFrame([(i, t)], "doc_id long, text string"), i
+        )
+    # fake a crashed swap: batch=3 gets a DUPLICATE copy of batch=0's file,
+    # and a stale temp dir is left behind
+    src = next(
+        f
+        for f in os.listdir(os.path.join(state, "batch=0"))
+        if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(state, "batch=0", src),
+        os.path.join(state, "batch=3", "compact-dead-00000.parquet"),
+    )
+    os.makedirs(os.path.join(state, "_compact_dead"), exist_ok=True)
+    with open(os.path.join(state, "_compact_dead", "garbage.txt"), "w") as f:
+        f.write("leftover")
+
+    # a batch against the duplicated store still dedups correctly
+    sink(
+        spark.createDataFrame(
+            [(40, "one"), (41, "five")], "doc_id long, text string"
+        ),
+        4,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {
+        0, 1, 2, 3, 41,
+    }
+
+    stats = compact_state(spark, state, min_batches=2)
+    assert stats.batches_merged == 5
+    assert not os.path.isdir(os.path.join(state, "_compact_dead"))
+    rows = spark.read.parquet(state).select("content_hash").collect()
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes)) == 5  # distinct again
+
+
+def test_compact_state_below_min_batches_is_noop(spark, tmp_path):
+    import os
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        compact_state,
+        incremental_dedup_sink,
+    )
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_dedup_sink(spark, out, state)
+    sink(spark.createDataFrame([(1, "a")], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame([(2, "b")], "doc_id long, text string"), 1)
+    listing = sorted(os.listdir(state))
+    stats = compact_state(spark, state, min_batches=4)
+    assert stats.batches_merged == 0
+    assert sorted(os.listdir(state)) == listing  # untouched
+    # and on a dir with no marker at all
+    empty = str(tmp_path / "nostate")
+    os.makedirs(empty)
+    assert compact_state(spark, empty).batches_merged == 0
+
+
+def test_compact_state_band_key_store(spark, tmp_path):
+    """compact_state is schema-generic: the two-column band-key store of
+    the near-dup sink compacts with identical semantics (state keys equal
+    before/after, later batches still anti-join against them)."""
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        compact_state,
+        incremental_neardup_sink,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different words appear in this other document body text"
+    c = "a third unrelated passage about spark shuffles and parquet footers"
+    d = "yet another corpus line mentioning watermarks checkpoints and state"
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_neardup_sink(spark, out, state)
+    for i, t in enumerate([a, b, c, d]):
+        sink(
+            spark.createDataFrame([(i, t)], "doc_id long, text string"), i
+        )
+    before = {
+        (r["band"], r["band_key"])
+        for r in spark.read.parquet(state).select("band", "band_key").collect()
+    }
+    stats = compact_state(spark, state, min_batches=2)
+    assert stats.batches_merged == 4
+    after = {
+        (r["band"], r["band_key"])
+        for r in spark.read.parquet(state).select("band", "band_key").collect()
+    }
+    assert after == before
+    # a near-copy of doc 0 arriving after compaction is still dropped
+    sink(
+        spark.createDataFrame(
+            [(100, a + " extra"), (101, "entirely novel text about nothing shared with priors at all")],
+            "doc_id long, text string",
+        ),
+        4,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 100 not in got and 101 in got
