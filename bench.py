@@ -281,6 +281,30 @@ def main() -> None:
         families[fam] = families.get(fam, 0.0) + v
     families = {k: round(v, 3) for k, v in sorted(families.items())}
 
+    # Batch vs stream split (round-10 verdict #5): the st* family is mostly
+    # per-micro-batch Spark fixed cost (~40 s of the sf0.1 headline), which
+    # drowns the batch engine's signal in the grand total — report both so a
+    # batch-side regression is visible without subtracting by hand.
+    stream_total = families.get("st", 0.0)
+    batch_total = round(total - stream_total, 3)
+
+    # Same-day yardstick (round-10 verdict #7, SCALE.md §Round 10 method):
+    # host speed varies 1.4-1.9x between rounds on identical code+data, so
+    # cross-round comparisons are only meaningful as ratios to a
+    # byte-identical query measured in the SAME run. d26 is the established
+    # yardstick; emit its time and the headline ratios so future BENCH_rN
+    # diffs are box-calibrated automatically.
+    y = timings.get("d26_substring_dedup")
+    yardstick = None
+    if y:
+        yardstick = {
+            "query": "d26_substring_dedup",
+            "sec": y,
+            "core30_ratio": round(core30 / y, 3),
+            "core58_ratio": round(core58 / y, 3),
+            "batch_total_ratio": round(batch_total / y, 3),
+        }
+
     # Streaming rate metrics (round-7 VERDICT #8): the foreachBatch sinks
     # record per-micro-batch (rows out, new state keys, wall sec); attach
     # the records from the LAST timed pass so st3/st11's per-batch cost
@@ -315,10 +339,14 @@ def main() -> None:
         "unit": "sec",
         "core30_sec": round(core30, 3),
         "core58_sec": round(core58, 3),
+        "batch_total_sec": batch_total,
+        "stream_total_sec": round(stream_total, 3),
         "families": families,
         "queries": timings,
         "sf": float(sf),
     }
+    if yardstick:
+        out["yardstick"] = yardstick
     if stream_batches:
         out["stream_batches"] = stream_batches
     if errors:
@@ -334,11 +362,15 @@ def main() -> None:
         "unit": "sec",
         "core30_sec": round(core30, 3),
         "core58_sec": round(core58, 3),
+        "batch_total_sec": batch_total,
+        "stream_total_sec": round(stream_total, 3),
         "families": families,
         "n_queries": len(ok),
         "n_errors": len(errors),
         "sf": float(sf),
     }
+    if yardstick:
+        summary["yardstick"] = yardstick
     print(json.dumps(summary))
     spark.stop()
 

@@ -1124,7 +1124,6 @@ def star_components(
         # orientation of every edge, so large_star emits >= E rows and
         # small_star >= 1 row per group), so no mid-loop guard is needed.
         return nodes.select("id", F.col("id").alias("cluster_id"))
-    sc = edges.sparkSession.sparkContext
     converged = False
     for _ in range(max_iters):
         windowed = max_group < _WINDOW_ATTACH_MAX_GROUP
@@ -1145,9 +1144,13 @@ def star_components(
             pass
         if prev_fp[0] > _GC_NUDGE_EDGES:
             try:
-                sc._jvm.System.gc()
+                # resolved lazily INSIDE the guard: on Spark Connect even
+                # .sparkContext raises (PySparkNotImplementedError), so an
+                # eager access outside try/except would fail the whole
+                # operator before any round ran (ADVICE r10)
+                edges.sparkSession.sparkContext._jvm.System.gc()
             except Exception:
-                pass  # Spark Connect: no _jvm gateway — nudge is best-effort
+                pass  # Spark Connect: no JVM gateway — nudge is best-effort
         edges, prev_fp = nxt, fp
         if done:
             converged = True

@@ -276,7 +276,9 @@ _SQL_SCORED_PAIRS_CTE = f"""
     survey_ref="extension: MinHash-LSH banding + exact n-gram Jaccard verify "
     "(bucket-capped for adversarial corpora; cap mirrored in the oracle)",
 )
-def d4_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d4_lsh_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, survivors_first: bool = False
+) -> DataFrame:
     """Near-dup candidates via 4-band LSH, verified with exact shingle
     Jaccard. The only pairwise work happens inside equal-band-key buckets —
     sub-quadratic at 100 TB (plus a bucket-size cap for adversarial data).
@@ -284,8 +286,31 @@ def d4_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shared intermediate is the HASHED shingle set (one md5 pass;
     long arrays): MinHash permutes it, and the Jaccard verify intersects it
     — persisted once per (session, sf_dir) for all consuming branches, as is
-    the scored-pairs output itself (d7 reuses it as its edge set)."""
-    return _shared_scored_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    the scored-pairs output itself (d7 reuses it as its edge set).
+
+    ``survivors_first=True`` is the copy-heavy-corpus guard (round-10
+    verdict #6): exact-dedup the corpus FIRST (d1's hash-groupBy, keep the
+    MIN doc_id per content hash) and band only the survivors — c6's
+    production ordering applied to this entry point. Raw LSH pairing emits
+    Θ(copies²) rows on a fully-replicated corpus (every crawl dump; the
+    measured d4 sf100 boundary in SCALE.md), while survivors-first is
+    linear in copies and IDENTICAL on pairs whose endpoints both survive.
+    Default off: the registered oracle scores the raw corpus."""
+    if not survivors_first:
+        return _shared_scored_pairs(spark, sf_dir).select(
+            "id_a", "id_b", "jaccard"
+        )
+    docs = t(spark, sf_dir, "documents")
+    keep = DD.exact_dup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    hv = _shared_hv(spark, sf_dir).join(
+        keep.withColumnRenamed("doc_id", "id"), "id", "left_semi"
+    )
+    cand = DD.minhash_lsh_pairs(
+        docs.join(keep, "doc_id", "left_semi"),
+        num_hashes=16, bands=NBANDS, precomputed_hashes=hv,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+    return DD.jaccard_pairs_hashed(hv, cand).select("id_a", "id_b", "jaccard")
 
 
 @register(

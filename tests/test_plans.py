@@ -851,3 +851,31 @@ def test_d26_substring_spans_match_bruteforce(spark, sf_dir):
             start = prev = p
         expected.add((d, start, prev + _D26_N - 1, prev - start + _D26_N))
     assert got == expected
+
+
+def test_d4_survivors_first_guard(spark, sf_dir):
+    """survivors_first=True (round-10 verdict #6: the copy-heavy-corpus
+    guard) must equal the raw d4 output restricted to pairs whose BOTH
+    endpoints are exact-dedup keepers — same banding, same verify, minus
+    the Θ(copies²) bulk that exact copies contribute."""
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+    from nyc_open_data_pipeline_spark.plans import llmdata
+
+    raw = llmdata.d4_lsh_jaccard_pairs(spark, sf_dir).collect()
+    surv = llmdata.d4_lsh_jaccard_pairs(
+        spark, sf_dir, survivors_first=True
+    ).collect()
+    keep = {
+        r["keep_id"]
+        for r in DD.exact_dup_groups(
+            llmdata.t(spark, sf_dir, "documents")
+        ).collect()
+    }
+    raw_kk = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in raw
+        if r["id_a"] in keep and r["id_b"] in keep
+    }
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in surv}
+    assert got == raw_kk
+    assert len(surv) <= len(raw)
