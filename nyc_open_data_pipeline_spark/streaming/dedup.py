@@ -322,7 +322,11 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
 
 
 def run_incremental_dedup(
-    spark: SparkSession, stream: DataFrame, out_dir: str, state_dir: str
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    compact_after: bool = False,
 ) -> None:
     """Drain all currently-available input through the dedup sink."""
     q = (
@@ -332,6 +336,9 @@ def run_incremental_dedup(
         .start()
     )
     _await_drained(q, "incremental_dedup")
+    if compact_after:
+        # safe point: the availableNow drain is complete, no batch in flight
+        compact_state(spark, state_dir)
 
 
 
@@ -464,7 +471,11 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
 
 
 def run_incremental_neardup(
-    spark: SparkSession, stream: DataFrame, out_dir: str, state_dir: str
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    compact_after: bool = False,
 ) -> None:
     """Drain all currently-available input through the near-dup sink."""
     q = (
@@ -476,6 +487,9 @@ def run_incremental_neardup(
         .start()
     )
     _await_drained(q, "incremental_neardup")
+    if compact_after:
+        # safe point: the availableNow drain is complete, no batch in flight
+        compact_state(spark, state_dir)
 
 
 def deduped_events(stream: DataFrame, delay: str = "3650 days") -> DataFrame:
@@ -612,7 +626,11 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
 
 
 def run_incremental_substring(
-    spark: SparkSession, stream: DataFrame, out_dir: str, state_dir: str
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    compact_after: bool = False,
 ) -> None:
     """Drain all currently-available input through the substring-dedup sink."""
     q = (
@@ -624,3 +642,6 @@ def run_incremental_substring(
         .start()
     )
     _await_drained(q, "incremental_substring")
+    if compact_after:
+        # safe point: the availableNow drain is complete, no batch in flight
+        compact_state(spark, state_dir)

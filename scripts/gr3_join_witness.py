@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""At-scale witness for star_components' JOIN-attach path (round-10 verdict #3).
+
+The sf100 gr3 fixture (bounded 66-node chains) never leaves the window
+attach, so the adaptive routing's entire point — the AQE-skew-splittable
+join attach for giant stars — had only a 300-spoke unit test behind it.
+This script measures the join path end-to-end at sf10 graph scale:
+
+1. CHAIN: one 10 M-node chain (the sf10 node count concentrated in a
+   single component — the giant-component variant of the gr3 fixture).
+   Star contraction roughly doubles node 0's star per alternation, so
+   with the PRODUCTION threshold (4 M) the run must START on the window
+   path, cross the threshold mid-contraction (the lag-one overshoot
+   round completes in a single window task), and FLIP to the join path
+   for the final rounds. Reported: per-pass wall sec, the attach-mode
+   sequence, label correctness (every node labeled 0, exactly N rows).
+
+2. HUB: a stationary 6 M-spoke star (sym u-group 6 M >= threshold from
+   the seed measure), so EVERY round routes to the join attach.
+
+3. SKEW-SPLIT PROBE: the hub's large-star join attach replayed
+   standalone with AQE skew-join thresholds lowered to the ratio a real
+   1000-executor cluster would see (a 6 M-row local hot key is ~100 MB,
+   under AQE's 256 MB default; at 100 TB the same key is tens of GB).
+   Asserts the executed plan actually carries a skew=true split.
+
+Usage: python scripts/gr3_join_witness.py [--passes 2] [--chain 10000000]
+       [--spokes 6000000]
+Prints one JSON line per measurement; run solo (no concurrent JVMs) per
+SCALE.md's measurement discipline.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _chain_graph(spark, n):
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    return nodes, edges
+
+
+def _hub_graph(spark, s):
+    nodes = spark.range(s + 1).select(F.col("id"))
+    edges = spark.range(1, s + 1).select(
+        F.col("id").alias("id_a"), F.lit(0).alias("id_b")
+    )
+    return nodes, edges
+
+
+def _run(spark, DD, nodes, edges, n_expected):
+    t0 = time.perf_counter()
+    labels = DD.star_components(nodes, edges)
+    bad = labels.filter(F.col("cluster_id") != 0).count()
+    total = labels.count()
+    sec = round(time.perf_counter() - t0, 1)
+    modes = list(DD._LAST_ATTACH_MODES)
+    assert bad == 0 and total == n_expected, (bad, total, n_expected)
+    return {
+        "sec": sec,
+        "rounds": len(modes),
+        "window_rounds": sum(modes),
+        "join_rounds": sum(1 for m in modes if not m),
+        "modes": "".join("W" if m else "J" for m in modes),
+    }
+
+
+def main() -> int:
+    args = dict(
+        zip(
+            [a.lstrip("-") for a in sys.argv[1::2]],
+            sys.argv[2::2],
+            strict=False,
+        )
+    )
+    passes = int(args.get("passes", 2))
+    n_chain = int(args.get("chain", 10_000_000))
+    n_spokes = int(args.get("spokes", 6_000_000))
+
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+    from nyc_open_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("gr3_join_witness")
+
+    for name, build, n_nodes in [
+        ("chain_giant_component", lambda: _chain_graph(spark, n_chain), n_chain),
+        ("hub_star", lambda: _hub_graph(spark, n_spokes), n_spokes + 1),
+    ]:
+        results = []
+        for _ in range(passes):
+            nodes, edges = build()
+            results.append(_run(spark, DD, nodes, edges, n_nodes))
+        best = min(results, key=lambda r: r["sec"])
+        print(json.dumps({"witness": name, "n_nodes": n_nodes,
+                          "passes": [r["sec"] for r in results], **best}))
+
+    # Skew-split probe: the join attach's exact shape (sym groupBy-min +
+    # join-back), with skew thresholds scaled down so the local 6 M-row hot
+    # key is past them the way a fact-scale key passes the defaults.
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _, edges = _hub_graph(spark, n_spokes)
+    e = edges.select(
+        F.greatest("id_a", "id_b").alias("hi"), F.least("id_a", "id_b").alias("lo")
+    )
+    sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"), F.count("*").alias("gc"))
+        .select("u", F.least("mn", F.col("u")).alias("m"), "gc")
+    )
+    att = sym.join(m, "u")
+    t0 = time.perf_counter()
+    out_rows = att.count()
+    sec = round(time.perf_counter() - t0, 1)
+    plan = att._jdf.queryExecution().executedPlan().toString()
+    skew_split = "skew=true" in plan
+    print(json.dumps({
+        "witness": "join_attach_skew_probe",
+        "rows": out_rows,
+        "sec": sec,
+        "aqe_skew_split": skew_split,
+    }))
+    assert skew_split, "AQE did not split the skewed join exchange"
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

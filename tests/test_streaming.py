@@ -927,3 +927,33 @@ def test_compact_state_band_key_store(spark, tmp_path):
     )
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 100 not in got and 101 in got
+
+
+def test_run_incremental_dedup_compact_after(spark, tmp_path):
+    """compact_after=True on the drain wrapper compacts the state store at
+    the safe point (drain complete) without changing survivors."""
+    import os
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import run_incremental_dedup
+    from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
+
+    chunks = [
+        spark.createDataFrame(
+            [(i * 10, f"text {i}"), (i * 10 + 1, f"text {max(0, i - 1)}")],
+            "doc_id long, text string",
+        )
+        for i in range(5)
+    ]
+    d = str(tmp_path / "in")
+    write_stream_chunks(chunks, d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    run_incremental_dedup(spark, stream, out, state, compact_after=True)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {0, 10, 20, 30, 40}  # i*10 new, i*10+1 dups batch i-1 (0,1 collapse)
+    dirs = [e for e in os.listdir(state) if e.startswith("batch=")]
+    assert dirs == ["batch=4"]  # all five partitions merged into the marker id
