@@ -944,11 +944,13 @@ _GC_NUDGE_EDGES = 50_000_000
 # straggle a single-task window.
 _WINDOW_ATTACH_MAX_GROUP = 4_000_000
 
-# Observability hook: star_components resets this at call start and
-# appends each round's attach decision (True = window, False = join).
-# Tests pin the adaptive routing through it; production code must not
-# read it (it is process-global, last-call-wins).
+# Observability hooks: star_components resets these at call start and
+# appends each round's attach decision (True = window, False = join) and
+# the round's EXECUTED adaptive plan string. Tests pin the adaptive
+# routing and the AQE skew-split through them; production code must not
+# read them (process-global, last-call-wins).
 _LAST_ATTACH_MODES: list[bool] = []
+_LAST_ATTACH_PLANS: list[str] = []
 
 
 def star_components(
@@ -1005,7 +1007,11 @@ def star_components(
     #   component minimum's group) serializes into one task.
     # - JOIN attach (the pre-round-9 shape): groupBy partial-agg (always
     #   skew-safe) + join-back whose own exchange AQE's skew-join CAN
-    #   split across tasks.
+    #   split across tasks — PROVIDED m is checkpointed first:
+    #   OptimizeSkewedJoin only matches a join over two bare shuffle
+    #   stages, so with m's agg inline the rule never fired and the
+    #   giant star still serialized into one join task (round-11 fix;
+    #   pinned by test_star_components_join_attach_is_aqe_skew_splittable).
     #
     # The choice is ADAPTIVE per round, measured for FREE via
     # df.observe (round 10): a dedicated per-round stats job cost ~30%
@@ -1031,7 +1037,9 @@ def star_components(
     # one row per input edge (sym filtered to v > u), so duplicates are
     # bounded by E and the small-star terminal distinct removes them.
 
-    def large_star(e: DataFrame, windowed: bool, obs: "Observation") -> DataFrame:
+    def large_star(
+        e: DataFrame, windowed: bool, obs: "Observation", scratch: list
+    ) -> DataFrame:
         sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
@@ -1047,7 +1055,20 @@ def star_components(
                 sym.groupBy("u")
                 .agg(F.min("v").alias("mn"), F.count("*").alias("gc"))
                 .select("u", F.least("mn", F.col("u")).alias("m"), "gc")
+                # CHECKPOINTED, and not only for lineage: AQE's
+                # OptimizeSkewedJoin pattern-matches a join whose BOTH
+                # inputs are bare shuffle stages. Inline, m's partial-agg
+                # pipeline sits between its exchange and the join, the
+                # rule never fires, and the giant star's sym partition
+                # serializes into ONE task anyway — i.e. the whole
+                # "AQE-skew-splittable join attach" rationale was
+                # structurally void (measured round 11: skew=true appears
+                # in the executed plan ONLY with m materialized; see
+                # scripts/gr3_join_witness.py). Lazy: materializes inside
+                # the round's own checkpoint job, no extra job.
+                .localCheckpoint(eager=False)
             )
+            scratch.append(m)
             att = sym.join(m, "u")
         att = att.observe(obs, F.coalesce(F.max("gc"), F.lit(0)).alias("mg"))
         return (
@@ -1055,12 +1076,18 @@ def star_components(
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         )
 
-    def small_star(e: DataFrame, windowed: bool) -> DataFrame:
+    def small_star(e: DataFrame, windowed: bool, scratch: list) -> DataFrame:
         if windowed:
             w = Window.partitionBy("hi")
             base = e.withColumn("m", F.min("lo").over(w))
         else:
-            m = e.groupBy("hi").agg(F.min("lo").alias("m"))
+            # same shuffle-stage-boundary requirement as large_star's m
+            m = (
+                e.groupBy("hi")
+                .agg(F.min("lo").alias("m"))
+                .localCheckpoint(eager=False)
+            )
+            scratch.append(m)
             base = e.join(m, "hi")
         others = base.filter(F.col("lo") != F.col("m")).select(
             F.col("lo").alias("hi"), F.col("m").alias("lo")
@@ -1115,6 +1142,7 @@ def star_components(
     )
     prev_fp, max_group = _seed_stats(edges)
     _LAST_ATTACH_MODES.clear()
+    _LAST_ATTACH_PLANS.clear()
     if prev_fp[0] == 0:
         # no edges: every node is its own component. Also load-bearing
         # for the observe path below — AQE's empty-relation propagation
@@ -1129,9 +1157,26 @@ def star_components(
         windowed = max_group < _WINDOW_ATTACH_MAX_GROUP
         _LAST_ATTACH_MODES.append(windowed)
         o_ls, o_fp = Observation(), Observation()
-        plan = small_star(large_star(edges, windowed, o_ls), windowed)
-        nxt = plan.observe(o_fp, *_FP_METRICS).localCheckpoint(eager=True)
+        scratch: list = []  # join-mode m checkpoints, retired with the round
+        plan = small_star(
+            large_star(edges, windowed, o_ls, scratch), windowed, scratch
+        )
+        obs_df = plan.observe(o_fp, *_FP_METRICS)
+        nxt = obs_df.localCheckpoint(eager=True)
         # both observations resolved by the checkpoint job — zero extra jobs
+        if not windowed:
+            # debug hook (tests/witness), JOIN rounds only — the skew
+            # split is only decidable there, and the py4j plan-string
+            # transfer would tax every window round for nothing. The
+            # round's EXECUTED adaptive plan: localCheckpoint ran
+            # obs_df's own QueryExecution, so AQE decisions (skew=true
+            # splits) are visible.
+            try:
+                _LAST_ATTACH_PLANS.append(
+                    obs_df._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:
+                pass
         fp = (int(o_fp.get["n"]), int(o_fp.get["h"]))
         max_group = int(o_ls.get["mg"])
         done = fp == prev_fp and nxt.exceptAll(edges).isEmpty()
@@ -1142,6 +1187,11 @@ def star_components(
             edges.unpersist()
         except Exception:
             pass
+        for s_ in scratch:
+            try:
+                s_.unpersist()
+            except Exception:
+                pass
         if prev_fp[0] > _GC_NUDGE_EDGES:
             try:
                 # resolved lazily INSIDE the guard: on Spark Connect even

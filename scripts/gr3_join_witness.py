@@ -69,6 +69,13 @@ def _run(spark, DD, nodes, edges, n_expected):
         "window_rounds": sum(modes),
         "join_rounds": sum(1 for m in modes if not m),
         "modes": "".join("W" if m else "J" for m in modes),
+        # at PRODUCTION confs a local 6 M-row hot key compresses under
+        # AQE's 256 MB skew threshold, so 0 here is expected; the
+        # mechanism is pinned by the ratio-scaled probe below and by
+        # tests/test_ops.py::test_star_components_join_attach_is_aqe_skew_splittable
+        "skew_split_rounds": sum(
+            1 for p in DD._LAST_ATTACH_PLANS if "skew=true" in p
+        ),
     }
 
 
@@ -89,10 +96,11 @@ def main() -> int:
 
     spark = get_spark("gr3_join_witness")
 
-    for name, build, n_nodes in [
+    graph_runs = [] if args.get("probe-only") else [
         ("chain_giant_component", lambda: _chain_graph(spark, n_chain), n_chain),
         ("hub_star", lambda: _hub_graph(spark, n_spokes), n_spokes + 1),
-    ]:
+    ]
+    for name, build, n_nodes in graph_runs:
         results = []
         for _ in range(passes):
             nodes, edges = build()
@@ -105,10 +113,14 @@ def main() -> int:
     # join-back), with skew thresholds scaled down so the local 6 M-row hot
     # key is past them the way a fact-scale key passes the defaults.
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # thresholds are on COMPRESSED shuffle bytes; the synthetic hot key
+    # (constant u, sequential v) LZ4-compresses ~10x, so scale the floors
+    # down accordingly — the point is the mechanism at the cluster's
+    # size RATIO, not absolute bytes
     spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
     )
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     _, edges = _hub_graph(spark, n_spokes)
@@ -118,17 +130,35 @@ def main() -> int:
     sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
         e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
+    # incompressible payload + an aggregate that READS it: a constant-u /
+    # sequential-v hot partition LZ4-compresses below any realistic
+    # threshold once column pruning drops v (the skew stats are on
+    # compressed shuffle bytes) — at fact scale the attach carries real
+    # edge payloads, which is the regime the ratio-scaled confs emulate
+    sym = sym.withColumn("pay", F.xxhash64("u", "v"))
     m = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mn"), F.count("*").alias("gc"))
         .select("u", F.least("mn", F.col("u")).alias("m"), "gc")
+        # the round-11 operator shape: checkpointed, so the join's both
+        # inputs are bare shuffle stages and OptimizeSkewedJoin can match
+        # (inline, the rule NEVER fires — the round-9/10 rationale's hole)
+        .localCheckpoint(eager=False)
     )
     att = sym.join(m, "u")
+    # the plan must be read from the QueryExecution that actually RAN:
+    # att.count() builds a new QE, leaving att's own adaptive plan
+    # unfinalized (isFinalPlan=false, no skew info)
+    res = att.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pay").alias("s"), F.sum("v").alias("sv")
+    )
     t0 = time.perf_counter()
-    out_rows = att.count()
+    out_rows = res.collect()[0]["n"]
     sec = round(time.perf_counter() - t0, 1)
-    plan = att._jdf.queryExecution().executedPlan().toString()
+    plan = res._jdf.queryExecution().executedPlan().toString()
     skew_split = "skew=true" in plan
+    if not skew_split:
+        print(plan[:4000], file=sys.stderr)
     print(json.dumps({
         "witness": "join_attach_skew_probe",
         "rows": out_rows,

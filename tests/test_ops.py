@@ -1603,3 +1603,52 @@ def test_hll_rollup_merge_equals_direct_build(spark, sf_dir):
         .collect()
     }
     assert merged == direct
+
+
+def test_star_components_join_attach_is_aqe_skew_splittable(spark, monkeypatch):
+    """The join attach's REASON TO EXIST is that AQE can split the giant
+    star's shuffle partition across tasks — but OptimizeSkewedJoin only
+    matches a join whose both inputs are bare shuffle stages, and with the
+    m-side partial agg INLINE the rule never fired (round-11 finding: the
+    round-9/10 'AQE-skew-splittable' rationale was structurally void).
+    star_components now checkpoints m in join mode; this test routes a
+    200k-spoke hub star to the join attach under proportionally lowered
+    skew thresholds and asserts the executed round plan actually carries a
+    skew=true split."""
+    from pyspark.sql import functions as F
+
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n = 200_000
+        nodes = spark.range(n + 1).select(F.col("id"))
+        edges = spark.range(1, n + 1).select(
+            F.col("id").alias("id_a"), F.lit(0).alias("id_b")
+        )
+        monkeypatch.setattr(DD, "_WINDOW_ATTACH_MAX_GROUP", 100)
+        labels = DD.star_components(nodes, edges)
+        assert labels.filter(F.col("cluster_id") != 0).count() == 0
+        assert labels.count() == n + 1
+        assert not any(DD._LAST_ATTACH_MODES), "did not route to the join attach"
+        assert DD._LAST_ATTACH_PLANS, "no executed round plans recorded"
+        assert any("skew=true" in p for p in DD._LAST_ATTACH_PLANS), (
+            "AQE skew split absent from every round plan - the join attach "
+            "has regressed to a shape OptimizeSkewedJoin cannot match"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
