@@ -76,20 +76,62 @@ def _const_repr(obj) -> str | None:
     return None
 
 
-def _walk_value(nm: str, obj, seen: set[int], out: list[str], depth: int) -> None:
+def _walk_value(
+    nm: str,
+    obj,
+    seen: set[int],
+    out: list[str],
+    depth: int,
+    attr_names: frozenset = frozenset(),
+    in_container: bool = False,
+) -> None:
     """Fold one referenced global/closure value into the behavior material:
     package modules/callables by source (transitively), primitives and
-    primitive containers by canonical repr, and — the round-10 verdict's
-    container blind spot — dict/list/tuple dispatch tables holding package
-    callables by recursing into their elements, in a deterministic order."""
+    FULLY-primitive containers by canonical repr, and — the round-10
+    verdict's container blind spot — dispatch tables holding package
+    callables by recursing into their elements, in a deterministic order.
+
+    ``in_container``: inside a MIXED container only package callables/
+    modules/nested containers are followed; primitive leaves are NOT
+    emitted. A mixed container with primitive leaves is a runtime cache
+    (e.g. llmdata._HV_CACHE's (corpus-mtime, DataFrame) tuples), and
+    hashing its mutable primitives made impl_hash differ before vs after
+    running a query — the driver would then re-order its window
+    mid-session (round-11 bug, caught by the contract check)."""
     import inspect
 
     if inspect.ismodule(obj):
+        if id(obj) in seen or depth > 8:
+            return
+        seen.add(id(obj))
         if (getattr(obj, "__name__", "") or "").startswith(_PKG_PREFIX):
-            try:
-                out.append(inspect.getsource(obj))
-            except (OSError, TypeError):
-                pass
+            # Per-ATTRIBUTE granularity (round 11): every ``MOD.attr``
+            # access puts ``attr`` in the referencing code's co_names
+            # (LOAD_ATTR), so hash exactly the members this code can
+            # reach instead of the whole module source — a whole-module
+            # hash made ANY edit to a shared operator file (e.g. one
+            # function of operators/dedup.py) spuriously reset every
+            # query in the package that imports the module, flooding the
+            # driver's re-check window with false positives. co_names
+            # over-approximates (it also holds unrelated globals), which
+            # only ever hashes MORE than reached — never less. Fallback:
+            # if nothing resolves (dynamic getattr dispatch), keep the
+            # conservative whole-module hash.
+            hit = False
+            for attr in sorted(attr_names):
+                if attr.startswith("__"):
+                    continue
+                try:
+                    member = getattr(obj, attr)
+                except AttributeError:
+                    continue
+                hit = True
+                _walk_value(f"{nm}.{attr}", member, seen, out, depth + 1)
+            if not hit:
+                try:
+                    out.append(inspect.getsource(obj))
+                except (OSError, TypeError):
+                    pass
         return
     if callable(obj):
         mod = getattr(obj, "__module__", None)
@@ -103,24 +145,37 @@ def _walk_value(nm: str, obj, seen: set[int], out: list[str], depth: int) -> Non
         else:
             _behavior_sources(obj, seen, out, depth + 1)
         return
-    rep = _const_repr(obj)
-    if rep is not None:
-        out.append(f"{nm}={rep}")
-        return
+    # Only IMMUTABLE values hash by content. A mutable container (list/
+    # set/dict) referenced from a plan fn is runtime state more often
+    # than a tuning constant (_LAST_ATTACH_MODES, _HV_CACHE), and hashing
+    # its contents makes impl_hash differ before vs after running a query
+    # — repo convention: tuning constants are scalars/tuples/frozensets.
+    # Mutable containers are still WALKED for package callables below, so
+    # dispatch tables keep resetting their callers when a callee changes.
+    if isinstance(obj, (bool, int, float, str, bytes, tuple, frozenset)):
+        rep = _const_repr(obj)
+        if rep is not None:
+            if not in_container:
+                out.append(f"{nm}={rep}")
+            return
     # Mixed container (e.g. a name -> helper-fn dispatch dict): recurse so a
-    # container-reached package callable still enters the hash. Determinism:
-    # dicts iterate in insertion order (stable for module-level literals);
-    # sets are ordered by a stable sort key since hash order is seed-dependent.
+    # container-reached package callable still enters the hash (primitive
+    # leaves are skipped — see docstring). Determinism: dicts iterate in
+    # insertion order (stable for module-level literals); sets are ordered
+    # by a stable sort key since hash order is seed-dependent.
     if depth > 8 or id(obj) in seen:
         return
     if isinstance(obj, dict):
         seen.add(id(obj))
         for k, v in obj.items():
-            _walk_value(f"{nm}[{_const_repr(k) or type(k).__name__}]", v, seen, out, depth + 1)
+            _walk_value(
+                f"{nm}[{_const_repr(k) or type(k).__name__}]",
+                v, seen, out, depth + 1, in_container=True,
+            )
     elif isinstance(obj, (tuple, list)):
         seen.add(id(obj))
         for i, el in enumerate(obj):
-            _walk_value(f"{nm}[{i}]", el, seen, out, depth + 1)
+            _walk_value(f"{nm}[{i}]", el, seen, out, depth + 1, in_container=True)
     elif isinstance(obj, (set, frozenset)):
         seen.add(id(obj))
         els = sorted(
@@ -132,7 +187,7 @@ def _walk_value(nm: str, obj, seen: set[int], out: list[str], depth: int) -> Non
             ),
         )
         for el in els:
-            _walk_value(f"{nm}{{}}", el, seen, out, depth + 1)
+            _walk_value(f"{nm}{{}}", el, seen, out, depth + 1, in_container=True)
 
 
 def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> None:
@@ -145,9 +200,11 @@ def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> Non
     changed behavior without changing any stamp and the driver never
     re-checked the affected queries. Granularity is per-OBJECT for
     functions/classes in the package (so editing one llmdata helper
-    resets only its callers, not all 100+ llmdata queries) and per-FILE
-    for helper modules referenced as modules (``VEC.norm`` resets every
-    VEC user — helper files are small and change rarely). Non-package
+    resets only its callers, not all 100+ llmdata queries), including
+    through module references (``DD.exact_dup_groups`` hashes that
+    member's closure, not all of operators/dedup.py — round 11; the
+    whole-module fallback remains for unresolvable dynamic access).
+    Non-package
     objects (pyspark, stdlib) are skipped; primitive module-level
     constants — including set/frozenset/dict/list containers, via the
     seed-independent canonical form in ``_const_repr`` — hash by value so
@@ -190,6 +247,14 @@ def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> Non
         for const in c.co_consts:
             if hasattr(const, "co_names"):
                 stack.append(const)
+    # function-LOCAL imports bind no global: the imported object lives in
+    # a fast local, invisible to __globals__, so a body-local ``from
+    # pkg.mod import helper`` escaped the closure entirely (round 11:
+    # gr3's star_components import — the same staleness class as round
+    # 9's hole). The dotted module path sits in co_names (IMPORT_NAME);
+    # resolve it and hash the co_names-reachable members like any other
+    # module reference.
+    local_mods = {n for n in names if n.startswith(_PKG_PREFIX)}
     g = getattr(fn, "__globals__", {})
     cells = {
         nm: cell.cell_contents
@@ -197,11 +262,23 @@ def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> Non
             code.co_freevars, getattr(fn, "__closure__", None) or [], strict=False
         )
     }
+    attr_names = frozenset(names)
     for nm in sorted(names | set(cells)):
         obj = cells.get(nm, g.get(nm))
         if obj is None:
             continue
-        _walk_value(nm, obj, seen, out, depth)
+        _walk_value(nm, obj, seen, out, depth, attr_names)
+    for modpath in sorted(local_mods):
+        import importlib
+        import sys as _sys
+
+        mod = _sys.modules.get(modpath)
+        if mod is None:
+            try:
+                mod = importlib.import_module(modpath)
+            except ImportError:
+                continue
+        _walk_value(modpath, mod, seen, out, depth, attr_names)
 
 
 def impl_hash(spec: "QuerySpec") -> str:

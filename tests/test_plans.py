@@ -879,3 +879,65 @@ def test_d4_survivors_first_guard(spark, sf_dir):
     got = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in surv}
     assert got == raw_kk
     assert len(surv) <= len(raw)
+
+
+def test_impl_hash_reaches_function_local_imports_and_stays_per_member():
+    """Two round-11 fingerprint properties: (a) a body-local ``from
+    pkg.mod import helper`` (gr3's star_components pattern) must enter
+    the closure — local imports bind no global, and before round 11 they
+    escaped the hash entirely (the round-9 staleness class); (b) module
+    references hash only the MEMBERS the code names, not the whole file —
+    editing one function of operators/dedup.py must not reset every
+    query that imports the module."""
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+    from nyc_open_data_pipeline_spark.plans.registry import _behavior_sources
+
+    def local_importer():
+        from nyc_open_data_pipeline_spark.operators.dedup import (
+            star_components,
+        )
+
+        return star_components
+
+    out: list[str] = []
+    _behavior_sources(local_importer, set(), out)
+    blob = "\n".join(out)
+    assert "def star_components" in blob, "body-local import escaped the hash"
+
+    def module_attr_user():
+        return DD.exact_dup_groups
+
+    out2: list[str] = []
+    _behavior_sources(module_attr_user, set(), out2)
+    blob2 = "\n".join(out2)
+    assert "def exact_dup_groups" in blob2
+    assert "def star_components" not in blob2, (
+        "module reference hashed the whole file - per-member granularity lost"
+    )
+
+
+def test_impl_hash_ignores_runtime_mutable_state():
+    """impl_hash must be invariant to RUNNING queries: module-level mutable
+    containers (observability hooks, session caches) are runtime state,
+    not behavior material — hashing their contents re-ordered the driver
+    window mid-session (round-11 bug). Mutate the two known state globals
+    and assert no stamp moves."""
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+    from nyc_open_data_pipeline_spark.plans import llmdata
+    from nyc_open_data_pipeline_spark.plans.registry import impl_hash
+
+    targets = ["gr3_components_star", "d1_exact_dedup", "d4_lsh_jaccard_pairs"]
+    before = {n: impl_hash(QUERIES[n]) for n in targets}
+    key = ("__test_app__", "__dir__", "hv")
+    try:
+        DD._LAST_ATTACH_MODES.extend([True, False])
+        DD._LAST_ATTACH_PLANS.append("plan text")
+        llmdata._HV_CACHE[key] = (123456789, None)
+        after = {n: impl_hash(QUERIES[n]) for n in targets}
+    finally:
+        del DD._LAST_ATTACH_MODES[-2:]
+        del DD._LAST_ATTACH_PLANS[-1:]
+        llmdata._HV_CACHE.pop(key, None)
+    assert before == after, {
+        n: (before[n], after[n]) for n in targets if before[n] != after[n]
+    }
