@@ -188,7 +188,10 @@ def compact_state(
 
     ids = [i for i in _batch_ids(state_dir) if i <= last]
     files_before = sum(len(_part_files(os.path.join(state_dir, f"batch={i}"))) for i in ids)
-    if len(ids) < min_batches:
+    if len(ids) < min_batches or files_before == 0:
+        # files_before == 0: every committed batch wrote zero state rows
+        # (all-duplicate feed) — nothing to merge, and schema inference
+        # over part-file-less dirs would fail
         return StateCompactionStats(0, files_before, files_before)
     dest_id = max(ids)
     dest = os.path.join(state_dir, f"batch={dest_id}")

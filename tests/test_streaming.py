@@ -957,3 +957,22 @@ def test_run_incremental_dedup_compact_after(spark, tmp_path):
     assert got == {0, 10, 20, 30, 40}  # i*10 new, i*10+1 dups batch i-1 (0,1 collapse)
     dirs = [e for e in os.listdir(state) if e.startswith("batch=")]
     assert dirs == ["batch=4"]  # all five partitions merged into the marker id
+
+
+def test_compact_state_all_empty_batches_is_noop(spark, tmp_path):
+    """An all-duplicate feed commits batches whose state partitions hold
+    zero rows (no part files under AQE empty-relation writes); compaction
+    must no-op instead of failing schema inference over empty dirs."""
+    import os
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import compact_state
+
+    state = str(tmp_path / "state")
+    for i in range(5):
+        d = os.path.join(state, f"batch={i}")
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    with open(os.path.join(state, "_last_batch"), "w") as f:
+        f.write("4")
+    stats = compact_state(spark, state, min_batches=2)
+    assert stats.batches_merged == 0 and stats.files_before == 0
