@@ -101,9 +101,14 @@ def _walk_value(
     import inspect
 
     if inspect.ismodule(obj):
-        if id(obj) in seen or depth > 8:
+        # NOT tracked in ``seen``: two fns in one closure may reach the
+        # same module with DIFFERENT attr_names, and a module-level guard
+        # would drop the second fn's members from the hash (round-11
+        # review). Re-walks are cheap — member callables dedupe on their
+        # own ids, and cycles cannot recurse (a module-typed attr hashes
+        # as whole source without descending).
+        if depth > 8:
             return
-        seen.add(id(obj))
         if (getattr(obj, "__name__", "") or "").startswith(_PKG_PREFIX):
             # Per-ATTRIBUTE granularity (round 11): every ``MOD.attr``
             # access puts ``attr`` in the referencing code's co_names

@@ -941,3 +941,29 @@ def test_impl_hash_ignores_runtime_mutable_state():
     assert before == after, {
         n: (before[n], after[n]) for n in targets if before[n] != after[n]
     }
+
+
+def test_impl_hash_module_members_not_masked_across_functions():
+    """Two functions in one closure referencing DIFFERENT members of the
+    same module must BOTH contribute their members to the hash — a
+    module-level seen-guard dropped the second function's members
+    (round-11 review finding)."""
+    from nyc_open_data_pipeline_spark.operators import dedup as DD
+    from nyc_open_data_pipeline_spark.plans.registry import _behavior_sources
+
+    def helper():
+        return DD.band_keys
+
+    helper.__module__ = "nyc_open_data_pipeline_spark._fake_test_mod"
+
+    def caller():
+        helper()
+        return DD.exact_dup_groups
+
+    out: list[str] = []
+    _behavior_sources(caller, set(), out)
+    blob = "\n".join(out)
+    assert "def exact_dup_groups" in blob
+    assert "def band_keys" in blob, (
+        "second function's module members were masked by the first's walk"
+    )
