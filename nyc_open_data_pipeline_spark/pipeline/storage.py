@@ -19,8 +19,12 @@ partitions containing incoming keys are read and rewritten (pass
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 import shutil
+import socket
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -30,12 +34,149 @@ from pyspark.sql import functions as F
 from nyc_open_data_pipeline_spark.pipeline.schema import TableSchema
 
 
+class WriterFencedError(RuntimeError):
+    """A writer's table lock was taken over (stale-lock rule) before it
+    reached its commit point; the commit is refused so the takeover
+    winner's state can't be clobbered by a zombie."""
+
+
+class LockTimeoutError(TimeoutError):
+    """Could not acquire the per-table writer lock within ``lock_timeout``."""
+
+
 @dataclass
 class ParquetStorage:
     root: str
+    # Commit protocol (round 12): writes to one table serialize on a lock
+    # DIRECTORY (os.mkdir is atomic on POSIX and on object-store FUSE
+    # mounts that map mkdir to an atomic PUT-if-absent). A crashed writer's
+    # lock is taken over once it is older than ``lock_stale_after`` AND its
+    # recorded pid is dead (pid liveness is only checkable same-host; a
+    # different host falls back to age alone). ``lock_timeout`` bounds how
+    # long a second writer waits before raising. The reference gets this
+    # serialization free from Postgres transactions
+    # (/root/reference/src/ingestion/storage.py:230-297).
+    lock_timeout: float = 60.0
+    lock_stale_after: float = 300.0
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    # ------------------------------------------------------------------
+    # writer lock + generation marker
+    # ------------------------------------------------------------------
+
+    def _lock_dir(self, table: str) -> str:
+        return self.path(table) + "__lock"
+
+    def _acquire_lock(self, table: str) -> str:
+        """Take the per-table writer lock; returns an ownership token.
+        Stale takeover: a lock whose owner file is older than
+        ``lock_stale_after`` and whose pid is provably dead (same host) —
+        or unreadably corrupt and old — is broken and re-contended."""
+        lock = self._lock_dir(table)
+        token = uuid.uuid4().hex
+        os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+        deadline = time.monotonic() + self.lock_timeout
+        while True:
+            try:
+                os.mkdir(lock)
+            except FileExistsError:
+                if self._lock_is_stale(lock):
+                    # Best-effort break: losing this race to another
+                    # contender is fine, the loop re-contends mkdir.
+                    shutil.rmtree(lock, ignore_errors=True)
+                    continue
+                if time.monotonic() >= deadline:
+                    raise LockTimeoutError(
+                        f"writer lock on {table!r} held past lock_timeout="
+                        f"{self.lock_timeout}s ({lock})"
+                    ) from None
+                time.sleep(0.05)
+                continue
+            owner = {
+                "token": token,
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "ts": time.time(),
+            }
+            with open(os.path.join(lock, "owner.json"), "w") as f:
+                json.dump(owner, f)
+            return token
+
+    def _lock_is_stale(self, lock: str) -> bool:
+        try:
+            owner_path = os.path.join(lock, "owner.json")
+            age = time.time() - os.stat(owner_path).st_mtime
+        except OSError:
+            # mkdir'd but owner.json not written yet (acquire in flight) —
+            # stale only if the bare dir itself has sat for the full window.
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                return False  # vanished: re-contend
+            return age > self.lock_stale_after
+        if age <= self.lock_stale_after:
+            return False
+        try:
+            with open(owner_path) as f:
+                owner = json.load(f)
+        except (OSError, ValueError):
+            return True  # old AND unreadable: corrupt leftover
+        if owner.get("host") != socket.gethostname():
+            return True  # cross-host: age is the only signal
+        try:
+            os.kill(int(owner["pid"]), 0)
+        except (ProcessLookupError, ValueError):
+            return True  # owner process is gone
+        except PermissionError:
+            pass  # alive under another uid
+        return False  # old but owner still alive: long write, keep waiting
+
+    def _owns_lock(self, table: str, token: str) -> bool:
+        try:
+            with open(os.path.join(self._lock_dir(table), "owner.json")) as f:
+                return json.load(f).get("token") == token
+        except (OSError, ValueError):
+            return False
+
+    def _check_fence(self, table: str, token: str) -> None:
+        """Commit-point fence: a writer that lost its lock to a stale-lock
+        takeover must not publish. Called immediately before the renames /
+        dynamic-overwrite commit so the zombie window is one syscall wide,
+        not the whole (possibly minutes-long) Spark write."""
+        if not self._owns_lock(table, token):
+            raise WriterFencedError(
+                f"lock on {table!r} was taken over mid-write; aborting commit"
+            )
+
+    def _release_lock(self, table: str, token: str) -> None:
+        if self._owns_lock(table, token):
+            shutil.rmtree(self._lock_dir(table), ignore_errors=True)
+
+    @contextlib.contextmanager
+    def _locked(self, table: str):
+        token = self._acquire_lock(table)
+        try:
+            yield token
+        finally:
+            self._release_lock(table, token)
+
+    GEN_FILE = "_generation"
+
+    def generation(self, table: str) -> int:
+        """Monotonic commit counter for a table (0 = never committed via
+        the protocol). Stored as ``_generation`` inside the table dir —
+        underscore-prefixed, so parquet readers ignore it."""
+        try:
+            with open(os.path.join(self.path(table), self.GEN_FILE)) as f:
+                return int(json.load(f)["gen"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _write_generation(self, dirpath: str, gen: int, token: str) -> None:
+        with open(os.path.join(dirpath, self.GEN_FILE), "w") as f:
+            json.dump({"gen": gen, "writer": token, "ts": time.time()}, f)
 
     def exists(self, table: str) -> bool:
         self._recover(table)
@@ -65,7 +206,13 @@ class ParquetStorage:
             if d.startswith(f"{base}__old_")
         ]
         if olds:
-            os.rename(max(olds, key=os.path.getmtime), final)
+            try:
+                os.rename(max(olds, key=os.path.getmtime), final)
+            except OSError:
+                # lost a race with a concurrent writer completing its swap
+                # (this reader saw the one-syscall-wide no-final window);
+                # the writer's final state is the correct one — keep it.
+                pass
 
     # ------------------------------------------------------------------
     # writes
@@ -73,12 +220,19 @@ class ParquetStorage:
 
     def create_or_append(self, df: DataFrame, schema: TableSchema) -> None:
         """K2: append (creates on first write). Casts to the declared schema
-        first — the declared-schema contract of K1."""
+        first — the declared-schema contract of K1. Serialized per table by
+        the writer lock (two appends never interleave their job commits)."""
         out = conform(df, schema)
-        writer = out.write.mode("append")
-        if schema.partition_by:
-            writer = writer.partitionBy(*[c for c in schema.partition_by if c in out.columns])
-        writer.parquet(self.path(schema.table_name))
+        with self._locked(schema.table_name) as token:
+            writer = out.write.mode("append")
+            if schema.partition_by:
+                writer = writer.partitionBy(
+                    *[c for c in schema.partition_by if c in out.columns]
+                )
+            writer.parquet(self.path(schema.table_name))
+            self._write_generation(
+                self.path(schema.table_name), self.generation(schema.table_name) + 1, token
+            )
 
     def upsert(self, spark: SparkSession, df: DataFrame, schema: TableSchema) -> int:
         """K3 MERGE: keep existing rows whose keys don't collide (anti-join),
@@ -97,29 +251,34 @@ class ParquetStorage:
         atomic-swap rewrite.
 
         Idempotent: re-upserting the same batch is a no-op by construction.
-        Returns the resulting row count.
+        Concurrent-writer safe (round 12): the read-merge-swap runs under
+        the per-table writer lock, so two simultaneous upserts serialize —
+        the second reads the first's committed state instead of racing the
+        swap renames; a writer that loses its lock to a stale-lock takeover
+        is fenced at the commit point. Returns the resulting row count.
         """
         keys = schema.unique_keys
         incoming = conform(df, schema)
-        if not keys or not self.exists(schema.table_name):
-            if keys:
-                incoming = dedup_first(incoming, keys)
-            self._atomic_write(incoming, schema)
-            return self._count(spark, schema.table_name)
+        with self._locked(schema.table_name) as token:
+            if not keys or not self.exists(schema.table_name):
+                if keys:
+                    incoming = dedup_first(incoming, keys)
+                self._atomic_write(incoming, schema, token)
+                return self._count(spark, schema.table_name)
 
-        incoming = dedup_first(incoming, keys)
-        parts = [c for c in schema.partition_by if c in incoming.columns]
-        if parts:
-            n = self._upsert_pruned(spark, incoming, schema, keys, parts)
-        else:
-            existing = spark.read.parquet(self.path(schema.table_name))
-            survivors = existing.join(
-                incoming.select(*keys).distinct(), on=keys, how="left_anti"
-            )
-            merged = survivors.unionByName(incoming, allowMissingColumns=True)
-            self._atomic_write(merged, schema)
-            n = self._count(spark, schema.table_name)
-        return n
+            incoming = dedup_first(incoming, keys)
+            parts = [c for c in schema.partition_by if c in incoming.columns]
+            if parts:
+                n = self._upsert_pruned(spark, incoming, schema, keys, parts, token)
+            else:
+                existing = spark.read.parquet(self.path(schema.table_name))
+                survivors = existing.join(
+                    incoming.select(*keys).distinct(), on=keys, how="left_anti"
+                )
+                merged = survivors.unionByName(incoming, allowMissingColumns=True)
+                self._atomic_write(merged, schema, token)
+                n = self._count(spark, schema.table_name)
+            return n
 
     def _upsert_pruned(
         self,
@@ -128,6 +287,7 @@ class ParquetStorage:
         schema: TableSchema,
         keys: list[str],
         parts: list[str],
+        token: str,
     ) -> int:
         """Partition-pruned MERGE: read only the partitions the incoming
         batch touches (Catalyst prunes the scan to those directories), merge,
@@ -158,12 +318,14 @@ class ParquetStorage:
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            self._check_fence(schema.table_name, token)
             (
                 spark.read.parquet(stage)
                 .write.mode("overwrite")
                 .partitionBy(*parts)
                 .parquet(final)
             )
+            self._write_generation(final, self.generation(schema.table_name) + 1, token)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             shutil.rmtree(stage, ignore_errors=True)
@@ -188,37 +350,42 @@ class ParquetStorage:
         ).distinct()
         parts = [c for c in schema.partition_by if c in wanted.columns]
         final = self.path(schema.table_name)
-        if parts:
-            touched = wanted.select(*parts).distinct().collect()
-            pred = None
-            for row in touched:
-                clause = None
-                for p in parts:
-                    c = F.col(p).eqNullSafe(F.lit(row[p]))
-                    clause = c if clause is None else clause & c
-                pred = clause if pred is None else pred | clause
-            existing = spark.read.parquet(final)
-            pruned = existing.filter(pred) if pred is not None else existing.limit(0)
-            survivors = pruned.join(wanted.select(*keys), on=keys, how="left_anti")
-            stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
-            survivors.write.parquet(stage)
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                (
-                    spark.read.parquet(stage)
-                    .write.mode("overwrite")
-                    .partitionBy(*parts)
-                    .parquet(final)
-                )
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-                shutil.rmtree(stage, ignore_errors=True)
-        else:
-            existing = spark.read.parquet(final)
-            survivors = existing.join(wanted.select(*keys), on=keys, how="left_anti")
-            self._atomic_write(survivors, schema)
-        return self._count(spark, schema.table_name)
+        with self._locked(schema.table_name) as token:
+            if parts:
+                touched = wanted.select(*parts).distinct().collect()
+                pred = None
+                for row in touched:
+                    clause = None
+                    for p in parts:
+                        c = F.col(p).eqNullSafe(F.lit(row[p]))
+                        clause = c if clause is None else clause & c
+                    pred = clause if pred is None else pred | clause
+                existing = spark.read.parquet(final)
+                pruned = existing.filter(pred) if pred is not None else existing.limit(0)
+                survivors = pruned.join(wanted.select(*keys), on=keys, how="left_anti")
+                stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
+                survivors.write.parquet(stage)
+                prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    self._check_fence(schema.table_name, token)
+                    (
+                        spark.read.parquet(stage)
+                        .write.mode("overwrite")
+                        .partitionBy(*parts)
+                        .parquet(final)
+                    )
+                    self._write_generation(
+                        final, self.generation(schema.table_name) + 1, token
+                    )
+                finally:
+                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                    shutil.rmtree(stage, ignore_errors=True)
+            else:
+                existing = spark.read.parquet(final)
+                survivors = existing.join(wanted.select(*keys), on=keys, how="left_anti")
+                self._atomic_write(survivors, schema, token)
+            return self._count(spark, schema.table_name)
 
     def vacuum(self, table: str) -> list[str]:
         """Remove orphaned work directories a crashed writer left behind:
@@ -275,16 +442,24 @@ class ParquetStorage:
             walk(root, 0, {})
         return dropped
 
-    def _atomic_write(self, df: DataFrame, schema: TableSchema) -> None:
+    def _atomic_write(self, df: DataFrame, schema: TableSchema, token: str | None = None) -> None:
         """Write to a temp dir, then swap — the closest to transactional
         overwrite plain parquet offers (Delta's MERGE INTO replaces this
-        when a transactional format is available)."""
+        when a transactional format is available). With a lock ``token``,
+        the swap is fenced (refused if the lock was taken over during the
+        write) and the next generation marker is staged INTO the temp dir,
+        so the rename publishes data + generation atomically."""
         final = self.path(schema.table_name)
         tmp = f"{final}__tmp_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
         if schema.partition_by:
             writer = writer.partitionBy(*[c for c in schema.partition_by if c in df.columns])
         writer.parquet(tmp)
+        self._write_generation(
+            tmp, self.generation(schema.table_name) + 1, token or "unlocked"
+        )
+        if token is not None:
+            self._check_fence(schema.table_name, token)
         old = f"{final}__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(final):
             os.rename(final, old)

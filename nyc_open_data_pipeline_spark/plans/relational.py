@@ -2318,3 +2318,255 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: the four remaining TPC-H shapes (q6/q8/q9/q12), closing the
+# 22/22 q-family (COVERAGE.md §2.5). The corpus has no partsupp /
+# l_shipmode / l_commitdate / l_receiptdate columns, so q9 and q12 keep
+# the classic JOIN+CASE composition on the columns the corpus does have
+# (adaptations documented per query).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    survey_ref="§2.3 P11 + §2.6 A1 (TPC-H Q6 shape: the forecasting "
+    "what-if — pure scan-filter-reduce, zero joins; the query every "
+    "pushdown audit starts from)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue increase if discounts in a band were eliminated.
+    The simplest plan in the family and deliberately so: all four
+    predicates (date range, discount band, quantity cap) push into the
+    parquet scan (PushedFilters shows all of them), the projection is
+    two columns, and the aggregate is a map-side-combined 1-row reduce
+    — at 100 TB this runs at scan speed with a single 1-row exchange.
+    Discount-band literals compare stored doubles to literal doubles,
+    identical in both engines (no float-equality hazard). Revenue goes
+    through DECIMAL for order-independent summation."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", 18, 4) * dec("l_discount", 18, 4))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_6'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS mkt_share,
+           COUNT(*) AS n_items
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    WHERE p.p_type = 'ECONOMY'
+      AND r.r_name = 'AMERICA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY 1
+    """,
+    survey_ref="§2.5 J1/J2 + §2.6 A4 composed (TPC-H Q8 shape: national "
+    "market share — the widest join in the family, 7 tables, with a "
+    "conditional numerator over the same aggregate pass as the "
+    "denominator)",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_6's share of ECONOMY-part revenue sold into the
+    AMERICA region, by order year. The widest join surface in the
+    q-family (lineitem x orders facts + 5 dims). Plan shape at 100 TB:
+    p_type prunes part ~6x and the filtered part broadcasts into the
+    lineitem scan (semi-filtering it before any shuffle); supplier,
+    both nation aliases, and region broadcast; the one unavoidable
+    fact-fact exchange is lineitem><orders on orderkey, with the order-
+    date range pushed into the orders scan first. Share and total fold
+    into ONE partial aggregate on the |years|-row key, so the ratio
+    costs no second pass. Numerator/denominator run through DECIMAL
+    and divide as doubles at the end (engine-identical)."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("n2_name")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    vol = dec("l_extendedprice", 18, 4) * (F.lit(1) - dec("l_discount", 18, 4))
+    nation_vol = F.when(F.col("n2_name") == "NATION_6", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * 0.6 * l.l_quantity
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit,
+           COUNT(*) AS n_items
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2.5 J2 + §2.6 A4 + §2.4 T5 composed (TPC-H Q9 shape: "
+    "product-line profit by supplier nation and year — LIKE-filtered "
+    "multiway join with two-fact-column arithmetic inside the SUM; the "
+    "corpus has no partsupp, so unit cost is proxied as 60% of the part "
+    "dim's p_retailprice — same join/agg composition, documented "
+    "adaptation)",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on 'bolt' product lines by nation and order year.
+    profit = disc_price - unit_cost * quantity, where unit_cost proxies
+    the missing ps_supplycost as 0.6 * p_retailprice (the corpus has no
+    partsupp table; the arithmetic-in-aggregate composition is what Q9
+    exercises and is preserved exactly). Plan shape at 100 TB: the LIKE
+    prunes part BEFORE the join (substring predicates cannot push to
+    parquet stats but evaluate in the scan stage); filtered part
+    broadcasts into lineitem carrying p_retailprice; supplier + nation
+    broadcast; lineitem><orders on orderkey is the one fact-fact
+    exchange, date column only projected. The whole profit expression
+    folds into one partial aggregate on (nation, year) — 25 x |years|
+    output rows. Numeric determinism: the per-row profit is computed in
+    DOUBLE with the identical left-associated expression in both
+    engines (IEEE ops on equal inputs are bit-identical), then summed
+    through DECIMAL(28,6) — a fully-decimal 3-factor product overflows
+    precision 38 and Spark/DuckDB reduce the result scale differently
+    (observed at sf0.01: last-ulp sum divergence)."""
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(dec(profit, 28, 6)).cast("double").alias("sum_profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate >  o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+    survey_ref="§2.5 J2 + §2.6 A4 (TPC-H Q12 shape: late-shipment audit "
+    "— fact-fact join with a cross-table lateness predicate and the "
+    "priority CASE pivot; the corpus has no l_shipmode/l_commitdate/"
+    "l_receiptdate, so the mode key is l_linestatus and 'late' is "
+    "ship-lag > 60 days after order date — documented adaptation, same "
+    "composition)",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: how many critical-priority orders shipped late, per
+    ship class. The classic CASE-pivot aggregation: one grouped pass
+    emits both the high- and low-priority counts. The lateness
+    predicate (l_shipdate > o_orderdate + 60 days) references BOTH
+    sides, so it evaluates as a post-join filter — but the one-year
+    l_shipdate window pushes into the lineitem scan and an implied
+    o_orderdate bound could be derived at 100 TB (orderdate >= window
+    start - max plausible lag) to prune orders too. Fact-fact exchange
+    on orderkey, partial-agg to 2 x |statuses| rows."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

@@ -967,3 +967,57 @@ def test_impl_hash_module_members_not_masked_across_functions():
     assert "def band_keys" in blob, (
         "second function's module members were masked by the first's walk"
     )
+
+
+def test_q6_all_predicates_push_to_scan(spark, sf_dir):
+    """Q6 is the pushdown audit query: date range, discount band, and
+    quantity cap must ALL reach the parquet scan, with a 2-ish column
+    read schema and a map-side partial before the 1-row exchange.
+    The 5-predicate PushedFilters list overflows the default 100-char
+    metadata truncation, so widen it for this assertion."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PushedFilters: [" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, f"predicate not pushed: {frag}\n{plan}"
+    assert "l_orderkey" not in plan  # column pruning reached the scan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q8_broadcasts_all_dims_single_fact_exchange(spark, sf_dir):
+    """Q8's five dimension attaches (part, supplier, nation x2, region)
+    broadcast; lineitem><orders is the only shuffle join; the order-date
+    window pushes into the orders scan."""
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q9_like_prunes_part_before_broadcast(spark, sf_dir):
+    """Q9's LIKE filter evaluates in the part scan stage (StringContains
+    pushed) so only matching parts broadcast; dims broadcast, one
+    fact-fact exchange."""
+    plan = plan_of(spark, sf_dir, "q9_product_profit")
+    assert "StringContains(p_name,bolt)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q12_ship_window_pushes_and_one_exchange(spark, sf_dir):
+    """Q12's one-year ship window prunes the lineitem scan; the cross-table
+    lateness predicate evaluates post-join without breaking the single
+    orderkey exchange; the CASE pivot shares one partial aggregate."""
+    plan = plan_of(spark, sf_dir, "q12_shipmode_priority")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert plan.count("HashAggregate") >= 2
