@@ -76,6 +76,22 @@ def _const_repr(obj) -> str | None:
     return None
 
 
+def _carries_material(obj) -> bool:
+    """True when folding ``obj`` into the walk can emit behavior material:
+    a package module/callable, a primitive constant, or any container
+    (walked for package callables; fully-primitive ones hash by value)."""
+    import inspect
+
+    if inspect.ismodule(obj):
+        return (getattr(obj, "__name__", "") or "").startswith(_PKG_PREFIX)
+    if callable(obj):
+        mod = getattr(obj, "__module__", None)
+        return isinstance(mod, str) and mod.startswith(_PKG_PREFIX)
+    return isinstance(
+        obj, (bool, int, float, str, bytes, tuple, frozenset, dict, list, set)
+    ) or obj is None
+
+
 def _walk_value(
     nm: str,
     obj,
@@ -122,6 +138,13 @@ def _walk_value(
             # only ever hashes MORE than reached — never less. Fallback:
             # if nothing resolves (dynamic getattr dispatch), keep the
             # conservative whole-module hash.
+            # ``hit`` counts only members that CARRY behavior material
+            # (package callables/modules, hashable constants/containers).
+            # Counting every resolvable attr made the whole-module
+            # fallback unreachable — co_names almost always contains some
+            # incidental name that resolves on the module (``F``,
+            # ``Window``), so a member reached only via computed
+            # getattr strings was silently excluded (ADVICE r11).
             hit = False
             for attr in sorted(attr_names):
                 if attr.startswith("__"):
@@ -130,7 +153,8 @@ def _walk_value(
                     member = getattr(obj, attr)
                 except AttributeError:
                     continue
-                hit = True
+                if _carries_material(member):
+                    hit = True
                 _walk_value(f"{nm}.{attr}", member, seen, out, depth + 1)
             if not hit:
                 try:
@@ -150,18 +174,31 @@ def _walk_value(
         else:
             _behavior_sources(obj, seen, out, depth + 1)
         return
-    # Only IMMUTABLE values hash by content. A mutable container (list/
-    # set/dict) referenced from a plan fn is runtime state more often
-    # than a tuning constant (_LAST_ATTACH_MODES, _HV_CACHE), and hashing
-    # its contents makes impl_hash differ before vs after running a query
-    # — repo convention: tuning constants are scalars/tuples/frozensets.
-    # Mutable containers are still WALKED for package callables below, so
-    # dispatch tables keep resetting their callers when a callee changes.
+    # Immutable values hash by content. Mutable containers (list/set/dict)
+    # reached as NAMED module globals also hash by content when they are
+    # FULLY primitive AND their name doesn't mark them as runtime state:
+    # module-level data tables (functions/text.py STOPWORDS) are constants
+    # by convention, and skipping them let a table edit change query
+    # behavior without changing impl_hash (ADVICE r11 — the exact
+    # staleness class round 11 set out to close). Runtime caches are
+    # excluded two ways: underscore names (_HV_CACHE, _LAST_ATTACH_MODES
+    # — repo convention for mutable state) and non-primitive contents
+    # (_const_repr returns None for a (mtime, DataFrame) tuple). Inside a
+    # MIXED container, primitive leaves still never hash (see docstring).
     if isinstance(obj, (bool, int, float, str, bytes, tuple, frozenset)):
         rep = _const_repr(obj)
         if rep is not None:
             if not in_container:
                 out.append(f"{nm}={rep}")
+            return
+    if (
+        not in_container
+        and isinstance(obj, (dict, list, set))
+        and not nm.rsplit(".", 1)[-1].startswith("_")
+    ):
+        rep = _const_repr(obj)
+        if rep is not None:
+            out.append(f"{nm}={rep}")
             return
     # Mixed container (e.g. a name -> helper-fn dispatch dict): recurse so a
     # container-reached package callable still enters the hash (primitive
@@ -210,14 +247,17 @@ def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> Non
     member's closure, not all of operators/dedup.py — round 11; the
     whole-module fallback remains for unresolvable dynamic access).
     Non-package
-    objects (pyspark, stdlib) are skipped; primitive module-level
-    constants — including set/frozenset/dict/list containers, via the
-    seed-independent canonical form in ``_const_repr`` — hash by value so
-    tuning MP_THRESHOLD-style knobs resets their dependents; containers
-    holding package callables (dispatch tables) are walked element-wise
-    (round-10 verdict blind spot); bound ``__defaults__`` are hashed so
-    defaults-only constants count too. Deterministic: names sorted,
-    cycles cut by id."""
+    objects (pyspark, stdlib) are skipped. Constant-hashing policy (keep
+    in sync with ``_walk_value``): scalars/tuples/frozensets and bound
+    ``__defaults__``/``__kwdefaults__`` always hash by value (via the
+    seed-independent canonical form in ``_const_repr``); MUTABLE
+    containers (dict/list/set) hash by value only when reached as a
+    non-underscore-named module global with fully-primitive contents
+    (data tables like STOPWORDS — ADVICE r11); underscore-named or
+    mixed-content containers are runtime state and are only WALKED for
+    package callables (dispatch tables, round-10 verdict blind spot),
+    never content-hashed. Deterministic: names sorted, cycles cut by
+    id."""
     import inspect
 
     if id(fn) in seen or depth > 8:

@@ -1021,3 +1021,101 @@ def test_q12_ship_window_pushes_and_one_exchange(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
     assert plan.count("HashAggregate") >= 2
+
+
+def _mk_module(name: str, source: str):
+    """Materialize a throwaway in-package module from source text so
+    inspect.getsource works (required by the fingerprint walk)."""
+    import importlib.util
+    import sys
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(
+        "w", suffix=".py", prefix="fp_fixture_", delete=False
+    )
+    f.write(source)
+    f.close()
+    spec = importlib.util.spec_from_file_location(name, f.name)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_primitive_module_dict_global_enters_hash():
+    """ADVICE r12 (medium): a fully-primitive dict/list module global
+    reached as ``MOD.TABLE`` is a data table by convention (STOPWORDS) and
+    must hash by VALUE — editing it has to reset dependent stamps."""
+    from nyc_open_data_pipeline_spark.plans.registry import _behavior_sources
+
+    mod = _mk_module(
+        "nyc_open_data_pipeline_spark._fp_tbl",
+        "STOPWORDS = {'the': 1, 'a': 2}\nGRAMS = ['ab', 'cd']\n",
+    )
+
+    def q():
+        return mod.STOPWORDS, mod.GRAMS
+
+    out: list[str] = []
+    _behavior_sources(q, set(), out)
+    blob = "\n".join(out)
+    assert "STOPWORDS=dict{'a':2,'the':1}" in blob
+    assert "GRAMS=list['ab','cd']" in blob
+    # the edit actually changes the material
+    mod.STOPWORDS["the"] = 99
+    out2: list[str] = []
+    _behavior_sources(q, set(), out2)
+    assert "\n".join(out2) != blob
+
+
+def test_underscore_named_module_container_stays_out_of_hash():
+    """Runtime caches are underscore-named by repo convention; their
+    (primitive) contents must NOT enter the hash, or impl_hash differs
+    before vs after running a query (round-11 invariant, extended to the
+    round-12 container-hashing rule)."""
+    from nyc_open_data_pipeline_spark.plans.registry import _behavior_sources
+
+    mod = _mk_module(
+        "nyc_open_data_pipeline_spark._fp_cache",
+        "_SEEN = {'k': 1}\n",
+    )
+
+    def q():
+        return mod._SEEN
+
+    out: list[str] = []
+    _behavior_sources(q, set(), out)
+    blob = "\n".join(out)
+    assert "_SEEN=" not in blob
+    mod._SEEN["k"] = 2  # mutating the cache must not move the hash
+    out2: list[str] = []
+    _behavior_sources(q, set(), out2)
+    assert "\n".join(out2) == blob
+
+
+def test_dynamic_getattr_dispatch_falls_back_to_whole_module():
+    """ADVICE r12 (low): a member reached ONLY via computed getattr
+    strings resolves through no co_name, so the walk must fall back to
+    hashing the whole module source — incidental non-package attrs
+    (``F``-style re-exports) must not suppress the fallback."""
+    from nyc_open_data_pipeline_spark.plans.registry import _behavior_sources
+
+    mod = _mk_module(
+        "nyc_open_data_pipeline_spark._fp_dyn",
+        "import os as F\n\ndef secret_helper():\n    return 42\n",
+    )
+
+    def q(which: str):
+        # `F` (non-package) resolves on the module; the real dependency is
+        # reached dynamically and appears in no co_names
+        fn = getattr(mod, which + "_helper")
+        return fn(), mod.F
+    # make getattr dynamic from the walker's perspective is automatic:
+    # 'secret_helper' is never a co_name of q
+
+    out: list[str] = []
+    _behavior_sources(q, set(), out)
+    blob = "\n".join(out)
+    assert "def secret_helper" in blob, (
+        "whole-module fallback suppressed by an incidental non-package attr"
+    )
