@@ -981,8 +981,10 @@ def star_components(
     exceptAll empty) on the canonical edge set, not a heuristic.
 
     SCRATCH RETIREMENT (round 9 — the gr1/gr2 disk-light discipline):
-    the superseded round's checkpoint blocks are ``unpersist``-ed as
-    soon as the convergence check has consumed them, and on fact-scale
+    the superseded round's checkpoint blocks are freed as soon as the
+    convergence check has consumed them — via the LogicalRDD's own RDD
+    (``session.retire_local_checkpoint``; a plain DataFrame.unpersist
+    is a cache-manager no-op on checkpointed frames), and on fact-scale
     graphs (edge count above ``_GC_NUDGE_EDGES``) a GC nudge lets the
     ContextCleaner retire the round's shuffle files before round k+2.
     Without this every round's full edge set stayed live — ~13 rounds
@@ -1181,17 +1183,15 @@ def star_components(
         max_group = int(o_ls.get["mg"])
         done = fp == prev_fp and nxt.exceptAll(edges).isEmpty()
         # the convergence check was the last reader of the old round:
-        # retire its checkpoint blocks now, and on fact-scale rounds
+        # retire its checkpoint blocks now (through the LogicalRDD — a
+        # plain DataFrame.unpersist() is a cache-manager no-op on
+        # checkpointed frames, ADVICE r11), and on fact-scale rounds
         # nudge GC so the ContextCleaner drops the round's shuffle files
-        try:
-            edges.unpersist()
-        except Exception:
-            pass
+        from nyc_open_data_pipeline_spark.session import retire_local_checkpoint
+
+        retire_local_checkpoint(edges)
         for s_ in scratch:
-            try:
-                s_.unpersist()
-            except Exception:
-                pass
+            retire_local_checkpoint(s_)
         if prev_fp[0] > _GC_NUDGE_EDGES:
             try:
                 # resolved lazily INSIDE the guard: on Spark Connect even

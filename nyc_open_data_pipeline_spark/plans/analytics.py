@@ -691,12 +691,13 @@ def gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if disklight:
             # retire the previous round's scratch promptly: its rank
-            # blocks and (via ContextCleaner after the GC nudge) its
-            # inflow shuffle files — live disk stays O(one round)
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
+            # blocks via the LogicalRDD (DataFrame.unpersist is a
+            # cache-manager no-op on checkpointed frames, ADVICE r11)
+            # and, via ContextCleaner after the GC nudge, its inflow
+            # shuffle files — live disk stays O(one round)
+            from nyc_open_data_pipeline_spark.session import retire_local_checkpoint
+
+            retire_local_checkpoint(prev)
             spark.sparkContext._jvm.System.gc()
     return (
         ranks.orderBy(F.desc("r"), F.asc("node"))
@@ -846,12 +847,11 @@ def gr2_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum("m").cast("long").alias("h"))
                 .localCheckpoint(eager=True)
             )
+            from nyc_open_data_pipeline_spark.session import retire_local_checkpoint
+
             for fr in (prev_a, prev_h):  # retire round-(k-1) scratch
                 if fr is not None:
-                    try:
-                        fr.unpersist()
-                    except Exception:
-                        pass
+                    retire_local_checkpoint(fr)
             spark.sparkContext._jvm.System.gc()
         else:
             a = (

@@ -56,6 +56,25 @@ def ensure_semantic_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def retire_local_checkpoint(df) -> None:
+    """Free a localCheckpoint'd DataFrame's storage blocks NOW.
+
+    ``DataFrame.unpersist()`` is a silent no-op on a checkpointed frame:
+    it routes through the cache manager, which holds no entry for the
+    LogicalRDD-backed plan (ADVICE r11) — so iterative operators that
+    "retired" per-round checkpoints with it were actually waiting for the
+    JVM to GC the RDD handle (ContextCleaner), i.e. the System.gc nudge
+    path. Reach the checkpoint RDD through the analyzed LogicalRDD and
+    unpersist it directly (non-blocking, frees memory+disk blocks in one
+    call). Best-effort by design: a frame with operators ON TOP of the
+    checkpoint, or a Spark Connect session with no JVM handle, falls back
+    silently to the GC-driven path."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def get_spark(
     app_name: str = "nyc_open_data_pipeline_spark",
     master: str | None = None,

@@ -127,6 +127,40 @@ def _part_files(d: str) -> list[str]:
         return []
 
 
+def _assert_replay_target_safe(state_dir: str, batch_id: int, last: int) -> None:
+    """Guard the one data-loss hole compaction opens (ADVICE r11): after
+    ``compact_state`` merges all history into ``batch=<dest_id>``, that
+    partition is the WHOLE seen-set, and a replay that slips past a
+    lost/corrupted/stale ``_last_batch`` marker would mode('overwrite')
+    it down to one batch's keys — silently re-admitting every
+    previously-seen document. Two independent tripwires, both loud:
+
+    - marker unreadable (``last < 0``) while committed batch dirs exist:
+      the skip-replayed-batches check is blind, refuse to process
+      anything until the operator restores or removes the state dir;
+    - the target partition holds ``compact-*`` files (it is a compaction
+      destination) yet the marker permits rewriting it (stale marker,
+      e.g. restored from a pre-compaction backup): refuse.
+
+    Uncompacted stores are unaffected: a replay overwriting its OWN
+    per-batch partition remains the exactly-once mechanism."""
+    if last < 0 and _batch_ids(state_dir):
+        raise RuntimeError(
+            f"state store {state_dir!r} has committed batch partitions but its "
+            "_last_batch marker is missing/unreadable; processing would let a "
+            "replay overwrite compacted state. Restore the marker (echo the "
+            "highest committed batch id into _last_batch) or clear the state dir."
+        )
+    dest = os.path.join(state_dir, f"batch={batch_id}")
+    if any(os.path.basename(f).startswith("compact-") for f in _part_files(dest)):
+        raise RuntimeError(
+            f"batch {batch_id} would overwrite compaction destination "
+            f"{dest!r} (holds compact-* files) — the _last_batch marker "
+            f"({last}) is stale relative to the store. Restore a marker "
+            ">= the compaction destination id."
+        )
+
+
 def compact_state(
     spark: SparkSession,
     state_dir: str,
@@ -245,9 +279,14 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
     batch replaces any partial output instead of appending a duplicate copy
     (the round-6 ADVICE hazard: a crash between the output write and the
     commit marker left append-mode output doubled on replay). The
-    ``_last_batch`` marker (tmp+rename AFTER both writes) remains as the
-    cheap skip for already-committed replays; correctness no longer
-    depends on it. The state read filters ``batch < batch_id`` (partition-
+    ``_last_batch`` marker (tmp+rename AFTER both writes) is the cheap
+    skip for already-committed replays — and once ``compact_state`` has
+    folded history into one partition it becomes CORRECTNESS-BEARING:
+    a replay slipping past a lost/stale marker would overwrite the whole
+    merged seen-set, so ``_assert_replay_target_safe`` refuses to
+    process when the marker is unreadable while state partitions exist,
+    or when the target partition holds compact-* files (ADVICE r11).
+    The state read filters ``batch < batch_id`` (partition-
     pruned), so a crash that left the CURRENT batch's own state partition
     partially written cannot feed those keys back into the replay's
     anti-join and silently drop its own survivors — the replay recomputes
@@ -266,8 +305,10 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             return -1
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_committed():
+        last = last_committed()
+        if batch_id <= last:
             return  # replay of an already-applied batch
+        _assert_replay_target_safe(state_dir, batch_id, last)
         import time as _time
 
         _t0 = _time.perf_counter()
@@ -386,8 +427,10 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             return -1
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_committed():
+        last = last_committed()
+        if batch_id <= last:
             return
+        _assert_replay_target_safe(state_dir, batch_id, last)
         import time as _time
 
         _t0 = _time.perf_counter()
@@ -543,8 +586,10 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
             return -1
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_committed():
+        last = last_committed()
+        if batch_id <= last:
             return  # replay of an already-applied batch
+        _assert_replay_target_safe(state_dir, batch_id, last)
         import time as _time
 
         from nyc_open_data_pipeline_spark.operators.dedup import (

@@ -101,16 +101,27 @@ def _spill_bytes(spark) -> tuple[int, int]:
 
 
 def main() -> int:
-    args = dict(
-        zip(
-            [a.lstrip("-") for a in sys.argv[1::2]],
-            sys.argv[2::2],
-            strict=False,
-        )
-    )
-    passes = int(args.get("passes", 2))
-    n_chain = int(args.get("chain", 10_000_000))
-    n_spokes = int(args.get("spokes", 6_000_000))
+    # argparse, not positional pair-zipping: the old zip dropped the value
+    # after any bare flag (`--probe-only --passes 2` parsed as
+    # {'probe-only': '--passes'} and lost the 2 — ADVICE r11)
+    import argparse
+
+    ap = argparse.ArgumentParser(description="gr3 star_components scale witness")
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--chain", type=int, default=10_000_000)
+    ap.add_argument("--spokes", type=int, default=6_000_000)
+    ap.add_argument("--driver-mem", dest="driver_mem", default=None)
+    ap.add_argument("--mem-fraction", dest="mem_fraction", default=None)
+    ap.add_argument("--probe-only", action="store_true")
+    ns = ap.parse_args()
+    args = {
+        "driver-mem": ns.driver_mem,
+        "mem-fraction": ns.mem_fraction,
+        "probe-only": ns.probe_only,
+    }
+    passes = ns.passes
+    n_chain = ns.chain
+    n_spokes = ns.spokes
 
     from nyc_open_data_pipeline_spark.operators import dedup as DD
     from nyc_open_data_pipeline_spark.session import get_spark

@@ -1652,3 +1652,26 @@ def test_star_components_join_attach_is_aqe_skew_splittable(spark, monkeypatch):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_retire_local_checkpoint_actually_frees_blocks(spark):
+    """ADVICE r12: DataFrame.unpersist() is a silent no-op on a
+    localCheckpoint'd frame (cache manager has no entry for the
+    LogicalRDD plan); retire_local_checkpoint must free the blocks NOW
+    — gr1/gr2/gr3's per-round scratch retirement depends on it."""
+    from nyc_open_data_pipeline_spark.session import retire_local_checkpoint
+
+    df = spark.range(50000).selectExpr("id", "id * 2 AS x").localCheckpoint(
+        eager=True
+    )
+    jsc = spark.sparkContext._jsc.sc()
+
+    def cached_rdd_ids():
+        return {i.id() for i in jsc.getRDDStorageInfo()}
+
+    before = cached_rdd_ids()
+    assert before, "localCheckpoint left no storage blocks to measure"
+    df.unpersist()  # documented no-op
+    assert cached_rdd_ids() == before
+    retire_local_checkpoint(df)
+    assert not cached_rdd_ids() & before, "checkpoint blocks were not freed"

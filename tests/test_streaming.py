@@ -588,7 +588,8 @@ def test_incremental_dedup_sink_crash_before_marker_replay(spark, tmp_path):
     )
     sink(b1, 1)
     # simulate crash-before-marker on batch 1: writes landed, marker did not
-    os.remove(os.path.join(state, "_last_batch"))
+    with open(os.path.join(state, "_last_batch"), "w") as f:
+        f.write("0")  # marker un-advanced (a real crash never DELETES it)
     sink(b1, 1)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 6}
     assert len(spark.read.parquet(out).collect()) == 3  # no double-append
@@ -608,7 +609,8 @@ def test_incremental_neardup_sink_crash_before_marker_replay(spark, tmp_path):
     sink(spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string"), 0)
     b1 = spark.createDataFrame([(5, a), (6, c)], "doc_id long, text string")
     sink(b1, 1)
-    os.remove(os.path.join(state, "_last_batch"))
+    with open(os.path.join(state, "_last_batch"), "w") as f:
+        f.write("0")  # marker un-advanced (a real crash never DELETES it)
     sink(b1, 1)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 6}
     assert len(spark.read.parquet(out).collect()) == 3
@@ -636,7 +638,8 @@ def test_incremental_substring_sink_crash_before_marker_replay(spark, tmp_path):
         [(5, base), (6, other)], "doc_id long, text string"
     )
     sink(b1, 1)
-    os.remove(os.path.join(state, "_last_batch"))
+    with open(os.path.join(state, "_last_batch"), "w") as f:
+        f.write("0")  # marker un-advanced (a real crash never DELETES it)
     sink(b1, 1)  # replay after crash-before-marker
     rows = spark.read.parquet(out).collect()
     # doc 5 repeats doc 1's text -> one maximal span covering tokens 1..12;
@@ -799,7 +802,8 @@ def test_compact_state_then_crash_replay_overwrites_own_partition(spark, tmp_pat
         [(80, texts[7]), (81, "iota")], "doc_id long, text string"
     )
     sink(b8, 8)
-    os.remove(os.path.join(state, "_last_batch"))  # crash-before-marker
+    with open(os.path.join(state, "_last_batch"), "w") as f:
+        f.write("7")  # crash-before-marker: marker un-advanced, not deleted
     sink(b8, 8)  # replay
 
     assert sorted(os.listdir(dest)) == dest_files_before  # destination untouched
@@ -976,3 +980,52 @@ def test_compact_state_all_empty_batches_is_noop(spark, tmp_path):
         f.write("4")
     stats = compact_state(spark, state, min_batches=2)
     assert stats.batches_merged == 0 and stats.files_before == 0
+
+
+def test_replay_guard_refuses_lost_marker_and_stale_marker(spark, tmp_path):
+    """ADVICE r12: once compact_state has folded history into one
+    partition, the _last_batch marker is correctness-bearing. A sink
+    must fail LOUDLY (not silently re-admit every seen document) when
+    (a) the marker is lost while state partitions exist, or (b) a stale
+    marker would let a replay overwrite a compaction destination."""
+    import os
+
+    import pytest
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        compact_state,
+        incremental_dedup_sink,
+    )
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_dedup_sink(spark, out, state)
+    for i in range(4):
+        sink(
+            spark.createDataFrame([(i, f"text {i}")], "doc_id long, text string"),
+            i,
+        )
+    stats = compact_state(spark, state, min_batches=2)
+    assert stats.batches_merged == 4
+
+    # (a) lost marker: processing any new batch must refuse
+    os.rename(os.path.join(state, "_last_batch"), os.path.join(state, "_mv"))
+    b4 = spark.createDataFrame([(40, "text 40")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="marker is missing"):
+        sink(b4, 4)
+    os.rename(os.path.join(state, "_mv"), os.path.join(state, "_last_batch"))
+
+    # (b) stale marker (pre-compaction backup): batch=3 is the compaction
+    # destination; a marker of 2 would admit a "replay" of batch 3 that
+    # overwrites the whole merged seen-set
+    with open(os.path.join(state, "_last_batch"), "w") as f:
+        f.write("2")
+    b3 = spark.createDataFrame([(30, "text 3")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="compaction destination"):
+        sink(b3, 3)
+
+    # restored marker: the sink resumes normally
+    with open(os.path.join(state, "_last_batch"), "w") as f:
+        f.write("3")
+    sink(b4, 4)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 2, 3, 40}
