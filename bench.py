@@ -179,6 +179,11 @@ HEADLINE += [
     "sk6_hll_rollup",
     # round 9
     "c6_exact_then_setsim",
+    # round 12
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipmode_priority",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.
@@ -194,6 +199,30 @@ CORE30 = {
     "mm2_decode_features", "tx1_token_stats", "tx2_quality_score",
     "tx3_language_id",
 }
+
+
+def _latest_prev_bench_summary() -> tuple[str | None, dict | None]:
+    """Newest BENCH_r*.json next to this file, unwrapped to the summary
+    dict (the driver wraps it as {'parsed': {...}}; a raw summary from a
+    manual run is accepted as-is). (None, None) when absent/unreadable."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), p
+    if best is None:
+        return None, None
+    try:
+        with open(best) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return None, None
+    summary = raw.get("parsed") if isinstance(raw.get("parsed"), dict) else raw
+    return os.path.basename(best), summary if isinstance(summary, dict) else None
 
 
 def main() -> None:
@@ -303,7 +332,34 @@ def main() -> None:
             "core30_ratio": round(core30 / y, 3),
             "core58_ratio": round(core58 / y, 3),
             "batch_total_ratio": round(batch_total / y, 3),
+            # per-family box-calibrated ratios (round-11 verdict #5): a
+            # future artifact's family moves are judged on RATIO deltas,
+            # not absolute seconds — kills the recurring host-speed
+            # forensics (r11's core30 "+5%" was a 1.4x-slower host)
+            "family_ratios": {k: round(v / y, 3) for k, v in families.items()},
         }
+        prev_name, prev = _latest_prev_bench_summary()
+        prev_y = ((prev or {}).get("yardstick") or {}).get("sec")
+        prev_fam = (prev or {}).get("families") or {}
+        # ratio deltas only against a same-sf artifact: family subtotals
+        # scale non-uniformly with sf, so a cross-sf "delta" is noise
+        if prev_y and (prev or {}).get("sf") == float(sf):
+            deltas: dict[str, float] = {}
+            flags: list[str] = []
+            for k, v in families.items():
+                pv = prev_fam.get(k)
+                if not pv:
+                    continue
+                d = (v / y) / (pv / prev_y)
+                deltas[k] = round(d, 3)
+                if d > 1.3:
+                    flags.append(k)
+            yardstick["ratio_delta_vs"] = prev_name
+            yardstick["family_ratio_deltas"] = deltas
+            # families whose box-calibrated cost moved >1.3x vs the prior
+            # artifact — the round-close regression gate reads THIS, not
+            # raw seconds
+            yardstick["ratio_flags"] = sorted(flags)
 
     # Streaming rate metrics (round-7 VERDICT #8): the foreachBatch sinks
     # record per-micro-batch (rows out, new state keys, wall sec); attach
