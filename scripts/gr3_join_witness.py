@@ -47,10 +47,28 @@ def _chain_graph(spark, n):
     return nodes, edges
 
 
-def _hub_graph(spark, s):
-    nodes = spark.range(s + 1).select(F.col("id"))
+_MIX_K = -7046029254386353131  # odd (2^64 - 0x9E3779B97F4A7C15): bijective mod 2^63
+_MIX_MASK = (1 << 63) - 1
+
+
+def _mixed(col):
+    """Bijective id mixing: i -> (i * K) mod 2^63, K odd. Java long
+    multiplication wraps mod 2^64 and (x mod 2^64) mod 2^63 == x mod 2^63,
+    so the masked product is injective and never 0 for i != 0. Purpose:
+    sequential spoke ids LZ4-compress ~10x, holding the hot key's
+    COMPRESSED shuffle bytes under AQE's 256 MB skew floor at any node
+    count this box can hold (round-11 honest boundary); mixed ids are
+    incompressible, so the floor is reachable at ~35 M spokes."""
+    return (col * F.lit(_MIX_K)).bitwiseAND(F.lit(_MIX_MASK))
+
+
+def _hub_graph(spark, s, mix: bool = False):
+    spoke = _mixed(F.col("id")) if mix else F.col("id")
+    nodes = spark.range(1, s + 1).select(spoke.alias("id")).union(
+        spark.range(1).select(F.col("id"))
+    )
     edges = spark.range(1, s + 1).select(
-        F.col("id").alias("id_a"), F.lit(0).alias("id_b")
+        spoke.alias("id_a"), F.lit(0).alias("id_b")
     )
     return nodes, edges
 
@@ -113,6 +131,19 @@ def main() -> int:
     ap.add_argument("--driver-mem", dest="driver_mem", default=None)
     ap.add_argument("--mem-fraction", dest="mem_fraction", default=None)
     ap.add_argument("--probe-only", action="store_true")
+    ap.add_argument(
+        "--hub-only",
+        action="store_true",
+        help="skip the chain witness (hub + probe only)",
+    )
+    ap.add_argument(
+        "--mix-ids",
+        action="store_true",
+        help="incompressible spoke ids: the production-conf skew-split "
+        "cell (round-11 verdict #4) — at ~35 M mixed spokes the hot key's "
+        "compressed bytes clear AQE's default 256 MB floor INSIDE "
+        "star_components, no threshold scaling",
+    )
     ns = ap.parse_args()
     args = {
         "driver-mem": ns.driver_mem,
@@ -148,8 +179,14 @@ def main() -> int:
 
     graph_runs = [] if args.get("probe-only") else [
         ("chain_giant_component", lambda: _chain_graph(spark, n_chain), n_chain),
-        ("hub_star", lambda: _hub_graph(spark, n_spokes), n_spokes + 1),
+        (
+            "hub_star_mixed" if ns.mix_ids else "hub_star",
+            lambda: _hub_graph(spark, n_spokes, mix=ns.mix_ids),
+            n_spokes + 1,
+        ),
     ]
+    if ns.hub_only:
+        graph_runs = graph_runs[1:]
     for name, build, n_nodes in graph_runs:
         results = []
         for _ in range(passes):

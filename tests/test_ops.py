@@ -96,6 +96,9 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
 
 
 def test_multimodal_decode_gated_without_pil(spark, sf_dir):
+    """A non-Netpbm payload on the real branch needs PIL; without it the
+    task fails loudly (codec availability is payload-dependent since the
+    PPM real path landed, so the gate moved from plan time into the task)."""
     import pytest
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
@@ -105,8 +108,57 @@ def test_multimodal_decode_gated_without_pil(spark, sf_dir):
 
         pytest.skip("PIL present; gate not exercised")
     except ImportError:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_meta(media, fake=False)
+        with pytest.raises(Exception, match="requires PIL"):
+            decode_image_meta(media, fake=False).collect()
+
+
+def _ppm_bytes(width: int, height: int, comment: bool = False) -> bytes:
+    head = b"P6\n"
+    if comment:
+        head += b"# fixture comment\n"
+    head += f"{width} {height}\n255\n".encode()
+    return head + bytes(width * height * 3)
+
+
+def test_multimodal_real_decode_branch_via_ppm(spark):
+    """Round-11 verdict #6: the REAL decode branch (fake=False), exercised
+    end-to-end through the mapInPandas stage with a dependency-free codec
+    — P6 images with real headers, dimensions verified against the bytes
+    we wrote, not a stand-in hash."""
+    import hashlib
+
+    from nyc_open_data_pipeline_spark.functions.multimodal import MEDIA_SCHEMA  # noqa: F401
+
+    payloads = [
+        (1, _ppm_bytes(7, 3)),
+        (2, _ppm_bytes(640, 480, comment=True)),
+        (3, b"P2\n# gray\n12 34\n255\n" + bytes(12 * 34)),
+    ]
+    media = spark.createDataFrame(
+        [(i, p, "image/x-portable-pixmap") for i, p in payloads],
+        "media_id long, payload binary, media_type string",
+    )
+    got = {r["media_id"]: r for r in decode_image_meta(media, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (7, 3)
+    assert (got[2]["width"], got[2]["height"]) == (640, 480)
+    assert (got[3]["width"], got[3]["height"]) == (12, 34)
+    for i, p in payloads:
+        assert got[i]["n_bytes"] == len(p)
+        assert got[i]["content_hash"] == hashlib.md5(p).hexdigest()
+
+
+def test_ppm_header_parser_rejects_malformed():
+    import pytest
+
+    from nyc_open_data_pipeline_spark.functions.multimodal import decode_ppm_header
+
+    with pytest.raises(ValueError):
+        decode_ppm_header(b"JFIF....")
+    with pytest.raises(ValueError):
+        decode_ppm_header(b"P6\nnot numbers\n")
+    with pytest.raises(ValueError):
+        decode_ppm_header(b"P6\n0 5\n255\n")  # zero width
+    assert decode_ppm_header(_ppm_bytes(2048, 1)) == (2048, 1)
 
 
 def test_frame_sample_plan(spark, sf_dir):
@@ -1661,17 +1713,18 @@ def test_retire_local_checkpoint_actually_frees_blocks(spark):
     — gr1/gr2/gr3's per-round scratch retirement depends on it."""
     from nyc_open_data_pipeline_spark.session import retire_local_checkpoint
 
-    df = spark.range(50000).selectExpr("id", "id * 2 AS x").localCheckpoint(
-        eager=True
-    )
     jsc = spark.sparkContext._jsc.sc()
 
     def cached_rdd_ids():
         return {i.id() for i in jsc.getRDDStorageInfo()}
 
-    before = cached_rdd_ids()
-    assert before, "localCheckpoint left no storage blocks to measure"
+    pre = cached_rdd_ids()  # other tests' session-cached frames stay out
+    df = spark.range(50000).selectExpr("id", "id * 2 AS x").localCheckpoint(
+        eager=True
+    )
+    mine = cached_rdd_ids() - pre
+    assert mine, "localCheckpoint left no storage blocks to measure"
     df.unpersist()  # documented no-op
-    assert cached_rdd_ids() == before
+    assert cached_rdd_ids() >= mine
     retire_local_checkpoint(df)
-    assert not cached_rdd_ids() & before, "checkpoint blocks were not freed"
+    assert not cached_rdd_ids() & mine, "checkpoint blocks were not freed"
