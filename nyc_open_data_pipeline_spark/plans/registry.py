@@ -152,7 +152,21 @@ def _walk_value(
                 try:
                     member = getattr(obj, attr)
                 except AttributeError:
-                    continue
+                    # A PACKAGE exposes a submodule as an attribute only
+                    # after something imported it — getattr-only resolution
+                    # made impl_hash depend on this process's import state
+                    # (round 12: mm2's body-local `from pkg.functions
+                    # import multimodal` hashed nothing when no prior code
+                    # had imported the submodule). Import it explicitly so
+                    # the walk is deterministic.
+                    if not hasattr(obj, "__path__"):
+                        continue
+                    import importlib
+
+                    try:
+                        member = importlib.import_module(f"{obj.__name__}.{attr}")
+                    except ImportError:
+                        continue
                 if _carries_material(member):
                     hit = True
                 _walk_value(f"{nm}.{attr}", member, seen, out, depth + 1)

@@ -1119,3 +1119,39 @@ def test_dynamic_getattr_dispatch_falls_back_to_whole_module():
     assert "def secret_helper" in blob, (
         "whole-module fallback suppressed by an incidental non-package attr"
     )
+
+
+def test_unimported_submodule_still_enters_hash():
+    """Round-12 fingerprint hole: a body-local `from pkg.sub import mod`
+    resolves through the PACKAGE module, whose submodule attr exists only
+    if something already imported it — getattr-only resolution made
+    impl_hash depend on the process's import state (a fresh driver
+    session silently dropped functions/multimodal from mm2's closure).
+    The walk must import un-imported submodules so the hash is
+    deterministic."""
+    import sys
+
+    import nyc_open_data_pipeline_spark.functions as fpkg
+    from nyc_open_data_pipeline_spark.plans.registry import _behavior_sources
+
+    def q():
+        from nyc_open_data_pipeline_spark.functions import multimodal as MM
+
+        return MM.decode_image_meta
+
+    modname = "nyc_open_data_pipeline_spark.functions.multimodal"
+    saved = sys.modules.pop(modname, None)
+    had_attr = hasattr(fpkg, "multimodal")
+    if had_attr:
+        delattr(fpkg, "multimodal")
+    try:
+        out: list[str] = []
+        _behavior_sources(q, set(), out)
+        blob = "\n".join(out)
+        assert "def decode_image_meta" in blob, (
+            "submodule dropped from the hash when not yet imported"
+        )
+    finally:
+        if saved is not None:
+            sys.modules[modname] = saved
+            setattr(fpkg, "multimodal", saved)
