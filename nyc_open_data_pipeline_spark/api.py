@@ -27,8 +27,11 @@ def create_app(spark, storage_root: str):
         from fastapi.middleware.gzip import GZipMiddleware
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "fastapi is not installed; use serving.export_static for the "
-            "materialized-document path instead"
+            "fastapi is not installed; serve the same three documents "
+            "statically via serving.export_static(spark, "
+            "ParquetStorage(storage_root), out_dir) — it writes the "
+            "byte-compatible /data docs this app (create_app(spark, "
+            "storage_root)) would serve live"
         ) from e
 
     storage = ParquetStorage(storage_root)
