@@ -305,10 +305,13 @@ def main() -> None:
     # Per-family subtotals (prefix up to the first digit) — makes regressions
     # attributable at a glance without diffing 70 per-query numbers.
     families: dict[str, float] = {}
+    family_counts: dict[str, int] = {}
     for k, v in ok.items():
         fam = k.split("_", 1)[0].rstrip("0123456789")
         families[fam] = families.get(fam, 0.0) + v
+        family_counts[fam] = family_counts.get(fam, 0) + 1
     families = {k: round(v, 3) for k, v in sorted(families.items())}
+    family_counts = dict(sorted(family_counts.items()))
 
     # Batch vs stream split (round-10 verdict #5): the st* family is mostly
     # per-micro-batch Spark fixed cost (~40 s of the sf0.1 headline), which
@@ -341,6 +344,7 @@ def main() -> None:
         prev_name, prev = _latest_prev_bench_summary()
         prev_y = ((prev or {}).get("yardstick") or {}).get("sec")
         prev_fam = (prev or {}).get("families") or {}
+        prev_cnt = (prev or {}).get("family_counts") or {}
         # ratio deltas only against a same-sf artifact: family subtotals
         # scale non-uniformly with sf, so a cross-sf "delta" is noise
         if prev_y and (prev or {}).get("sf") == float(sf):
@@ -350,15 +354,28 @@ def main() -> None:
                 pv = prev_fam.get(k)
                 if not pv:
                     continue
-                d = (v / y) / (pv / prev_y)
+                cur_n, old_n = family_counts.get(k, 1), prev_cnt.get(k)
+                if old_n:
+                    # PER-QUERY calibrated cost: a family that gained
+                    # queries must not flag just for being bigger
+                    d = ((v / cur_n) / y) / ((pv / old_n) / prev_y)
+                else:
+                    d = (v / y) / (pv / prev_y)
                 deltas[k] = round(d, 3)
-                if d > 1.3:
+                # noise floor: sub-1.5 s family subtotals are dominated by
+                # per-query fixed cost, and the d26 yardstick itself is
+                # ~1.2 s at sf0.1 — tiny/tiny ratios flap without meaning
+                if d > 1.3 and v >= 1.5:
                     flags.append(k)
             yardstick["ratio_delta_vs"] = prev_name
             yardstick["family_ratio_deltas"] = deltas
-            # families whose box-calibrated cost moved >1.3x vs the prior
-            # artifact — the round-close regression gate reads THIS, not
-            # raw seconds
+            if not prev_cnt:
+                # legacy artifact: deltas are not count-normalized, so a
+                # family that gained queries inflates honestly — say so
+                yardstick["prev_counts_missing"] = True
+            # families whose box-calibrated PER-QUERY cost moved >1.3x vs
+            # the prior artifact (above the noise floor) — the round-close
+            # regression gate reads THIS, not raw seconds
             yardstick["ratio_flags"] = sorted(flags)
 
     # Streaming rate metrics (round-7 VERDICT #8): the foreachBatch sinks
@@ -398,6 +415,7 @@ def main() -> None:
         "batch_total_sec": batch_total,
         "stream_total_sec": round(stream_total, 3),
         "families": families,
+        "family_counts": family_counts,
         "queries": timings,
         "sf": float(sf),
     }
@@ -421,6 +439,7 @@ def main() -> None:
         "batch_total_sec": batch_total,
         "stream_total_sec": round(stream_total, 3),
         "families": families,
+        "family_counts": family_counts,
         "n_queries": len(ok),
         "n_errors": len(errors),
         "sf": float(sf),

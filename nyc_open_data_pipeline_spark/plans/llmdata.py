@@ -6852,6 +6852,121 @@ def smp2_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(chosen, schema)
 
 
+_KC4_ROUNDS = 3  # oversampling passes (production: O(log k), not O(k))
+_KC4_L = 4  # centers accepted per pass (production: ~2k/rounds, pruned to k)
+
+
+def _sql_kcenter_oversample(rounds: int, width: int) -> str:
+    """Unrolled Gonzalez-with-oversampling CTE chain: per round, the
+    ``width`` farthest points (mind DESC, vec_id tie-break) join the
+    center set TOGETHER; min-distances fold in per-center prounded
+    cosine distances exactly as the Spark side's least() chain does."""
+    dist = _sql_pround("1.0 - list_dot_product(p.v, c.v) / (p.nrm * c.nrm)")
+    ctes = [
+        f"en AS (SELECT vec_id, {SQL_VEC} AS v FROM embeddings)",
+        "kn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm"
+        " FROM en)",
+        "c0 AS (SELECT vec_id, v, nrm FROM kn"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM kn))",
+        f"m0 AS (SELECT p.vec_id, p.v, p.nrm, {dist} AS mind"
+        " FROM kn p, c0 c WHERE p.vec_id <> c.vec_id)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"s{r} AS (SELECT vec_id, v, nrm, mind FROM m{r - 1}"
+            f" ORDER BY mind DESC, vec_id LIMIT {width})"
+        )
+        if r < rounds:
+            ctes.append(
+                f"nd{r} AS (SELECT p.vec_id, MIN({dist}) AS nd"
+                f" FROM m{r - 1} p, s{r} c GROUP BY p.vec_id)"
+            )
+            ctes.append(
+                f"m{r} AS (SELECT p.vec_id, p.v, p.nrm,"
+                f" LEAST(p.mind, d.nd) AS mind"
+                f" FROM m{r - 1} p JOIN nd{r} d USING (vec_id)"
+                f" WHERE p.vec_id NOT IN (SELECT vec_id FROM s{r}))"
+            )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS rnd, vec_id,"
+        " CAST(NULL AS DOUBLE) AS radius FROM c0"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT) AS rnd, vec_id, mind AS radius"
+        f" FROM s{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "smp4_kcenter_oversample",
+    oracle=_sql_kcenter_oversample(_KC4_ROUNDS, _KC4_L),
+    survey_ref="extension: diversity sampling at production k — Gonzalez "
+    "with OVERSAMPLING (k-center++ / k-means||-style): each distributed "
+    "pass accepts the L farthest points at once, so pass count is O(R) ~ "
+    "O(log k) instead of smp2's O(k/batch-yield) driver round-trips (the "
+    "round-11 verdict's driver-latency wall at k in the thousands). "
+    "Output = the oversampled candidate set (1 + R*L rows) with per-pick "
+    "radii; the final greedy prune to k runs on that tiny set wherever "
+    "convenient.",
+)
+def smp4_kcenter_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable k-center: R passes, L new centers per pass. Unlike smp2's
+    provably-sequential batching (exact Gonzalez order, up to k fetches),
+    the oversampling variant accepts a round's whole top-L TOGETHER — a
+    bounded approximation (the classic oversampling trade: a round's
+    picks don't see each other), bought for a pass count independent of
+    k. Per round: ONE narrow scan + TakeOrdered(L) (per-partition heaps,
+    no global sort), min-distances carried forward via a least() chain
+    pinned by a lazy localCheckpoint (the smp2 lineage rule: without it
+    round r re-evaluates every prior round's cosine columns). No pairwise
+    join ever forms; centers ride as broadcast literals. Ties break on
+    vec_id over prounded distances — deterministic cross-engine."""
+    e = t(spark, sf_dir, "embeddings")
+    n, _dim = _shared_emb_meta(spark, sf_dir)
+    schema = "rnd long, vec_id long, radius double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    pts = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        VEC.norm(F.col("embedding")).alias("nrm"),
+    )
+    seed_rows = pts.orderBy("vec_id").limit(1).collect()
+    seed = seed_rows[0]
+
+    def dist_to(vec: list, nrm: float):
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        return _pround(
+            F.lit(1.0)
+            - VEC.cosine_prenormed(F.col("v"), c, F.col("nrm"), F.lit(nrm))
+        )
+
+    chosen: list[tuple] = [(0, int(seed.vec_id), None)]
+    cur = pts.filter(F.col("vec_id") != seed.vec_id).withColumn(
+        "mind", dist_to(list(seed.v), float(seed.nrm))
+    )
+    for rnd in range(1, _KC4_ROUNDS + 1):
+        picks = cur.orderBy(F.desc("mind"), "vec_id").limit(_KC4_L).collect()
+        if not picks:
+            break  # corpus exhausted: emit what exists (oracle agrees)
+        chosen.extend((rnd, int(p["vec_id"]), float(p["mind"])) for p in picks)
+        if rnd == _KC4_ROUNDS:
+            break
+        ids = [int(p["vec_id"]) for p in picks]
+        mind_col = F.col("mind")
+        for p in picks:
+            mind_col = F.least(
+                mind_col, dist_to([float(x) for x in p["v"]], float(p["nrm"]))
+            )
+        cur = (
+            cur.filter(~F.col("vec_id").isin(ids))
+            .withColumn("mind", mind_col)
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(chosen, schema)
+
+
 _SHARDS = 16  # bench shard count; production sizes shards to ~file size
 
 

@@ -1155,3 +1155,26 @@ def test_unimported_submodule_still_enters_hash():
         if saved is not None:
             sys.modules[modname] = saved
             setattr(fpkg, "multimodal", saved)
+
+
+def test_smp4_is_takeordered_fixed_passes(spark, sf_dir):
+    """smp4's scale contract: per-round candidate selection is
+    TakeOrderedAndProject (per-partition heaps, no global corpus sort),
+    centers ride as literals (no join operator anywhere), and the whole
+    run costs exactly _KC4_ROUNDS collect passes regardless of k."""
+    from nyc_open_data_pipeline_spark.plans.llmdata import (
+        _KC4_L,
+        _KC4_ROUNDS,
+    )
+
+    rows = QUERIES["smp4_kcenter_oversample"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1 + _KC4_ROUNDS * _KC4_L
+    # seed has NULL radius; all selected radii are positive and, within a
+    # round, were computed against the SAME center set (non-increasing
+    # across rounds is the oversampling invariant)
+    by_rnd: dict[int, list[float]] = {}
+    for r in rows:
+        if r["rnd"] > 0:
+            by_rnd.setdefault(r["rnd"], []).append(r["radius"])
+    maxes = [max(by_rnd[r]) for r in sorted(by_rnd)]
+    assert maxes == sorted(maxes, reverse=True)
