@@ -83,9 +83,18 @@ class ParquetStorage:
                 os.mkdir(lock)
             except FileExistsError:
                 if self._lock_is_stale(lock):
-                    # Best-effort break: losing this race to another
-                    # contender is fine, the loop re-contends mkdir.
-                    shutil.rmtree(lock, ignore_errors=True)
+                    # Break by RENAME-then-delete: only the contender whose
+                    # rename succeeds removes the stale dir. A bare rmtree
+                    # here could land AFTER another contender already broke
+                    # the lock and re-acquired it — deleting the winner's
+                    # brand-new lock and leaving two live owners (round-12
+                    # review).
+                    doomed = f"{lock}.breaking_{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, doomed)
+                    except OSError:
+                        continue  # someone else broke it first: re-contend
+                    shutil.rmtree(doomed, ignore_errors=True)
                     continue
                 if time.monotonic() >= deadline:
                     raise LockTimeoutError(
@@ -175,8 +184,14 @@ class ParquetStorage:
             return 0
 
     def _write_generation(self, dirpath: str, gen: int, token: str) -> None:
-        with open(os.path.join(dirpath, self.GEN_FILE), "w") as f:
+        # tmp + atomic replace: an in-place truncate-write would let a crash
+        # or concurrent reader see a torn file, which generation() reads as
+        # 0 — breaking monotonicity (round-12 review)
+        dest = os.path.join(dirpath, self.GEN_FILE)
+        tmp = f"{dest}.tmp_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
             json.dump({"gen": gen, "writer": token, "ts": time.time()}, f)
+        os.replace(tmp, dest)
 
     def exists(self, table: str) -> bool:
         self._recover(table)
@@ -229,7 +244,13 @@ class ParquetStorage:
                 writer = writer.partitionBy(
                     *[c for c in schema.partition_by if c in out.columns]
                 )
+            # fence before the append job (its commit IS the publish) and
+            # again before stamping the generation — a zombie that lost a
+            # stale-lock takeover must not publish (round-12 review: this
+            # path lacked the fence the other write paths have)
+            self._check_fence(schema.table_name, token)
             writer.parquet(self.path(schema.table_name))
+            self._check_fence(schema.table_name, token)
             self._write_generation(
                 self.path(schema.table_name), self.generation(schema.table_name) + 1, token
             )
@@ -315,19 +336,22 @@ class ParquetStorage:
         final = self.path(schema.table_name)
         stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
         merged.write.parquet(stage)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             self._check_fence(schema.table_name, token)
+            # per-WRITER option, not the session conf: the table locks only
+            # serialize same-table writers, and a session-conf set/restore
+            # races a concurrent other-table overwrite into STATIC mode —
+            # which truncates every partition the batch doesn't carry
+            # (round-12 review)
             (
                 spark.read.parquet(stage)
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*parts)
                 .parquet(final)
             )
             self._write_generation(final, self.generation(schema.table_name) + 1, token)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             shutil.rmtree(stage, ignore_errors=True)
         return self._count(spark, schema.table_name)
 
@@ -365,13 +389,12 @@ class ParquetStorage:
                 survivors = pruned.join(wanted.select(*keys), on=keys, how="left_anti")
                 stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
                 survivors.write.parquet(stage)
-                prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
                 try:
                     self._check_fence(schema.table_name, token)
                     (
                         spark.read.parquet(stage)
                         .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
                         .partitionBy(*parts)
                         .parquet(final)
                     )
@@ -379,7 +402,6 @@ class ParquetStorage:
                         final, self.generation(schema.table_name) + 1, token
                     )
                 finally:
-                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
                     shutil.rmtree(stage, ignore_errors=True)
             else:
                 existing = spark.read.parquet(final)
@@ -403,7 +425,9 @@ class ParquetStorage:
             full = os.path.join(parent, d)
             if not os.path.isdir(full):
                 continue
-            if d.startswith((f"{base}__tmp_", f"{base}__stage_")) or (
+            if d.startswith(
+                (f"{base}__tmp_", f"{base}__stage_", f"{base}__lock.breaking_")
+            ) or (
                 d.startswith(f"{base}__old_") and os.path.exists(final)
             ):
                 shutil.rmtree(full, ignore_errors=True)
@@ -460,10 +484,27 @@ class ParquetStorage:
         )
         if token is not None:
             self._check_fence(schema.table_name, token)
+        # Swap with a bounded retry: an UNLOCKED concurrent reader's
+        # _recover can restore `old` back to `final` inside the one-syscall
+        # no-final window, making rename(tmp, final) raise ENOTEMPTY — the
+        # writer must win (its merge supersedes the restored state), so
+        # re-rename final away and try again (round-12 review: only the
+        # reader half of this race was handled).
         old = f"{final}__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(final):
             os.rename(final, old)
-        os.rename(tmp, final)
+        for attempt in range(3):
+            try:
+                os.rename(tmp, final)
+                break
+            except OSError:
+                if attempt == 2:
+                    raise
+                bounce = f"{final}__old_{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(final, bounce)
+                except OSError:
+                    pass
         if os.path.exists(old):
             shutil.rmtree(old)
 

@@ -165,7 +165,11 @@ def _walk_value(
 
                     try:
                         member = importlib.import_module(f"{obj.__name__}.{attr}")
-                    except ImportError:
+                    except Exception:  # noqa: BLE001
+                        # not only ImportError: a submodule whose top-level
+                        # code raises anything must degrade to the fallback
+                        # hash, not crash every dependent stamp (round-12
+                        # review)
                         continue
                 if _carries_material(member):
                     hit = True

@@ -142,22 +142,34 @@ def _assert_replay_target_safe(state_dir: str, batch_id: int, last: int) -> None
       destination) yet the marker permits rewriting it (stale marker,
       e.g. restored from a pre-compaction backup): refuse.
 
-    Uncompacted stores are unaffected: a replay overwriting its OWN
-    per-batch partition remains the exactly-once mechanism."""
-    if last < 0 and _batch_ids(state_dir):
-        raise RuntimeError(
-            f"state store {state_dir!r} has committed batch partitions but its "
-            "_last_batch marker is missing/unreadable; processing would let a "
-            "replay overwrite compacted state. Restore the marker (echo the "
-            "highest committed batch id into _last_batch) or clear the state dir."
+    UNCOMPACTED stores are unaffected — including the marker-less
+    first-commit crash (batch 0's partitions landed, the marker was never
+    yet written): there a replay overwriting its OWN per-batch partition
+    remains the exactly-once mechanism, and refusing it would brick a
+    previously self-healing store (round-12 review). The tripwires arm
+    only once compact-* files exist, i.e. once the marker became
+    correctness-bearing."""
+
+    def _is_compact_dest(i: int) -> bool:
+        return any(
+            os.path.basename(f).startswith("compact-")
+            for f in _part_files(os.path.join(state_dir, f"batch={i}"))
         )
-    dest = os.path.join(state_dir, f"batch={batch_id}")
-    if any(os.path.basename(f).startswith("compact-") for f in _part_files(dest)):
+
+    if last < 0 and any(_is_compact_dest(i) for i in _batch_ids(state_dir)):
+        raise RuntimeError(
+            f"state store {state_dir!r} holds COMPACTED partitions but its "
+            "_last_batch marker is missing/unreadable; processing would let a "
+            "replay overwrite the merged seen-set. Restore the marker (echo "
+            "the highest committed batch id into _last_batch) or clear the "
+            "state dir."
+        )
+    if _is_compact_dest(batch_id):
         raise RuntimeError(
             f"batch {batch_id} would overwrite compaction destination "
-            f"{dest!r} (holds compact-* files) — the _last_batch marker "
-            f"({last}) is stale relative to the store. Restore a marker "
-            ">= the compaction destination id."
+            f"batch={batch_id} under {state_dir!r} (holds compact-* files) — "
+            f"the _last_batch marker ({last}) is stale relative to the store. "
+            "Restore a marker >= the compaction destination id."
         )
 
 

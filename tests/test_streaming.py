@@ -1029,3 +1029,23 @@ def test_replay_guard_refuses_lost_marker_and_stale_marker(spark, tmp_path):
     sink(b4, 4)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {0, 1, 2, 3, 40}
+
+
+def test_first_batch_crash_with_no_marker_still_replays(spark, tmp_path):
+    """Round-12 review: a crash during the very FIRST batch leaves state
+    partitions but no _last_batch marker at all — the replay guard must
+    not trip on this self-healing pre-compaction case (the tripwires arm
+    only once compact-* files exist)."""
+    import os
+
+    from nyc_open_data_pipeline_spark.streaming.dedup import incremental_dedup_sink
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = incremental_dedup_sink(spark, out, state)
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    sink(b0, 0)
+    os.remove(os.path.join(state, "_last_batch"))  # crash before FIRST commit
+    sink(b0, 0)  # replay must overwrite its own partitions, not raise
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}
+    assert len(spark.read.parquet(out).collect()) == 2  # no double rows
