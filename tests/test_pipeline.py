@@ -503,3 +503,58 @@ def test_storage_stale_lock_takeover_and_fence(spark, tmp_path):
     assert time.monotonic() - t0 >= 0.4  # actually waited, not failed fast
     storage._release_lock("t", live)
     assert not os.path.exists(lock)
+
+
+def test_storage_concurrent_upserts_to_different_partitioned_tables(spark, tmp_path):
+    """Round-12 review #4: per-table locks don't serialize CROSS-table
+    writers, and the old session-conf partitionOverwriteMode set/restore
+    could race another table's overwrite into STATIC (truncating) mode.
+    With the per-writer option, concurrent partitioned upserts to two
+    tables must each preserve their untouched partitions."""
+    import threading
+
+    storage = ParquetStorage(str(tmp_path))
+
+    def schema_for(name: str) -> TableSchema:
+        return TableSchema(
+            table_name=name,
+            columns=[
+                ColumnSpec("k", "integer", primary_key=True),
+                ColumnSpec("part", "integer"),
+                ColumnSpec("v", "string"),
+            ],
+            unique_keys=["k"],
+            partition_by=["part"],
+        )
+
+    # seed both tables with partitions 0..3
+    for name in ("tx", "ty"):
+        seed = spark.createDataFrame(
+            [(p * 10 + i, p, f"seed{p}{i}") for p in range(4) for i in range(2)],
+            ["k", "part", "v"],
+        )
+        storage.upsert(spark, seed, schema_for(name))
+
+    errors: list[BaseException] = []
+
+    def writer(name: str) -> None:
+        try:
+            for i in range(3):
+                # each upsert touches ONE partition; the other three must
+                # survive every interleaving
+                batch = spark.createDataFrame(
+                    [(i * 10, i, f"{name}-b{i}")], ["k", "part", "v"]
+                )
+                storage.upsert(spark, batch, schema_for(name))
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=("tx",))
+    t2 = threading.Thread(target=writer, args=("ty",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    for name in ("tx", "ty"):
+        rows = spark.read.parquet(storage.path(name)).collect()
+        parts = {r["part"] for r in rows}
+        assert parts == {0, 1, 2, 3}, f"{name} lost partitions: {parts}"
+        assert len(rows) == 8  # 2 per partition, upserts replaced in place
