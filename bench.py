@@ -419,6 +419,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    if y:
+        # per_query_ratio = sec / yardstick_sec (round-11 verdict #5): the
+        # box-calibrated per-query number future rounds diff directly.
+        # Main line only — the compact summary stays small for tail capture.
+        out["query_ratios"] = {
+            k: round(v / y, 3) for k, v in ok.items()
+        }
     if yardstick:
         out["yardstick"] = yardstick
     if stream_batches:
