@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_open_data_pipeline_spark.operators.dedup import normalized_text
+from nyc_open_data_pipeline_spark.session import retire_local_checkpoint
 
 _DRAIN_TIMEOUT_S = 1800  # hard ceiling; measured drains stop well short (st11 sf1: 161 s)
 
@@ -373,6 +374,10 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             sec=_sec,
             pass_token=_pass,
         )
+        # retire this batch's checkpoint blocks: on a long-running stream
+        # they otherwise accumulate one set per micro-batch until the JVM
+        # happens to GC the RDD handles (round 12; the gr1-3 lesson)
+        retire_local_checkpoint(survivors)
 
     return process
 
@@ -534,6 +539,8 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             sec=_sec,
             pass_token=_pass,
         )
+        retire_local_checkpoint(out)  # see incremental_dedup_sink note
+        retire_local_checkpoint(keys)
 
     return process
 
@@ -691,6 +698,8 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
             sec=_sec,
             pass_token=_pass,
         )
+        retire_local_checkpoint(grams)  # see incremental_dedup_sink note
+        retire_local_checkpoint(spans)
 
     return process
 
