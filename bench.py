@@ -362,10 +362,14 @@ def main() -> None:
                 else:
                     d = (v / y) / (pv / prev_y)
                 deltas[k] = round(d, 3)
-                # noise floor: sub-1.5 s family subtotals are dominated by
-                # per-query fixed cost, and the d26 yardstick itself is
-                # ~1.2 s at sf0.1 — tiny/tiny ratios flap without meaning
-                if d > 1.3 and v >= 1.5:
+                # noise floor: families of sub-second queries are per-query
+                # fixed-cost dominated (observed same-day flap: ctm1 0.21 ->
+                # 0.75 s with identical code), and the d26 yardstick itself
+                # is ~1.2-1.6 s at sf0.1 — tiny/tiny ratios flap without
+                # meaning. Flag only when the family subtotal AND its mean
+                # per-query time are big enough that a 1.3x move is real
+                # work, not scheduler jitter.
+                if d > 1.3 and v >= 1.5 and v / max(cur_n, 1) >= 0.75:
                     flags.append(k)
             yardstick["ratio_delta_vs"] = prev_name
             yardstick["family_ratio_deltas"] = deltas
