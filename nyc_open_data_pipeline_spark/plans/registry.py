@@ -194,13 +194,17 @@ def _walk_value(
         return
     # Immutable values hash by content. Mutable containers (list/set/dict)
     # reached as NAMED module globals also hash by content when they are
-    # FULLY primitive AND their name doesn't mark them as runtime state:
-    # module-level data tables (functions/text.py STOPWORDS) are constants
-    # by convention, and skipping them let a table edit change query
-    # behavior without changing impl_hash (ADVICE r11 — the exact
-    # staleness class round 11 set out to close). Runtime caches are
-    # excluded two ways: underscore names (_HV_CACHE, _LAST_ATTACH_MODES
-    # — repo convention for mutable state) and non-primitive contents
+    # FULLY primitive AND their name declares them a constant: module-level
+    # data tables (functions/text.py STOPWORDS) are ALL_CAPS by repo
+    # convention, and skipping them let a table edit change query behavior
+    # without changing impl_hash (ADVICE r11 — the exact staleness class
+    # round 11 set out to close). The gate is the POSITIVE ALL_CAPS
+    # convention, not merely "no leading underscore" (ADVICE r12): a
+    # runtime-mutated stats/seen table under an innocent lowercase name
+    # would otherwise make impl_hash differ before vs after running a
+    # query — the instability class this walk must never reintroduce.
+    # Runtime caches are excluded three ways: underscore names (_HV_CACHE),
+    # non-ALL-CAPS names (any lowercase global), and non-primitive contents
     # (_const_repr returns None for a (mtime, DataFrame) tuple). Inside a
     # MIXED container, primitive leaves still never hash (see docstring).
     if isinstance(obj, (bool, int, float, str, bytes, tuple, frozenset)):
@@ -209,10 +213,12 @@ def _walk_value(
             if not in_container:
                 out.append(f"{nm}={rep}")
             return
+    leaf = nm.rsplit(".", 1)[-1].split("[", 1)[0]
     if (
         not in_container
         and isinstance(obj, (dict, list, set))
-        and not nm.rsplit(".", 1)[-1].startswith("_")
+        and leaf == leaf.upper()
+        and not leaf.startswith("_")
     ):
         rep = _const_repr(obj)
         if rep is not None:
@@ -269,9 +275,10 @@ def _behavior_sources(fn, seen: set[int], out: list[str], depth: int = 0) -> Non
     in sync with ``_walk_value``): scalars/tuples/frozensets and bound
     ``__defaults__``/``__kwdefaults__`` always hash by value (via the
     seed-independent canonical form in ``_const_repr``); MUTABLE
-    containers (dict/list/set) hash by value only when reached as a
-    non-underscore-named module global with fully-primitive contents
-    (data tables like STOPWORDS — ADVICE r11); underscore-named or
+    containers (dict/list/set) hash by value only when reached as an
+    ALL_CAPS-named module global with fully-primitive contents
+    (data tables like STOPWORDS — ADVICE r11; the positive-convention
+    gate is ADVICE r12); lowercase- or underscore-named or
     mixed-content containers are runtime state and are only WALKED for
     package callables (dispatch tables, round-10 verdict blind spot),
     never content-hashed. Deterministic: names sorted, cycles cut by

@@ -943,6 +943,27 @@ def test_impl_hash_ignores_runtime_mutable_state():
     }
 
 
+def test_impl_hash_content_hashes_only_allcaps_containers():
+    """ADVICE r12: the content-hash gate for mutable module globals is the
+    POSITIVE ALL_CAPS constant convention, not merely "no leading
+    underscore" — a runtime-mutated table under a lowercase name must NOT
+    enter the material (its mutation would flip impl_hash mid-session),
+    while an ALL_CAPS data table (STOPWORDS class) must."""
+    from nyc_open_data_pipeline_spark.plans.registry import _walk_value
+
+    table_caps = {"a": 1, "b": 2}
+    out: list[str] = []
+    _walk_value("MOD.STOP_TABLE", table_caps, set(), out, 0)
+    assert any("STOP_TABLE=" in s for s in out), "ALL_CAPS table must hash by value"
+
+    runtime_stats = {"seen": 7}
+    out2: list[str] = []
+    _walk_value("MOD.seen_stats", runtime_stats, set(), out2, 0)
+    assert not any("seen_stats=" in s for s in out2), (
+        "lowercase mutable global is runtime state - must not content-hash"
+    )
+
+
 def test_impl_hash_module_members_not_masked_across_functions():
     """Two functions in one closure referencing DIFFERENT members of the
     same module must BOTH contribute their members to the hash — a
