@@ -139,9 +139,19 @@ def _assert_replay_target_safe(state_dir: str, batch_id: int, last: int) -> None
     - marker unreadable (``last < 0``) while committed batch dirs exist:
       the skip-replayed-batches check is blind, refuse to process
       anything until the operator restores or removes the state dir;
-    - the target partition holds ``compact-*`` files (it is a compaction
-      destination) yet the marker permits rewriting it (stale marker,
-      e.g. restored from a pre-compaction backup): refuse.
+    - ANY compaction-destination partition (holds ``compact-*`` files)
+      has an id ABOVE the marker (stale marker, e.g. restored from a
+      pre-compaction backup): refuse. Checking only "batch_id == the
+      destination" was not enough (ADVICE r12): with marker last=3 and a
+      compaction destination at batch=10, replayed batches 4..9 each
+      pass that narrow check, read state with ``filter(batch <
+      batch_id)`` — which EXCLUDES the merged seen-set at batch=10 —
+      and mode('overwrite') their output partitions with
+      duplicate-admitting results before batch 10 ever trips it. A
+      consistent store always has every compaction destination <= the
+      marker (compact_state only merges ids <= the marker it read), so
+      destination-above-marker is unambiguously a stale/restored marker
+      and EVERY batch must refuse, not just the destination's replay.
 
     UNCOMPACTED stores are unaffected — including the marker-less
     first-commit crash (batch 0's partitions landed, the marker was never
@@ -149,7 +159,8 @@ def _assert_replay_target_safe(state_dir: str, batch_id: int, last: int) -> None
     remains the exactly-once mechanism, and refusing it would brick a
     previously self-healing store (round-12 review). The tripwires arm
     only once compact-* files exist, i.e. once the marker became
-    correctness-bearing."""
+    correctness-bearing. Cost: one listdir pass over the state dir per
+    armed batch."""
 
     def _is_compact_dest(i: int) -> bool:
         return any(
@@ -157,7 +168,10 @@ def _assert_replay_target_safe(state_dir: str, batch_id: int, last: int) -> None
             for f in _part_files(os.path.join(state_dir, f"batch={i}"))
         )
 
-    if last < 0 and any(_is_compact_dest(i) for i in _batch_ids(state_dir)):
+    compact_dests = [i for i in _batch_ids(state_dir) if _is_compact_dest(i)]
+    if not compact_dests:
+        return
+    if last < 0:
         raise RuntimeError(
             f"state store {state_dir!r} holds COMPACTED partitions but its "
             "_last_batch marker is missing/unreadable; processing would let a "
@@ -165,12 +179,16 @@ def _assert_replay_target_safe(state_dir: str, batch_id: int, last: int) -> None
             "the highest committed batch id into _last_batch) or clear the "
             "state dir."
         )
-    if _is_compact_dest(batch_id):
+    if max(compact_dests) > last:
         raise RuntimeError(
-            f"batch {batch_id} would overwrite compaction destination "
-            f"batch={batch_id} under {state_dir!r} (holds compact-* files) — "
-            f"the _last_batch marker ({last}) is stale relative to the store. "
-            "Restore a marker >= the compaction destination id."
+            f"batch {batch_id} would process against a state store whose "
+            f"compaction destination batch={max(compact_dests)} exceeds the "
+            f"_last_batch marker ({last}) under {state_dir!r} — the marker is "
+            "stale relative to the store (e.g. restored from a "
+            "pre-compaction backup), so replays below the destination would "
+            "anti-join against a seen-set that excludes the merged state and "
+            "re-admit duplicates. Restore a marker >= the compaction "
+            "destination id."
         )
 
 

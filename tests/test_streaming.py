@@ -1023,6 +1023,19 @@ def test_replay_guard_refuses_lost_marker_and_stale_marker(spark, tmp_path):
     with pytest.raises(RuntimeError, match="compaction destination"):
         sink(b3, 3)
 
+    # (c) stale marker, INTERMEDIATE replay (ADVICE r13): marker=1 with
+    # destination batch=3 means replayed batches 2..2 sit strictly between
+    # marker and destination — each would read state with batch < batch_id
+    # (excluding the merged seen-set at batch=3) and overwrite its output
+    # with duplicate-admitting results long before batch 3 trips the
+    # narrow ==destination check. EVERY batch must refuse while any
+    # destination exceeds the marker.
+    with open(os.path.join(state, "_last_batch"), "w") as f:
+        f.write("1")
+    b2 = spark.createDataFrame([(20, "text 2")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="exceeds the\n?.*marker|marker"):
+        sink(b2, 2)
+
     # restored marker: the sink resumes normally
     with open(os.path.join(state, "_last_batch"), "w") as f:
         f.write("3")
