@@ -6822,7 +6822,9 @@ def _sql_kcenter(k: int) -> str:
     "2-approximation of the k-center cover and the geometry behind "
     "coreset/'most-diverse subset' curation. Complements smp1 (stratified "
     "by metadata) and mix6 (importance-weighted) with a geometric "
-    "criterion; radius column = the covering radius bound after each pick.",
+    "criterion; radius column = the covering radius bound after each pick. "
+    "EXACT-ORDER variant: use smp4_kcenter_oversample at production k "
+    "(measured crossover ~k=30-60; see the docstring cutover note).",
 )
 def smp2_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center: seed = min vec_id, then 'farthest-point-first' in
@@ -6837,7 +6839,20 @@ def smp2_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-pick covering radius are emitted so downstream can cut
     the sample at any prefix. Ties at equal (rounded) distance break on
     min vec_id — deterministic cross-engine, like every ranked operator
-    here."""
+    here.
+
+    CUTOVER NOTE (round 13, measured): this is the EXACT-Gonzalez-order
+    variant, and its pass count — hence sequential driver round-trips —
+    grows linearly in k (accepted-per-pass plateaus at ~5 with batch=8:
+    measured at sf0.01, k=8/32/64/128 took 5/10/15/23 passes and
+    1.3/3.3/5.2/10.1 s). ``smp4_kcenter_oversample`` holds a FIXED
+    O(log k) pass count by accepting L centers per round (3.0 s for its
+    R=3 shape in the same session), so smp2's wall crosses smp4's
+    already at k ~ 30-60 and the gap is ~100x at production k ~
+    10^3-10^4 (k/5 sequential passes vs ~log2(k) rounds). Use smp2 only
+    when the exact sequential pick ORDER matters (prefix-cuttable
+    coreset with the textbook 2-approximation per prefix); use smp4 for
+    production-k diversity sampling."""
     e = t(spark, sf_dir, "embeddings")
     n, _dim = _shared_emb_meta(spark, sf_dir)
     schema = "rnk long, vec_id long, radius double"

@@ -161,6 +161,78 @@ def test_ppm_header_parser_rejects_malformed():
     assert decode_ppm_header(_ppm_bytes(2048, 1)) == (2048, 1)
 
 
+def _png_bytes(width: int, height: int) -> bytes:
+    """A COMPLETE, valid grayscale PNG built with the stdlib: signature +
+    IHDR + IDAT (zlib-compressed rows, filter 0) + IEND, all CRCs real."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_decode_branch_via_png(spark):
+    """Round-12 verdict #6: PNG joins Netpbm as a REAL dependency-free
+    decode branch — a complete stdlib-built PNG flows end-to-end through
+    the mapInPandas stage without PIL, dimensions verified against the
+    IHDR we wrote."""
+    import hashlib
+
+    payloads = [(1, _png_bytes(7, 3)), (2, _png_bytes(640, 480))]
+    media = spark.createDataFrame(
+        [(i, p, "image/png") for i, p in payloads],
+        "media_id long, payload binary, media_type string",
+    )
+    got = {r["media_id"]: r for r in decode_image_meta(media, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (7, 3)
+    assert (got[2]["width"], got[2]["height"]) == (640, 480)
+    for i, p in payloads:
+        assert got[i]["n_bytes"] == len(p)
+        assert got[i]["content_hash"] == hashlib.md5(p).hexdigest()
+
+
+def test_png_header_parser_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from nyc_open_data_pipeline_spark.functions.multimodal import decode_png_header
+
+    good = _png_bytes(12, 34)
+    assert decode_png_header(good) == (12, 34)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_header(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_header(good[:20])
+    # flip one width byte: the IHDR CRC must catch the corruption
+    corrupt = bytearray(good)
+    corrupt[16] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_header(bytes(corrupt))
+    # zero-dimension header with a RECOMPUTED (valid) CRC still rejects
+    import zlib
+
+    zero = bytearray(good)
+    zero[16:20] = struct.pack(">I", 0)
+    zero[29:33] = struct.pack(">I", zlib.crc32(bytes(zero[12:29])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="width/height"):
+        decode_png_header(bytes(zero))
+
+
 def test_frame_sample_plan(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
     media = attach_payload(docs)

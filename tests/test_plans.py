@@ -943,6 +943,19 @@ def test_impl_hash_ignores_runtime_mutable_state():
     }
 
 
+def test_smp2_declares_smp4_cutover_at_production_k():
+    """Round-12 verdict #7: smp2 is the exact-order k-center variant with
+    an O(k) driver loop — a user must not scale it by accident, so both
+    its registry surface and its docstring must point at smp4 with the
+    measured crossover."""
+    spec = QUERIES["smp2_kcenter_sample"]
+    assert "smp4" in spec.survey_ref, "registry surface must name the cutover"
+    doc = spec.fn.__doc__ or ""
+    assert "smp4" in doc and "CUTOVER" in doc.upper(), (
+        "smp2 docstring must carry the measured cutover note"
+    )
+
+
 def test_impl_hash_content_hashes_only_allcaps_containers():
     """ADVICE r12: the content-hash gate for mutable module globals is the
     POSITIVE ALL_CAPS constant convention, not merely "no leading
