@@ -766,6 +766,67 @@ class ParquetStorage:
             walk(root, 0, {})
         return dropped
 
+    def compact_segments(
+        self,
+        spark: SparkSession,
+        schema: TableSchema,
+        max_segments: int = 4,
+    ) -> dict[str, int]:
+        """Pointer-mode maintenance: every append adds one segment to each
+        partition it touches, so a long-lived append-mostly table's
+        manifest lists — and its readers' scan branches — grow without
+        bound (the storage twin of the streaming state store's per-batch
+        dir growth, bounded there by compact_state). Fold every partition
+        whose contributing-segment list exceeds ``max_segments`` into one
+        fresh segment and repoint, in a single manifest flip; untouched
+        partitions keep their pointers and their bytes. The superseded
+        segments stay on disk (still safe for in-flight readers of the old
+        manifest) until ``vacuum``. Returns {partition relpath: segments
+        folded}; no-op outside pointer mode or below the threshold."""
+        if self.commit != "pointer":
+            return {}
+        with self._locked(schema.table_name) as token:
+            m = self._read_manifest(schema.table_name)
+            if not m:
+                return {}
+            targets = {
+                rp: segs
+                for rp, segs in m["parts"].items()
+                if len(segs) > max_segments
+            }
+            if not targets:
+                return {}
+            root = self.path(schema.table_name)
+            by_seg: dict[str, list[str]] = {}
+            for rp, segs in targets.items():
+                for seg in segs:
+                    by_seg.setdefault(seg, []).append(rp)
+            merged: DataFrame | None = None
+            for seg in sorted(by_seg):
+                segroot = os.path.join(root, seg)
+                rps = by_seg[seg]
+                if rps == [""]:
+                    part = spark.read.parquet(segroot)
+                else:
+                    part = spark.read.option("basePath", segroot).parquet(
+                        *[os.path.join(segroot, rp) for rp in sorted(rps)]
+                    )
+                merged = part if merged is None else merged.unionByName(
+                    part, allowMissingColumns=True
+                )
+            assert merged is not None
+            new_seg, new_rps = self._write_segment(merged, schema)
+            present = set(new_rps)
+            for rp in targets:
+                if rp in present:
+                    m["parts"][rp] = [new_seg]
+                else:  # a targeted partition held only empty files
+                    m["parts"].pop(rp, None)
+            m["gen"] = int(m["gen"]) + 1
+            m["writer"] = token
+            self._flip_manifest(schema.table_name, m, token)
+            return {rp: len(segs) for rp, segs in targets.items()}
+
     def _dir_rename(self, src: str, dst: str) -> None:
         """Directory-publish rename, swap mode only. Indirection point: on
         POSIX/HDFS this is atomic; a raw object store implements rename as

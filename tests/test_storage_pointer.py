@@ -366,6 +366,45 @@ def test_heartbeat_stop_allows_takeover_and_fences_zombie(spark, tmp_path):
     contender._release_lock("t", token2)
 
 
+def test_pointer_compact_segments_bounds_manifest_growth(spark, tmp_path):
+    """Appends grow each partition's segment list one per write; the
+    maintenance fold must collapse over-threshold partitions into one
+    segment, preserve every row, leave untouched partitions' pointers and
+    bytes alone, and make the superseded segments vacuum-able."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = TableSchema(
+        table_name="logs",
+        columns=[ColumnSpec("x", "integer"), ColumnSpec("part", "integer")],
+        partition_by=["part"],
+    )
+    # partition 0 gets 6 appends (over threshold), partition 1 gets one
+    for i in range(6):
+        storage.create_or_append(
+            spark.createDataFrame([(i, 0)], ["x", "part"]), schema
+        )
+    storage.create_or_append(spark.createDataFrame([(100, 1)], ["x", "part"]), schema)
+    m = storage._read_manifest("logs")
+    assert len(m["parts"]["part=0"]) == 6
+    seg_p1 = m["parts"]["part=1"]
+
+    folded = storage.compact_segments(spark, schema, max_segments=4)
+    assert folded == {"part=0": 6}
+    m2 = storage._read_manifest("logs")
+    assert len(m2["parts"]["part=0"]) == 1
+    assert m2["parts"]["part=1"] == seg_p1  # untouched pointer
+    rows = {(r["x"], r["part"]) for r in storage.read(spark, "logs").collect()}
+    assert rows == {(i, 0) for i in range(6)} | {(100, 1)}
+    # superseded segments become vacuum-able orphans
+    removed = storage.vacuum("logs")
+    assert len(removed) >= 6
+    rows2 = {(r["x"], r["part"]) for r in storage.read(spark, "logs").collect()}
+    assert rows2 == rows
+    # idempotent below threshold
+    assert storage.compact_segments(spark, schema, max_segments=4) == {}
+    # swap mode: explicit no-op
+    assert ParquetStorage(str(tmp_path / "sw")).compact_segments(spark, schema) == {}
+
+
 def test_pointer_read_rejects_uncommitted_table(spark, tmp_path):
     storage = ParquetStorage(str(tmp_path), commit="pointer")
     assert not storage.exists("nope")
