@@ -425,15 +425,44 @@ class ParquetStorage:
         assert out is not None
         return out
 
-    @staticmethod
-    def _hive_relpath(parts: list[str], row) -> str:
+    # Characters that survive Spark's Hive-path escaping verbatim. The
+    # pointer protocol repoints partitions by their DIR NAME, so a value
+    # Spark would percent-escape (e.g. "a:b" -> "a%3Ab") would make the
+    # computed relpath miss the segment's actual dir — the merged
+    # partition would silently drop from the manifest while the stale
+    # pointer kept serving old rows. Refuse loudly instead of replicating
+    # the full escape table (round-13 self-review).
+    _HIVE_SAFE = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        "_.- +,@"
+    )
+
+    @classmethod
+    def _hive_relpath(cls, parts: list[str], row) -> str:
         """Hive dir relpath for one touched-partition row, matching Spark's
-        layout for simple (int/string/date) partition values. NULL maps to
-        the Hive default-partition token."""
+        layout for simple (int/string/date/bool) partition values. NULL
+        maps to the Hive default-partition token; booleans lowercase as
+        Spark writes them. Values containing characters Spark would
+        percent-escape are rejected (see _HIVE_SAFE)."""
         segs = []
         for p in parts:
             v = row[p]
-            segs.append(f"{p}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}")
+            if v is None:
+                s = "__HIVE_DEFAULT_PARTITION__"
+            elif isinstance(v, bool):
+                s = "true" if v else "false"
+            else:
+                s = str(v)
+                bad = set(s) - cls._HIVE_SAFE
+                if bad:
+                    raise ValueError(
+                        f"partition value {s!r} for column {p!r} contains "
+                        f"characters Spark percent-escapes in Hive paths "
+                        f"({sorted(bad)}); pointer-mode partition repointing "
+                        "matches by dir name and would silently mispoint — "
+                        "sanitize the partition value or use commit='swap'"
+                    )
+            segs.append(f"{p}={s}")
         return os.path.join(*segs)
 
     # ------------------------------------------------------------------
@@ -543,18 +572,22 @@ class ParquetStorage:
         merged: DataFrame,
         schema: TableSchema,
         parts: list[str],
-        touched_rps: list[str],
+        touched,
         token: str,
     ) -> None:
-        """Publish a merged slice over exactly the touched partitions.
-        Swap mode: stage + dynamic partition overwrite (the overwrite job
-        commit is the publish — honest-window caveat in the class
-        docstring). Pointer mode: the slice lands in a new segment and the
-        touched partitions' pointer entries are replaced in one manifest
-        flip; a touched partition absent from the new segment (deleted
-        empty) drops out of the manifest."""
+        """Publish a merged slice over exactly the ``touched`` partitions
+        (driver-side rows of partition values). Swap mode: stage + dynamic
+        partition overwrite (the overwrite job commit is the publish —
+        honest-window caveat in the class docstring; Spark handles any
+        partition-value escaping itself). Pointer mode: the slice lands in
+        a new segment and the touched partitions' pointer entries are
+        replaced in one manifest flip — repointing matches by Hive dir
+        name, so values Spark would escape are rejected in _hive_relpath;
+        a touched partition absent from the new segment (deleted empty)
+        drops out of the manifest."""
         final = self.path(schema.table_name)
         if self.commit == "pointer":
+            touched_rps = [self._hive_relpath(parts, row) for row in touched]
             seg, rps = self._write_segment(merged, schema)
             present = set(rps)
             m = self._read_manifest(schema.table_name) or {"gen": 0, "parts": {}}
@@ -618,8 +651,7 @@ class ParquetStorage:
         pruned = existing.filter(pred) if pred is not None else existing.limit(0)
         survivors = pruned.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
         merged = survivors.unionByName(incoming, allowMissingColumns=True)
-        touched_rps = [self._hive_relpath(parts, row) for row in touched]
-        self._replace_partitions(spark, merged, schema, parts, touched_rps, token)
+        self._replace_partitions(spark, merged, schema, parts, touched, token)
         return self._count(spark, schema.table_name)
 
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame, schema: TableSchema) -> int:
@@ -653,9 +685,8 @@ class ParquetStorage:
                 existing = self.read(spark, schema.table_name)
                 pruned = existing.filter(pred) if pred is not None else existing.limit(0)
                 survivors = pruned.join(wanted.select(*keys), on=keys, how="left_anti")
-                touched_rps = [self._hive_relpath(parts, row) for row in touched]
                 self._replace_partitions(
-                    spark, survivors, schema, parts, touched_rps, token
+                    spark, survivors, schema, parts, touched, token
                 )
             else:
                 existing = self.read(spark, schema.table_name)

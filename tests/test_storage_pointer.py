@@ -405,6 +405,48 @@ def test_pointer_compact_segments_bounds_manifest_growth(spark, tmp_path):
     assert ParquetStorage(str(tmp_path / "sw")).compact_segments(spark, schema) == {}
 
 
+def _str_part_schema() -> TableSchema:
+    return TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("src", "string"),
+            ColumnSpec("v", "string"),
+        ],
+        unique_keys=["k"],
+        partition_by=["src"],
+    )
+
+
+def test_pointer_rejects_escapable_partition_values_loudly(spark, tmp_path):
+    """Round-13 self-review: pointer-mode repointing matches partitions by
+    Hive DIR NAME, and Spark percent-escapes some characters — a mismatch
+    would silently leave the stale pointer serving old rows while the
+    merged partition dropped from the manifest. Safe values (spaces,
+    dashes, dots) must round-trip exactly; escapable ones must raise, not
+    corrupt. Swap mode keeps accepting them (Spark escapes for itself)."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _str_part_schema()
+    ok = spark.createDataFrame(
+        [(1, "common crawl", "a"), (2, "web-2024.v1", "b")], ["k", "src", "v"]
+    )
+    assert storage.upsert(spark, ok, schema) == 2
+    upd = spark.createDataFrame([(1, "common crawl", "A2")], ["k", "src", "v"])
+    assert storage.upsert(spark, upd, schema) == 2
+    rows = {r["k"]: (r["src"], r["v"]) for r in storage.read(spark, "t").collect()}
+    assert rows == {1: ("common crawl", "A2"), 2: ("web-2024.v1", "b")}
+
+    bad = spark.createDataFrame([(3, "a:b", "c")], ["k", "src", "v"])
+    with pytest.raises(ValueError, match="percent-escapes"):
+        storage.upsert(spark, bad, schema)
+    # nothing was published by the refused write
+    assert storage.read(spark, "t").count() == 2
+
+    swap = ParquetStorage(str(tmp_path / "sw"))
+    swap.upsert(spark, ok, schema)
+    assert swap.upsert(spark, bad, schema) == 3  # swap handles escaping fine
+
+
 def test_pointer_read_rejects_uncommitted_table(spark, tmp_path):
     storage = ParquetStorage(str(tmp_path), commit="pointer")
     assert not storage.exists("nope")
