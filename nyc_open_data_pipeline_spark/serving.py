@@ -37,8 +37,8 @@ def food_gaps_document(spark: SparkSession, storage: ParquetStorage) -> str:
     """GET /api/food-gaps (routes.py:10-57): NTA polygons x latest-year food
     gaps. nta dim is broadcast; the scalar subquery plans as a 1-row
     broadcast, not a driver collect."""
-    ntas = spark.read.parquet(storage.path("ntas_2020"))
-    gaps = spark.read.parquet(storage.path("food_supply_gaps"))
+    ntas = storage.read(spark, "ntas_2020")
+    gaps = storage.read(spark, "food_supply_gaps")
     ntas.createOrReplaceTempView("ntas_2020")
     gaps.createOrReplaceTempView("food_supply_gaps")
     joined = spark.sql(
@@ -60,8 +60,8 @@ def food_gaps_document(spark: SparkSession, storage: ParquetStorage) -> str:
 
 def poverty_by_zip_document(spark: SparkSession, storage: ParquetStorage) -> str:
     """GET /api/poverty-by-zip (routes.py:59-104)."""
-    zctas = spark.read.parquet(storage.path("census_zctas_2020"))
-    acs = spark.read.parquet(storage.path("census_acs_poverty"))
+    zctas = storage.read(spark, "census_zctas_2020")
+    acs = storage.read(spark, "census_acs_poverty")
     zctas.createOrReplaceTempView("census_zctas_2020")
     acs.createOrReplaceTempView("census_acs_poverty")
     joined = spark.sql(
@@ -85,8 +85,8 @@ def poverty_by_zip_document(spark: SparkSession, storage: ParquetStorage) -> str
 
 def rent_by_zip_document(spark: SparkSession, storage: ParquetStorage) -> str:
     """GET /api/rent-by-zip (routes.py:106-141)."""
-    zctas = spark.read.parquet(storage.path("census_zctas_2020"))
-    zori = spark.read.parquet(storage.path("zillow_rent_index"))
+    zctas = storage.read(spark, "census_zctas_2020")
+    zori = storage.read(spark, "zillow_rent_index")
     zctas.createOrReplaceTempView("census_zctas_2020")
     zori.createOrReplaceTempView("zillow_rent_index")
     joined = spark.sql(

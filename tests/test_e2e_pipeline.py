@@ -218,3 +218,42 @@ def test_jsonl_roundtrip_cleanroom(spark, sf_dir, tmp_path):
     import glob
 
     assert glob.glob(f"{out}/split=*/*.json.gz"), "expected gzipped JSONL part files"
+
+
+def test_pointer_mode_ingest_to_served_document(spark, tmp_path):
+    """Round 13: the full ingest -> transform -> upsert -> serve path must
+    be commit-mode agnostic — the same two datasets the swap warehouse
+    fixture loads, ingested into a POINTER-mode store (manifest-flip
+    publish, no directory renames), must serve the same food-gaps GeoJSON
+    document through storage.read resolution."""
+    storage = ParquetStorage(str(tmp_path / "ptr_wh"), commit="pointer")
+    food_raw = spark.createDataFrame(
+        [
+            (":r1", "2023", "NTA001", "Alpha", "Manhattan", "1100.0", "50.0", "1"),
+            (":r2", "2023", "NTA002", "Beta", "Queens", "950.0", "45.0", "2"),
+        ],
+        [":id", "Data Year", "NTA2020", "NTAName", "Boro", "Supply Gap", "Supply Gap Percent", "Gap Rank"],
+    )
+    ingest_dataset(
+        spark, load_dataset_config(REGISTRY, "food_supply_gap"), storage, raw_df=food_raw
+    )
+    ntas_raw = spark.createDataFrame(
+        [
+            (":x", "NTA001", "Alpha", "Manhattan", "123.4", POLY_A),
+            (":y", "NTA002", "Beta", "Queens", "222.2", POLY_B),
+        ],
+        [":id", "NTA2020", "NTAName", "BoroName", "Shape_STAr", "the_geom"],
+    )
+    ingest_dataset(
+        spark, load_dataset_config(REGISTRY, "ntas_2020"), storage, raw_df=ntas_raw
+    )
+    # the manifest, not a bare table dir, is the committed state
+    assert storage._read_manifest("food_supply_gaps") is not None
+    doc = json.loads(food_gaps_document(spark, storage))
+    codes = sorted(f["properties"]["nta2020"] for f in doc["features"])
+    assert codes == ["NTA001", "NTA002"]
+    # re-ingest idempotence holds through the pointer protocol too
+    ingest_dataset(
+        spark, load_dataset_config(REGISTRY, "food_supply_gap"), storage, raw_df=food_raw
+    )
+    assert storage.read(spark, "food_supply_gaps").count() == 2
