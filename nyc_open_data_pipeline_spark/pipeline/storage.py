@@ -41,7 +41,11 @@ Two commit modes (round 13), selected by ``commit=``:
   partition overwrites replace the list, full rewrites replace the whole
   map. Superseded segments are swept by ``vacuum`` (under the table
   lock). Reads resolve through the manifest — use ``read()``, not a bare
-  ``spark.read.parquet`` on the table root.
+  ``spark.read.parquet`` on the table root. Readers get SNAPSHOT
+  ISOLATION for free: a DataFrame resolved before a flip keeps scanning
+  the immutable segments it resolved, unaffected by later commits, until
+  ``vacuum`` reclaims them — in swap mode the old directory is removed
+  inside the swap, so a long-running reader's scan breaks mid-job.
 """
 
 from __future__ import annotations

@@ -447,6 +447,31 @@ def test_pointer_rejects_escapable_partition_values_loudly(spark, tmp_path):
     assert swap.upsert(spark, bad, schema) == 3  # swap handles escaping fine
 
 
+def test_pointer_readers_get_snapshot_isolation(spark, tmp_path):
+    """A property swap mode cannot offer: a DataFrame resolved from the
+    manifest BEFORE a rewrite keeps reading the OLD segments after the
+    flip, because published segments are immutable and survive until
+    vacuum — in swap mode the old directory is rmtree'd inside the swap,
+    so a long-running reader's scan breaks or goes torn mid-job. This is
+    the read-side reason the pointer protocol is the 100-TB mode: queries
+    running for minutes against a table being upserted see one consistent
+    snapshot."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _kv_schema()
+    storage.upsert(spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), schema)
+    old_reader = storage.read(spark, "t")  # resolves gen-1's segments NOW
+    storage.upsert(spark, spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"]), schema)
+    # new readers see the new commit...
+    new_rows = {r["k"]: r["v"] for r in storage.read(spark, "t").collect()}
+    assert new_rows == {1: "a", 2: "B2", 3: "c"}
+    # ...while the pre-flip reader still scans the gen-1 snapshot intact
+    old_rows = {r["k"]: r["v"] for r in old_reader.collect()}
+    assert old_rows == {1: "a", 2: "b"}
+    # vacuum ends the snapshot's lifetime (documented retention boundary)
+    storage.vacuum("t")
+    assert {r["k"] for r in storage.read(spark, "t").collect()} == {1, 2, 3}
+
+
 def test_pointer_read_rejects_uncommitted_table(spark, tmp_path):
     storage = ParquetStorage(str(tmp_path), commit="pointer")
     assert not storage.exists("nope")
