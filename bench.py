@@ -214,7 +214,11 @@ def _current_round() -> int | None:
 
     env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
     if env:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            pass  # malformed override: fall through to the artifact scan
+            # rather than aborting a bench run that already paid its passes
     here = os.path.dirname(os.path.abspath(__file__))
     best = None
     for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):

@@ -155,15 +155,22 @@ class ParquetStorage:
             }
             with open(os.path.join(lock, "owner.json"), "w") as f:
                 json.dump(owner, f)
-            self._start_heartbeat(table)
+            self._start_heartbeat(table, token)
             return token
 
-    def _start_heartbeat(self, table: str) -> None:
+    def _start_heartbeat(self, table: str, token: str) -> None:
         """Lease heartbeat: refresh owner.json's mtime (os.utime — no
         rewrite, so concurrent _owns_lock readers never see a torn file)
-        every ``lock_heartbeat`` seconds while the lock is held. Stops on
-        release, or on its own when the lock dir vanishes (takeover /
-        release raced) — utime then raises and the thread exits."""
+        every ``lock_heartbeat`` seconds while the lock is held.
+
+        Two robustness rules (round-13 review): the beat VERIFIES the
+        owner token before each touch — a SIGSTOP-resumed zombie must not
+        refresh a successor's lease (and keep a dead successor's lock
+        perpetually fresh) — and a TRANSIENT utime/read failure (an NFS/
+        FUSE blip on exactly the stores this lease targets) is tolerated
+        up to 3 consecutive misses instead of silently killing the lease
+        for the rest of a long write. The registry is keyed by token, not
+        table, so a takeover can never stop the wrong lease."""
         interval = self.lock_heartbeat
         if interval is None:
             interval = min(max(self.lock_stale_after / 3.0, 0.05), 30.0)
@@ -171,20 +178,27 @@ class ParquetStorage:
         owner = os.path.join(self._lock_dir(table), "owner.json")
 
         def beat() -> None:
+            misses = 0
             while not stop.wait(interval):
                 try:
+                    with open(owner) as f:
+                        if json.load(f).get("token") != token:
+                            return  # lock taken over: stop beating
                     os.utime(owner)
-                except OSError:
-                    return  # lock released or taken over: stop beating
+                    misses = 0
+                except (OSError, ValueError):
+                    misses += 1
+                    if misses >= 3:
+                        return  # lock gone (released / broken): stop
 
         t = threading.Thread(
             target=beat, daemon=True, name=f"lock-heartbeat-{table}"
         )
-        self._heartbeats[table] = stop
+        self._heartbeats[token] = stop
         t.start()
 
-    def _stop_heartbeat(self, table: str) -> None:
-        stop = self._heartbeats.pop(table, None)
+    def _stop_heartbeat(self, token: str) -> None:
+        stop = self._heartbeats.pop(token, None)
         if stop is not None:
             stop.set()
 
@@ -242,7 +256,7 @@ class ParquetStorage:
             )
 
     def _release_lock(self, table: str, token: str) -> None:
-        self._stop_heartbeat(table)
+        self._stop_heartbeat(token)
         if self._owns_lock(table, token):
             shutil.rmtree(self._lock_dir(table), ignore_errors=True)
 
@@ -333,11 +347,26 @@ class ParquetStorage:
         return os.path.join(self.path(table), self.MANIFEST)
 
     def _read_manifest(self, table: str) -> dict | None:
+        """None ONLY when the manifest file does not exist. An existing
+        but unreadable/unparseable ``_current`` raises instead of reading
+        as absent: treating corruption as 'never committed' would let the
+        next create_or_append start a fresh gen-1 manifest that orphans
+        every committed segment — which the next vacuum would then DELETE
+        (round-13 review; the swap path's _recover refuses the same
+        silent-fresh-table mode)."""
+        path = self._manifest_path(table)
         try:
-            with open(self._manifest_path(table)) as f:
+            with open(path) as f:
                 return json.load(f)
-        except (OSError, ValueError):
+        except FileNotFoundError:
             return None
+        except (OSError, ValueError) as e:
+            raise RuntimeError(
+                f"pointer-mode manifest {path!r} exists but is unreadable "
+                f"({e}); refusing to treat the table as uncommitted — "
+                "restore the manifest (or remove it together with the "
+                "segment dirs to truly reset the table)"
+            ) from e
 
     def _flip_manifest(self, table: str, manifest: dict, token: str) -> None:
         """Publish: atomically replace the single ``_current`` pointer
@@ -404,9 +433,23 @@ class ParquetStorage:
             self._recover(table)
             return spark.read.parquet(self.path(table))
         m = self._read_manifest(table)
-        if not m or not m.get("parts"):
+        if not m:
             raise FileNotFoundError(
                 f"pointer-mode table {table!r} has no committed manifest"
+            )
+        if not m.get("parts"):
+            # legitimately committed but EMPTY (every partition deleted or
+            # purged): readers get a typed empty frame from the schema the
+            # last write stamped, instead of a crash after a successful
+            # commit (round-13 review)
+            sj = m.get("schema")
+            if sj:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame([], StructType.fromJson(json.loads(sj)))
+            raise FileNotFoundError(
+                f"pointer-mode table {table!r} is empty and predates schema "
+                "stamping; no row source to type an empty frame from"
             )
         root = self.path(table)
         by_seg: dict[str, list[str]] = {}
@@ -429,35 +472,43 @@ class ParquetStorage:
         assert out is not None
         return out
 
-    # Characters that survive Spark's Hive-path escaping verbatim. The
-    # pointer protocol repoints partitions by their DIR NAME, so a value
-    # Spark would percent-escape (e.g. "a:b" -> "a%3Ab") would make the
-    # computed relpath miss the segment's actual dir — the merged
+    # ASCII characters that survive Spark's Hive-path escaping verbatim.
+    # The pointer protocol repoints partitions by their DIR NAME, so a
+    # value Spark would percent-escape (e.g. "a:b" -> "a%3Ab") would make
+    # the computed relpath miss the segment's actual dir — the merged
     # partition would silently drop from the manifest while the stale
     # pointer kept serving old rows. Refuse loudly instead of replicating
-    # the full escape table (round-13 self-review).
+    # the full escape table (round-13 self-review). This set is MEASURED,
+    # not assumed: one partition per printable ASCII char written through
+    # Spark, dir names diffed — escaped: "#%'*/:=?[\]^{ plus controls;
+    # everything else (including space) passes verbatim, and the escape
+    # table only covers code points < 128 ('café' is written verbatim),
+    # so non-ASCII passes too.
     _HIVE_SAFE = frozenset(
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-        "_.- +,@"
+        "_.- +,;<>@`|}~!$&()"
     )
 
     @classmethod
     def _hive_relpath(cls, parts: list[str], row) -> str:
         """Hive dir relpath for one touched-partition row, matching Spark's
         layout for simple (int/string/date/bool) partition values. NULL
-        maps to the Hive default-partition token; booleans lowercase as
-        Spark writes them. Values containing characters Spark would
-        percent-escape are rejected (see _HIVE_SAFE)."""
+        AND the empty string map to the Hive default-partition token
+        (Spark folds both into ``__HIVE_DEFAULT_PARTITION__`` — verified
+        empirically; treating '' as 'col=' silently orphaned the merged
+        slice, round-13 review); booleans lowercase as Spark writes them.
+        Values containing ASCII characters Spark would percent-escape are
+        rejected."""
         segs = []
         for p in parts:
             v = row[p]
-            if v is None:
+            if v is None or v == "":
                 s = "__HIVE_DEFAULT_PARTITION__"
             elif isinstance(v, bool):
                 s = "true" if v else "false"
             else:
                 s = str(v)
-                bad = set(s) - cls._HIVE_SAFE
+                bad = {c for c in s if ord(c) < 128 and c not in cls._HIVE_SAFE}
                 if bad:
                     raise ValueError(
                         f"partition value {s!r} for column {p!r} contains "
@@ -492,6 +543,7 @@ class ParquetStorage:
                     m["parts"].setdefault(rp, []).append(seg)
                 m["gen"] = int(m["gen"]) + 1
                 m["writer"] = token
+                m["schema"] = out.schema.json()
                 self._flip_manifest(schema.table_name, m, token)
                 return
             writer = out.write.mode("append")
@@ -567,8 +619,56 @@ class ParquetStorage:
             "gen": self.generation(schema.table_name) + 1,
             "parts": {rp: [seg] for rp in rps},
             "writer": token,
+            "schema": df.schema.json(),
         }
         self._flip_manifest(schema.table_name, m, token)
+
+    @staticmethod
+    def _hive_value_str(v) -> str:
+        """Canonical Hive dir-name text for one partition value (None and
+        '' fold to the default-partition token, booleans lowercase —
+        matching what Spark writes)."""
+        if v is None or v == "":
+            return "__HIVE_DEFAULT_PARTITION__"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    @staticmethod
+    def _unescape_hive(s: str) -> str:
+        """Undo Hive percent-escaping in a partition dir value (%XX -> the
+        ASCII char). Unescaping is unambiguous whatever subset of chars
+        the writer escaped, so matching on unescaped text is exact."""
+        import re
+
+        return re.sub(
+            r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
+        )
+
+    def _remove_partition_dirs(
+        self, root: str, parts: list[str], gone: set[tuple[str, ...]]
+    ) -> None:
+        """Remove the Hive partition directories whose UNESCAPED value
+        tuple is in ``gone`` (nested walk for multi-level layouts)."""
+
+        def walk(d: str, depth: int, values: tuple[str, ...]) -> None:
+            try:
+                entries = os.listdir(d)
+            except OSError:
+                return
+            for e in entries:
+                full = os.path.join(d, e)
+                name, sep, raw = e.partition("=")
+                if not sep or name != parts[depth] or not os.path.isdir(full):
+                    continue
+                vals = values + (self._unescape_hive(raw),)
+                if depth + 1 == len(parts):
+                    if vals in gone:
+                        shutil.rmtree(full, ignore_errors=True)
+                else:
+                    walk(full, depth + 1, vals)
+
+        walk(root, 0, ())
 
     def _replace_partitions(
         self,
@@ -578,6 +678,7 @@ class ParquetStorage:
         parts: list[str],
         touched,
         token: str,
+        may_empty: bool = False,
     ) -> None:
         """Publish a merged slice over exactly the ``touched`` partitions
         (driver-side rows of partition values). Swap mode: stage + dynamic
@@ -602,6 +703,7 @@ class ParquetStorage:
                     m["parts"].pop(rp, None)
             m["gen"] = int(m["gen"]) + 1
             m["writer"] = token
+            m["schema"] = merged.schema.json()
             self._flip_manifest(schema.table_name, m, token)
             return
         # Spark rejects overwriting a path that appears in the read plan, so
@@ -623,6 +725,25 @@ class ParquetStorage:
                 .partitionBy(*parts)
                 .parquet(final)
             )
+            if may_empty:
+                # the dynamic overwrite only replaces partitions PRESENT in
+                # the written data, so a touched partition whose merged
+                # slice is empty (a delete removed its every row) is never
+                # rewritten — the stale directory would keep serving the
+                # "deleted" rows (round-13 review). Diff the staged slice's
+                # partitions against the touched list and remove the
+                # emptied dirs, matching on UNESCAPED dir text so Hive
+                # percent-escaped values are handled exactly.
+                remaining = {
+                    tuple(self._hive_value_str(r[p]) for p in parts)
+                    for r in spark.read.parquet(stage).select(*parts).distinct().collect()
+                }
+                gone = {
+                    tuple(self._hive_value_str(r[p]) for p in parts)
+                    for r in touched
+                } - remaining
+                if gone:
+                    self._remove_partition_dirs(final, parts, gone)
             self._write_generation(final, self.generation(schema.table_name) + 1, token)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
@@ -690,7 +811,8 @@ class ParquetStorage:
                 pruned = existing.filter(pred) if pred is not None else existing.limit(0)
                 survivors = pruned.join(wanted.select(*keys), on=keys, how="left_anti")
                 self._replace_partitions(
-                    spark, survivors, schema, parts, touched, token
+                    spark, survivors, schema, parts, touched, token,
+                    may_empty=True,
                 )
             else:
                 existing = self.read(spark, schema.table_name)

@@ -26,6 +26,14 @@ def main() -> int:
     ap.add_argument("sql", help="the SQL query")
     ap.add_argument("--sf-dir", default=None, help="testdata-style dir of <name>.parquet")
     ap.add_argument("--storage-root", default=None, help="engine ParquetStorage root")
+    ap.add_argument(
+        "--commit-mode",
+        choices=["swap", "pointer"],
+        default="swap",
+        help="how --storage-root tables were published (must match the "
+        "ingest CLI's --commit-mode; pointer tables resolve through the "
+        "manifest, not a bare parquet read)",
+    )
     ap.add_argument("--format", choices=["jsonl", "table"], default="jsonl")
     ap.add_argument("--limit", type=int, default=1000, help="max rows printed")
     ap.add_argument("--explain", action="store_true", help="print the physical plan too")
@@ -47,11 +55,17 @@ def main() -> int:
         ]
         register_tables(spark, args.sf_dir, tuple(names))
     else:
+        from nyc_open_data_pipeline_spark.pipeline.storage import ParquetStorage
+
         root = args.storage_root
+        storage = ParquetStorage(root, commit=args.commit_mode)
         for name in sorted(os.listdir(root)):
             p = os.path.join(root, name)
-            if os.path.isdir(p) and not name.startswith(("_", ".")):
-                spark.read.parquet(p).createOrReplaceTempView(name)
+            if not (os.path.isdir(p) and not name.startswith(("_", "."))):
+                continue
+            if name.endswith("__lock") or "__" in name:
+                continue  # lock dirs / swap work dirs are not tables
+            storage.read(spark, name).createOrReplaceTempView(name)
 
     df = spark.sql(args.sql)
     if args.explain:

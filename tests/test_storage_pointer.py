@@ -353,7 +353,7 @@ def test_heartbeat_stop_allows_takeover_and_fences_zombie(spark, tmp_path):
     rec["host"] = "some-other-host"  # cross-host: age is the only signal
     with open(owner, "w") as f:
         json.dump(rec, f)
-    storage._stop_heartbeat("t")  # the remote writer's process died
+    storage._stop_heartbeat(token)  # the remote writer's process died
     time.sleep(0.4)
 
     contender = ParquetStorage(
@@ -470,6 +470,112 @@ def test_pointer_readers_get_snapshot_isolation(spark, tmp_path):
     # vacuum ends the snapshot's lifetime (documented retention boundary)
     storage.vacuum("t")
     assert {r["k"] for r in storage.read(spark, "t").collect()} == {1, 2, 3}
+
+
+def test_pointer_empty_string_partition_value_repoints_correctly(spark, tmp_path):
+    """Round-13 review: Spark folds BOTH null and '' into the
+    __HIVE_DEFAULT_PARTITION__ directory (verified empirically), so
+    computing 'col=' for an empty string orphaned the merged slice — the
+    upsert silently kept serving old rows. The canonical relpath must
+    fold '' the same way Spark does."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _str_part_schema()
+    base = spark.createDataFrame([(1, "", "a"), (2, "x", "b")], ["k", "src", "v"])
+    assert storage.upsert(spark, base, schema) == 2
+    upd = spark.createDataFrame([(1, "", "A2")], ["k", "src", "v"])
+    assert storage.upsert(spark, upd, schema) == 2
+    rows = {r["k"]: r["v"] for r in storage.read(spark, "t").collect()}
+    assert rows == {1: "A2", 2: "b"}, "empty-string partition update was lost"
+
+
+def test_pointer_corrupt_manifest_refuses_instead_of_fresh_start(spark, tmp_path):
+    """Round-13 review: a corrupt _current must NOT read as 'never
+    committed' — the next append would build a fresh gen-1 manifest that
+    orphans every committed segment, and vacuum would then delete them.
+    Corruption must raise loudly on every entry point."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _kv_schema()
+    storage.upsert(spark, spark.createDataFrame([(1, "a")], ["k", "v"]), schema)
+    with open(storage._manifest_path("t"), "w") as f:
+        f.write("{truncated garb")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        storage.exists("t")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        storage.create_or_append(
+            spark.createDataFrame([(2, "b")], ["k", "v"]), schema
+        )
+    # the committed segment is still on disk, untouched
+    segs = [e for e in os.listdir(storage.path("t")) if e.startswith("seg_")]
+    assert segs, "committed segment vanished under a corrupt manifest"
+
+
+def test_pointer_delete_to_empty_table_reads_typed_empty(spark, tmp_path):
+    """A legitimately-committed pointer table whose every partition was
+    deleted must stay readable (typed empty frame from the stamped
+    schema), not crash after the commit succeeded."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _part_schema()
+    storage.upsert(
+        spark, spark.createDataFrame([(1, 2024, "a")], ["k", "year", "v"]), schema
+    )
+    gone = spark.createDataFrame([(1, 2024)], ["k", "year"])
+    assert storage.delete_keys(spark, gone, schema) == 0  # commit + count work
+    empty = storage.read(spark, "t")
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "year", "v"}  # schema survived
+
+
+def test_heartbeat_zombie_stops_when_token_changes(tmp_path):
+    """Round-13 review: a SIGSTOP-resumed zombie's heartbeat must not
+    refresh a SUCCESSOR'S owner.json (it could keep a dead successor's
+    lock perpetually fresh). The beat verifies the owner token and exits
+    on mismatch."""
+    storage = ParquetStorage(
+        str(tmp_path), lock_timeout=1.0, lock_stale_after=5.0, lock_heartbeat=0.05
+    )
+    token = storage._acquire_lock("t")
+    owner = os.path.join(storage._lock_dir("t"), "owner.json")
+    # simulate a takeover: the owner file now carries someone else's token
+    with open(owner) as f:
+        rec = json.load(f)
+    rec["token"] = "successor"
+    with open(owner, "w") as f:
+        json.dump(rec, f)
+    os.utime(owner, (1, 1))  # make staleness observable
+    time.sleep(0.4)  # several beat intervals
+    age = time.time() - os.stat(owner).st_mtime
+    assert age > 1, "zombie heartbeat refreshed the successor's lease"
+    storage._stop_heartbeat(token)
+    import shutil as _sh
+
+    _sh.rmtree(storage._lock_dir("t"), ignore_errors=True)
+
+
+def test_swap_delete_empties_partition_directory(spark, tmp_path):
+    """Round-13 review: dynamic partition overwrite only replaces
+    partitions PRESENT in the written data, so a delete that removed a
+    partition's every row previously left the stale directory serving
+    the 'deleted' rows. The emptied dir must be removed — including for
+    Hive percent-escaped partition values (matched on unescaped text)."""
+    storage = ParquetStorage(str(tmp_path))  # swap mode
+    schema = _str_part_schema()
+    base = spark.createDataFrame(
+        [(1, "a:b", "x"), (2, "a:b", "y"), (3, "keep", "z")], ["k", "src", "v"]
+    )
+    assert storage.upsert(spark, base, schema) == 3
+    assert os.path.exists(os.path.join(storage.path("t"), "src=a%3Ab"))
+    gone = spark.createDataFrame([(1, "a:b"), (2, "a:b")], ["k", "src"])
+    assert storage.delete_keys(spark, gone, schema) == 1
+    assert not os.path.exists(os.path.join(storage.path("t"), "src=a%3Ab")), (
+        "emptied (escaped-name) partition directory kept serving deleted rows"
+    )
+    rows = {(r["k"], r["src"]) for r in storage.read(spark, "t").collect()}
+    assert rows == {(3, "keep")}
+    # partial delete must NOT remove a partition that still has rows
+    storage.upsert(spark, base, schema)
+    one = spark.createDataFrame([(1, "a:b")], ["k", "src"])
+    assert storage.delete_keys(spark, one, schema) == 2
+    assert os.path.exists(os.path.join(storage.path("t"), "src=a%3Ab"))
 
 
 def test_pointer_read_rejects_uncommitted_table(spark, tmp_path):
