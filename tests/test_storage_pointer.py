@@ -551,6 +551,36 @@ def test_heartbeat_zombie_stops_when_token_changes(tmp_path):
     _sh.rmtree(storage._lock_dir("t"), ignore_errors=True)
 
 
+def test_heartbeat_survives_transient_utime_failures(tmp_path, monkeypatch):
+    """Round-13 review: a single NFS/FUSE blip must not silently kill the
+    lease for the rest of a long write — the beat tolerates up to 3
+    consecutive misses. Two injected failures, then the lease must still
+    be refreshing."""
+    import nyc_open_data_pipeline_spark.pipeline.storage  # noqa: F401
+
+    real_utime = os.utime
+    fails = {"n": 0}
+
+    def flaky(path, *a, **kw):
+        if fails["n"] < 2:
+            fails["n"] += 1
+            raise OSError("transient blip")
+        return real_utime(path, *a, **kw)
+
+    monkeypatch.setattr(os, "utime", flaky)
+    storage = ParquetStorage(
+        str(tmp_path), lock_stale_after=5.0, lock_heartbeat=0.05
+    )
+    token = storage._acquire_lock("t")
+    owner = os.path.join(storage._lock_dir("t"), "owner.json")
+    real_utime(owner, (1, 1))  # age it; only a live heartbeat refreshes it
+    time.sleep(0.5)
+    age = time.time() - os.stat(owner).st_mtime
+    assert age < 0.4, f"lease died on transient misses (age={age})"
+    assert fails["n"] == 2
+    storage._release_lock("t", token)
+
+
 def test_swap_delete_empties_partition_directory(spark, tmp_path):
     """Round-13 review: dynamic partition overwrite only replaces
     partitions PRESENT in the written data, so a delete that removed a
