@@ -1036,6 +1036,14 @@ class ParquetStorage:
             shutil.rmtree(old)
 
     def _count(self, spark: SparkSession, table: str) -> int:
+        """Row count after a commit. A table whose every row was just
+        deleted can be empty in a way the reader cannot type (swap mode:
+        only _SUCCESS/_generation left after the emptied partition dirs
+        were removed) — ``exists`` distinguishes that legitimate empty
+        from real corruption, so it reads as 0 instead of crashing after
+        a successful commit (round-13 review follow-up)."""
+        if not self.exists(table):
+            return 0
         return self.read(spark, table).count()
 
     # ------------------------------------------------------------------

@@ -606,6 +606,11 @@ def test_swap_delete_empties_partition_directory(spark, tmp_path):
     one = spark.createDataFrame([(1, "a:b")], ["k", "src"])
     assert storage.delete_keys(spark, one, schema) == 2
     assert os.path.exists(os.path.join(storage.path("t"), "src=a%3Ab"))
+    # deleting EVERY row of EVERY partition: the commit succeeds and the
+    # count resolves to 0 (only _SUCCESS/_generation remain on disk)
+    rest = spark.createDataFrame([(2, "a:b"), (3, "keep")], ["k", "src"])
+    assert storage.delete_keys(spark, rest, schema) == 0
+    assert not storage.exists("t")
 
 
 def test_pointer_read_rejects_uncommitted_table(spark, tmp_path):
