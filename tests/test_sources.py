@@ -513,6 +513,63 @@ def test_socrata_stream_ingest_e2e(spark, server, tmp_path):
     assert meta_count() == 25
 
 
+def test_socrata_stream_ingest_pointer_mode(spark, server, tmp_path):
+    """Round 13: continuous API ingest against a POINTER-mode store —
+    every micro-batch's upsert publishes via the manifest flip instead of
+    swap renames, and the lifecycle (transform -> upsert -> metadata)
+    must converge identically. Single-leg twin of the swap e2e above
+    (restart/replay semantics are commit-mode-independent and covered by
+    the pointer idempotence tests)."""
+    import time
+
+    from nyc_open_data_pipeline_spark.config import DatasetConfig, DatasetEntry
+    from nyc_open_data_pipeline_spark.pipeline.ingest import stream_ingest
+    from nyc_open_data_pipeline_spark.pipeline.storage import ParquetStorage
+
+    register_data_sources(spark)
+    cfg = DatasetConfig(
+        entry=DatasetEntry(
+            key="stream_gap", name="t", source_type="socrata",
+            dataset_id="abcd-1234", table_name="stream_gap",
+            transformer="tests.test_sources.StreamGapTransformer",
+        ),
+        api={"url": server, "limit": 10},
+        raw={"raw_schema_ddl": "nta_code string, year int, gap double"},
+    )
+    storage = ParquetStorage(str(tmp_path / "tables"), commit="pointer")
+    ckpt = str(tmp_path / "ckpt")
+
+    def table_count() -> int:
+        try:
+            if not storage.exists("stream_gap"):
+                return -1
+            return storage._count(spark, "stream_gap")
+        except Exception:
+            return -1
+
+    q = stream_ingest(spark, cfg, storage, ckpt, pages_per_batch=1,
+                      poll_interval="1 seconds")
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline and table_count() < 25:
+            time.sleep(0.5)
+    finally:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except Exception:
+            pass
+    assert storage._count(spark, "stream_gap") == 25
+    m = storage._read_manifest("stream_gap")
+    assert m is not None and m["gen"] >= 1  # published through the manifest
+    # metadata flows through the same pointer protocol; it may lag the
+    # table by the stopped-mid-flight batch (the swap e2e's restart leg
+    # covers the catch-up; here only the publish protocol is under test)
+    meta = {r["dataset_id"]: r["record_count"]
+            for r in storage.read_metadata(spark).collect()}
+    assert meta.get("stream_gap") is None or meta["stream_gap"] <= 25
+
+
 def test_socrata_max_concurrency_caps_inflight_requests(spark, server):
     """Round-11 verdict #7: max_concurrency is the API rate-limit guard —
     the page space coalesces into at most that many partitions, so
