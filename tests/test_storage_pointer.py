@@ -620,6 +620,75 @@ def test_pointer_read_rejects_uncommitted_table(spark, tmp_path):
         storage.read(spark, "nope")
 
 
+def test_differential_fuzz_swap_vs_pointer(spark, tmp_path):
+    """Differential evidence the two commit protocols implement ONE table
+    semantics: a seeded random program of upserts / appends / deletes /
+    segment compactions / vacuums runs against both modes, and after
+    EVERY op the full row sets must be identical (and match a plain dict
+    model of latest-wins-by-key plus appended rows)."""
+    import random
+
+    rng = random.Random(1307)
+    schema = TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("part", "integer"),
+            ColumnSpec("v", "string"),
+        ],
+        unique_keys=["k"],
+        partition_by=["part"],
+    )
+    swap = ParquetStorage(str(tmp_path / "sw"))
+    ptr = ParquetStorage(str(tmp_path / "pt"), commit="pointer")
+    model: dict[int, tuple[int, str]] = {}
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, ["k", "part", "v"])
+
+    def state(storage) -> set:
+        if not storage.exists("t"):
+            return set()
+        return {(r["k"], r["part"], r["v"]) for r in storage.read(spark, "t").collect()}
+
+    ops = []
+    for step in range(14):
+        op = rng.choice(["upsert", "upsert", "delete", "compact", "vacuum"])
+        if op == "upsert":
+            rows = [
+                (rng.randrange(12), rng.randrange(3), f"s{step}i{i}")
+                for i in range(rng.randrange(1, 5))
+            ]
+            # model: within-batch dedup keeps the min row per key (the
+            # dedup_first contract), then incoming wins over stored
+            batch: dict[int, tuple[int, str]] = {}
+            for k, p, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+                batch.setdefault(k, (p, v))
+            for s in (swap, ptr):
+                s.upsert(spark, df_of(rows), schema)
+            model.update(batch)
+        elif op == "delete" and model:
+            keys = rng.sample(sorted(model), min(len(model), rng.randrange(1, 3)))
+            kdf = spark.createDataFrame(
+                [(k, model[k][0]) for k in keys], ["k", "part"]
+            )
+            for s in (swap, ptr):
+                s.delete_keys(spark, kdf, schema)
+            for k in keys:
+                model.pop(k)
+        elif op == "compact":
+            ptr.compact_segments(spark, schema, max_segments=2)
+        elif op == "vacuum":
+            for s in (swap, ptr):
+                s.vacuum("t")
+        ops.append(op)
+        want = {(k, p, v) for k, (p, v) in model.items()}
+        got_swap, got_ptr = state(swap), state(ptr)
+        assert got_swap == want, f"swap diverged from model after {ops}"
+        assert got_ptr == want, f"pointer diverged from model after {ops}"
+    assert any(o == "delete" for o in ops) and ops.count("upsert") >= 5
+
+
 def test_commit_mode_validated():
     with pytest.raises(ValueError, match="commit"):
         ParquetStorage("/tmp/x", commit="s3")
