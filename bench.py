@@ -184,6 +184,8 @@ HEADLINE += [
     "q8_market_share",
     "q9_product_profit",
     "q12_shipmode_priority",
+    # round 13
+    "mm4_audio_meta",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

@@ -1899,6 +1899,37 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm4_audio_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (octet_length(encode(text)) % 5) * 4000 AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(octet_length(encode(text)) // ((1 + doc_id % 2) * 2) AS BIGINT) AS n_frames,
+           CAST((octet_length(encode(text)) // ((1 + doc_id % 2) * 2)) * 1000
+                // (8000 + (octet_length(encode(text)) % 5) * 4000) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    survey_ref="extension: multimodal AUDIO decode (real RIFF/WAVE chunk-walk parser over "
+    "binary payloads — no fake mode; container built + parsed for real in-pipeline)",
+)
+def mm4_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata end-to-end: corpus text -> COMPLETE valid WAV
+    containers (deterministic doc-derived channels/rate, 16-bit PCM) ->
+    real RIFF chunk-walk decode -> typed metadata. Both mapInPandas stages
+    are the production path; unlike mm2 there is NO stand-in decoder — the
+    WAV parse is dependency-free, so the real branch IS the only branch.
+    The oracle reproduces the doc-derived parameters arithmetically
+    (n_frames = floor(n_bytes / block_align), the truncation a PCM encoder
+    must apply)."""
+    from nyc_open_data_pipeline_spark.functions import multimodal as MM
+
+    d = t(spark, sf_dir, "documents")
+    media = MM.attach_wav_payload(d)
+    return MM.decode_audio_meta(media)
+
+
+@register(
     "c1_cleanroom_pipeline",
     oracle=f"""
     WITH s AS (
