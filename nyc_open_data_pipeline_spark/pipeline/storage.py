@@ -6,8 +6,8 @@ storage.py) on partitioned parquet:
 - K1 DDL-from-schema (:73-183)  -> TableSchema-driven writes, indexes become
   partition columns (partition pruning replaces index scans, SURVEY §4)
 - K2 append insert  (:185-228)  -> mode('append')
-- K3 upsert/MERGE   (:230-297)  -> partition-pruned anti-join + dynamic
-  partition overwrite (``INSERT ... ON CONFLICT DO UPDATE`` semantics:
+- K3 upsert/MERGE   (:230-297)  -> partition-pruned anti-join + staged
+  partition-dir swap (``INSERT ... ON CONFLICT DO UPDATE`` semantics:
   incoming rows win); full atomic-swap rewrite only for unpartitioned tables
 - K4 metadata upsert (:51-71,299-334) -> tiny _dataset_metadata table
 - K5 parquet export  (:336-382) -> snappy parquet (native)
@@ -18,16 +18,20 @@ partitions containing incoming keys are read and rewritten (pass
 
 Two commit modes (round 13), selected by ``commit=``:
 
-- ``"swap"`` (default, POSIX/HDFS): publish via directory rename
-  (``_atomic_write``) or via the Spark job commit itself (append, dynamic
-  partition overwrite). HONEST WINDOW NOTE (ADVICE r12): only the
-  atomic-swap path has a one-syscall zombie window — for ``create_or_append``
-  and the dynamic-partition-overwrite paths the Spark job commit IS the
-  publish, so the fence runs before a possibly minutes-long write and a
-  stale-lock takeover during that write can double-publish (duplicate
-  appended rows / racing partition overwrites). The lease heartbeat
-  (below) makes such takeovers require a genuinely dead writer, and the
-  pointer mode closes the window structurally.
+- ``"swap"`` (default, POSIX/HDFS): EVERY write path stages to an
+  invisible sibling dir first and publishes by fenced renames after the
+  Spark job finishes — full rewrites and first writes in ONE directory
+  rename, appends in one rename per staged part file, partition
+  overwrites in two renames per touched partition dir (old slice parked
+  in an __old_ trash dir until the loop completes). The stale-lock
+  takeover window is therefore the fence-to-rename span (metadata ops,
+  milliseconds) on every path, never the write job itself (ADVICE r12
+  closed structurally). Honest residue: the multi-rename publishes
+  (append, partition overwrite) are not one atomic op — a crash inside
+  the loop leaves a partial append / a partition whose old slice sits in
+  the trash dir — the same exposure class as a parquet committer's
+  task-file moves, which the previous job-commit-publishes design had
+  inside a much longer window.
 - ``"pointer"`` (object-store-portable): every write lands in a fresh,
   content-addressed SEGMENT directory that is invisible until the single
   ``_current`` manifest file is atomically replaced (tmp + ``os.replace``
@@ -245,11 +249,11 @@ class ParquetStorage:
 
     def _check_fence(self, table: str, token: str) -> None:
         """Commit-point fence: a writer that lost its lock to a stale-lock
-        takeover must not publish. Called immediately before the publish
-        step — in pointer mode and on the swap path that step is one
-        syscall (manifest flip / rename); on swap-mode append and dynamic
-        overwrite the Spark job commit is the publish, so the window is
-        the job (see the class docstring's honest-window note)."""
+        takeover must not publish. Called after the write job completes,
+        immediately before the publish step — one syscall for the
+        manifest flip / full-rewrite rename, a milliseconds rename loop
+        for swap-mode appends and partition overwrites (class
+        docstring)."""
         if not self._owns_lock(table, token):
             raise WriterFencedError(
                 f"lock on {table!r} was taken over mid-write; aborting commit"
@@ -531,9 +535,13 @@ class ParquetStorage:
 
         Publish window: in pointer mode the rows land in an invisible
         segment and publish via the fenced manifest flip (one syscall). In
-        swap mode the append job's own commit is the publish — the fence
-        runs before and after the job, but a takeover DURING the job can
-        double-publish (class docstring; pointer mode is the fix)."""
+        swap mode the batch is STAGED to an invisible sibling dir by the
+        Spark job, then published by fenced file renames AFTER the job —
+        a first write publishes in one directory rename, a later append in
+        one rename per staged part file (metadata-only, milliseconds) —
+        so a stale-lock takeover during the possibly-long write job can no
+        longer double-publish (ADVICE r12 #2 closed structurally for both
+        modes)."""
         out = conform(df, schema)
         with self._locked(schema.table_name) as token:
             if self.commit == "pointer":
@@ -546,21 +554,56 @@ class ParquetStorage:
                 m["schema"] = out.schema.json()
                 self._flip_manifest(schema.table_name, m, token)
                 return
-            writer = out.write.mode("append")
+            final = self.path(schema.table_name)
+            stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
+            writer = out.write.mode("overwrite")
             if schema.partition_by:
                 writer = writer.partitionBy(
                     *[c for c in schema.partition_by if c in out.columns]
                 )
-            # fence before the append job (its commit IS the publish) and
-            # again before stamping the generation — a zombie that lost a
-            # stale-lock takeover must not publish (round-12 review: this
-            # path lacked the fence the other write paths have)
-            self._check_fence(schema.table_name, token)
-            writer.parquet(self.path(schema.table_name))
-            self._check_fence(schema.table_name, token)
-            self._write_generation(
-                self.path(schema.table_name), self.generation(schema.table_name) + 1, token
-            )
+            writer.parquet(stage)
+            try:
+                self._check_fence(schema.table_name, token)
+                if not os.path.exists(final):
+                    # first write: the whole staged dir publishes in ONE
+                    # rename, generation marker riding inside it
+                    self._write_generation(stage, 1, token)
+                    try:
+                        self._dir_rename(stage, final)
+                        return
+                    except OSError:
+                        # a concurrent reader's _recover restored an
+                        # __old_ dir into final inside our existence
+                        # check's window — fall through and append into it
+                        self._check_fence(schema.table_name, token)
+                self._ingest_staged_files(stage, final)
+                self._write_generation(
+                    final, self.generation(schema.table_name) + 1, token
+                )
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+
+    @staticmethod
+    def _ingest_staged_files(stage: str, final: str) -> None:
+        """Move every staged data file into the live table tree, keeping
+        the Hive partition layout (dir names copied verbatim, so Spark's
+        own percent-escaping is preserved exactly). Part-file names embed
+        the writing job's UUID, so renames never collide with live files.
+        The publish is N fast metadata renames, not one atomic op — the
+        same exposure as a parquet job commit's task-file moves, but it
+        happens AFTER the fence check instead of inside a minutes-long
+        job, shrinking the takeover window to milliseconds."""
+        for dirpath, _dirnames, filenames in os.walk(stage):
+            rel = os.path.relpath(dirpath, stage)
+            dst_dir = final if rel == "." else os.path.join(final, rel)
+            made = False
+            for fn in filenames:
+                if fn.startswith(("_", ".")):
+                    continue  # _SUCCESS / hidden committer droppings
+                if not made:
+                    os.makedirs(dst_dir, exist_ok=True)
+                    made = True
+                os.rename(os.path.join(dirpath, fn), os.path.join(dst_dir, fn))
 
     def upsert(self, spark: SparkSession, df: DataFrame, schema: TableSchema) -> int:
         """K3 MERGE: keep existing rows whose keys don't collide (anti-join),
@@ -569,8 +612,8 @@ class ParquetStorage:
         (reference ingest_data.py:136-150).
 
         Partitioned tables take the pruned path: only partitions containing
-        incoming rows are read, merged, and rewritten (dynamic partition
-        overwrite in swap mode; partition-pointer replacement in pointer
+        incoming rows are read, merged, and rewritten (staged partition-dir
+        swap in swap mode; partition-pointer replacement in pointer
         mode) — a 1-row upsert into a 100 TB table touches one partition,
         not the table. Contract: partition values must be stable per unique
         key (a key may not move between partitions), the same contract
@@ -672,24 +715,27 @@ class ParquetStorage:
 
     def _replace_partitions(
         self,
-        spark: SparkSession,
         merged: DataFrame,
         schema: TableSchema,
         parts: list[str],
         touched,
         token: str,
-        may_empty: bool = False,
     ) -> None:
         """Publish a merged slice over exactly the ``touched`` partitions
-        (driver-side rows of partition values). Swap mode: stage + dynamic
-        partition overwrite (the overwrite job commit is the publish —
-        honest-window caveat in the class docstring; Spark handles any
-        partition-value escaping itself). Pointer mode: the slice lands in
-        a new segment and the touched partitions' pointer entries are
-        replaced in one manifest flip — repointing matches by Hive dir
-        name, so values Spark would escape are rejected in _hive_relpath;
-        a touched partition absent from the new segment (deleted empty)
-        drops out of the manifest."""
+        (driver-side rows of partition values). Swap mode: the slice is
+        staged Hive-partitioned by ONE Spark job, then each staged
+        partition dir swaps over its live counterpart by fenced renames
+        (old slice parks in an __old_ trash dir until the publish
+        completes) — no second read+shuffle+write job, and the takeover
+        window is the rename loop, not a job (ADVICE r12 #2). Staged dir
+        names carry Spark's own percent-escaping and are matched
+        verbatim, so escapable values are fine here. Pointer mode: the
+        slice lands in a new segment and the touched partitions' pointer
+        entries are replaced in one manifest flip — repointing matches by
+        Hive dir name, so values Spark would escape are rejected in
+        _hive_relpath; a touched partition absent from the new slice
+        (deleted empty) drops out of the manifest / has its dir removed
+        (unescape-matched)."""
         final = self.path(schema.table_name)
         if self.commit == "pointer":
             touched_rps = [self._hive_relpath(parts, row) for row in touched]
@@ -706,47 +752,46 @@ class ParquetStorage:
             m["schema"] = merged.schema.json()
             self._flip_manifest(schema.table_name, m, token)
             return
-        # Spark rejects overwriting a path that appears in the read plan, so
-        # stage the merged slice (bounded by the touched partitions, not the
-        # table) and re-read it for the dynamic overwrite.
+        # The merged plan READS the live partitions it replaces, so the
+        # slice must fully materialize before any live dir moves: one
+        # Hive-partitioned staging job, then dir swaps (previously this
+        # staged flat + re-shuffled through a second dynamic-overwrite
+        # job — twice the write work, and the job commit was the publish).
         stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
-        merged.write.parquet(stage)
+        merged.write.partitionBy(*parts).mode("overwrite").parquet(stage)
+        trash = f"{final}__old_{uuid.uuid4().hex[:8]}"
         try:
             self._check_fence(schema.table_name, token)
-            # per-WRITER option, not the session conf: the table locks only
-            # serialize same-table writers, and a session-conf set/restore
-            # races a concurrent other-table overwrite into STATIC mode —
-            # which truncates every partition the batch doesn't carry
-            # (round-12 review)
-            (
-                spark.read.parquet(stage)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*parts)
-                .parquet(final)
-            )
-            if may_empty:
-                # the dynamic overwrite only replaces partitions PRESENT in
-                # the written data, so a touched partition whose merged
-                # slice is empty (a delete removed its every row) is never
-                # rewritten — the stale directory would keep serving the
-                # "deleted" rows (round-13 review). Diff the staged slice's
-                # partitions against the touched list and remove the
-                # emptied dirs, matching on UNESCAPED dir text so Hive
-                # percent-escaped values are handled exactly.
-                remaining = {
-                    tuple(self._hive_value_str(r[p]) for p in parts)
-                    for r in spark.read.parquet(stage).select(*parts).distinct().collect()
-                }
-                gone = {
-                    tuple(self._hive_value_str(r[p]) for p in parts)
-                    for r in touched
-                } - remaining
-                if gone:
-                    self._remove_partition_dirs(final, parts, gone)
+            staged_rps = self._segment_relpaths(stage, len(parts))
+            for rp in staged_rps:
+                src, dst = os.path.join(stage, rp), os.path.join(final, rp)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if os.path.exists(dst):
+                    # park, don't delete: until this publish completes the
+                    # old slice stays recoverable; a crash between the two
+                    # renames leaves it in the trash dir (vacuum sweeps)
+                    park = os.path.join(trash, rp)
+                    os.makedirs(os.path.dirname(park), exist_ok=True)
+                    os.rename(dst, park)
+                os.rename(src, dst)
+            # a touched partition with NO staged dir lost its every row (a
+            # delete emptied it) — its stale live dir must go too, matched
+            # on UNESCAPED dir text so Hive percent-escaped values are
+            # handled exactly (round-13 review). For upserts touched is a
+            # subset of staged, so this is a no-op there.
+            staged_vals = {
+                tuple(self._unescape_hive(seg.split("=", 1)[1]) for seg in rp.split(os.sep))
+                for rp in staged_rps
+            }
+            gone = {
+                tuple(self._hive_value_str(r[p]) for p in parts) for r in touched
+            } - staged_vals
+            if gone:
+                self._remove_partition_dirs(final, parts, gone)
             self._write_generation(final, self.generation(schema.table_name) + 1, token)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
 
     def _upsert_pruned(
         self,
@@ -776,7 +821,7 @@ class ParquetStorage:
         pruned = existing.filter(pred) if pred is not None else existing.limit(0)
         survivors = pruned.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
         merged = survivors.unionByName(incoming, allowMissingColumns=True)
-        self._replace_partitions(spark, merged, schema, parts, touched, token)
+        self._replace_partitions(merged, schema, parts, touched, token)
         return self._count(spark, schema.table_name)
 
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame, schema: TableSchema) -> int:
@@ -810,10 +855,7 @@ class ParquetStorage:
                 existing = self.read(spark, schema.table_name)
                 pruned = existing.filter(pred) if pred is not None else existing.limit(0)
                 survivors = pruned.join(wanted.select(*keys), on=keys, how="left_anti")
-                self._replace_partitions(
-                    spark, survivors, schema, parts, touched, token,
-                    may_empty=True,
-                )
+                self._replace_partitions(survivors, schema, parts, touched, token)
             else:
                 existing = self.read(spark, schema.table_name)
                 survivors = existing.join(wanted.select(*keys), on=keys, how="left_anti")

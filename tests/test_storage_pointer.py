@@ -613,6 +613,101 @@ def test_swap_delete_empties_partition_directory(spark, tmp_path):
     assert not storage.exists("t")
 
 
+def _steal_lock_during_stage_write(monkeypatch, storage):
+    """Arrange for the table lock to be stolen WHILE the Spark staging job
+    of the next swap-mode write runs: wrap DataFrameWriter.parquet so that
+    any write landing in a __stage_ dir first completes, then has the lock
+    owner token swapped — modeling a stale-lock takeover that happens
+    mid-job. The write must then FENCE and publish nothing."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig = DataFrameWriter.parquet
+
+    def stealing(self, path, *a, **kw):
+        out = orig(self, path, *a, **kw)
+        if "__stage_" in path:
+            owner = os.path.join(storage._lock_dir("t"), "owner.json")
+            with open(owner) as f:
+                rec = json.load(f)
+            rec["token"] = "takeover-winner"
+            with open(owner, "w") as f:
+                json.dump(rec, f)
+        return out
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", stealing)
+
+
+def test_swap_append_fences_takeover_during_write_job(spark, tmp_path, monkeypatch):
+    """ADVICE r12 #2 closed structurally in SWAP mode: create_or_append
+    stages the batch and publishes by post-fence renames, so a stale-lock
+    takeover during the (possibly minutes-long) append job leaves the
+    zombie's rows UNPUBLISHED — previously the job commit itself was the
+    publish and the zombie's rows landed before the fence could refuse."""
+    storage = ParquetStorage(str(tmp_path))
+    schema = _part_schema()
+    storage.create_or_append(
+        spark.createDataFrame([(1, 2020, "a")], ["k", "year", "v"]), schema
+    )
+    _steal_lock_during_stage_write(monkeypatch, storage)
+    with pytest.raises(WriterFencedError):
+        storage.create_or_append(
+            spark.createDataFrame([(2, 2021, "b")], ["k", "year", "v"]), schema
+        )
+    monkeypatch.undo()
+    rows = {tuple(r) for r in storage.read(spark, "t").select("k", "year", "v").collect()}
+    assert rows == {(1, 2020, "a")}, "fenced append must publish zero rows"
+    root = storage.path("t")
+    leftovers = [d for d in os.listdir(os.path.dirname(root)) if "__stage_" in d]
+    assert leftovers == [], "fenced append must clean its staging dir"
+
+
+def test_swap_upsert_fences_takeover_during_write_job(spark, tmp_path, monkeypatch):
+    """Same structural close for the partition-overwrite path: a takeover
+    during the merged-slice staging job fences before any live partition
+    dir is touched — old rows keep serving, no half-overwritten table."""
+    storage = ParquetStorage(str(tmp_path))
+    schema = _part_schema()
+    base = spark.createDataFrame(
+        [(1, 2020, "a"), (2, 2021, "b")], ["k", "year", "v"]
+    )
+    assert storage.upsert(spark, base, schema) == 2
+    _steal_lock_during_stage_write(monkeypatch, storage)
+    with pytest.raises(WriterFencedError):
+        storage.upsert(
+            spark, spark.createDataFrame([(1, 2020, "CHANGED")], ["k", "year", "v"]), schema
+        )
+    monkeypatch.undo()
+    rows = {tuple(r) for r in storage.read(spark, "t").select("k", "year", "v").collect()}
+    assert rows == {(1, 2020, "a"), (2, 2021, "b")}, (
+        "fenced overwrite must leave every live partition untouched"
+    )
+    assert storage.generation("t") == 1
+
+
+def test_swap_append_preserves_hive_escaping_via_rename(spark, tmp_path):
+    """The staged-file ingest copies Hive dir names verbatim, so appends
+    into percent-escaped partition dirs land in the SAME dir Spark's own
+    append would use (no duplicate a:b vs a%3Ab trees), and generations
+    advance per append."""
+    storage = ParquetStorage(str(tmp_path))
+    schema = _str_part_schema()
+    storage.create_or_append(
+        spark.createDataFrame([(1, "a:b", "x")], ["k", "src", "v"]), schema
+    )
+    storage.create_or_append(
+        spark.createDataFrame([(2, "a:b", "y"), (3, "keep", "z")], ["k", "src", "v"]),
+        schema,
+    )
+    root = storage.path("t")
+    escaped = os.path.join(root, "src=a%3Ab")
+    assert os.path.isdir(escaped)
+    n_files = [f for f in os.listdir(escaped) if f.endswith(".parquet")]
+    assert len(n_files) >= 2, "both appends' files share the one escaped dir"
+    rows = {(r["k"], r["src"]) for r in storage.read(spark, "t").collect()}
+    assert rows == {(1, "a:b"), (2, "a:b"), (3, "keep")}
+    assert storage.generation("t") == 2
+
+
 def test_pointer_read_rejects_uncommitted_table(spark, tmp_path):
     storage = ParquetStorage(str(tmp_path), commit="pointer")
     assert not storage.exists("nope")
