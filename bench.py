@@ -186,6 +186,7 @@ HEADLINE += [
     "q12_shipmode_priority",
     # round 13
     "mm4_audio_meta",
+    "mm5_pixel_stats",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

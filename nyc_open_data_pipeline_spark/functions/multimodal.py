@@ -333,6 +333,226 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(decode, schema=AUDIO_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL PNG pixel codec (round 13): beyond header dimensions, full grayscale
+# pixel decode with zero dependencies — zlib inflate + all five scanline
+# unfilters — so image FEATURE EXTRACTION (not just metadata) runs for real
+# in this PIL-less container. Encoder and decoder are independent spec
+# implementations (encoder filters against RAW neighbor bytes, decoder
+# unfilters against RECONSTRUCTED ones, per the PNG spec) and the unfilter
+# math is additionally pinned by hand-computed test vectors, so a mirrored
+# encode/decode bug cannot cancel silently.
+# ---------------------------------------------------------------------------
+
+PIXEL_SCHEMA = (
+    "media_id long, width int, height int, n_px bigint, "
+    "pixel_sum bigint, min_px int, max_px int"
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to the
+    linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png_gray(rows: list[bytes], filter_for_row=None) -> bytes:
+    """A COMPLETE valid 8-bit grayscale PNG around raw scanlines: IHDR +
+    IDAT (zlib-deflated filtered scanlines, split into two IDAT chunks
+    when large — legal per spec, forces decoders to concatenate) + IEND,
+    all CRC-stamped. ``filter_for_row(r)`` picks the filter type (0-4)
+    per scanline (default 0); filters are computed against RAW neighbor
+    bytes as the spec requires of encoders."""
+    import struct
+    import zlib
+
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    if any(len(r) != width for r in rows):
+        raise ValueError("ragged scanlines")
+    pick = filter_for_row or (lambda r: 0)
+    raw = bytearray()
+    prior = bytes(width)
+    for r, line in enumerate(rows):
+        ft = pick(r)
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:  # Sub
+            raw += bytes((line[i] - (line[i - 1] if i else 0)) & 0xFF for i in range(width))
+        elif ft == 2:  # Up
+            raw += bytes((line[i] - prior[i]) & 0xFF for i in range(width))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - 1] if i else 0) + prior[i]) // 2) & 0xFF
+                for i in range(width)
+            )
+        elif ft == 4:  # Paeth
+            raw += bytes(
+                (line[i] - _paeth(line[i - 1] if i else 0, prior[i], prior[i - 1] if i else 0))
+                & 0xFF
+                for i in range(width)
+            )
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prior = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray8
+    comp = zlib.compress(bytes(raw))
+    mid = len(comp) // 2 if len(comp) > 64 else len(comp)
+    idats = chunk(b"IDAT", comp[:mid])
+    if mid < len(comp):
+        idats += chunk(b"IDAT", comp[mid:])
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + idats + chunk(b"IEND", b"")
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, raw grayscale pixels) from an 8-bit gray PNG — the
+    REAL pixel decode branch: CRC-verified chunk walk, multi-IDAT
+    concatenation, zlib inflate, and all five scanline unfilters computed
+    against reconstructed neighbors per the spec. Raises ValueError on
+    malformed input or unsupported variants (color, 16-bit, interlaced):
+    supporting gray8 fully-and-correctly beats supporting everything
+    approximately."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > n:
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 0:
+                raise ValueError(
+                    f"only 8-bit grayscale PNG pixel decode supported "
+                    f"(depth={depth}, color type={color})"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + width
+    if len(raw) != stride * height:
+        raise ValueError(
+            f"PNG pixel payload is {len(raw)} bytes, expected {stride * height}"
+        )
+    out = bytearray()
+    prior = bytes(width)
+    for r in range(height):
+        ft = raw[r * stride]
+        line = bytearray(raw[r * stride + 1 : (r + 1) * stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: left neighbor is the RECONSTRUCTED byte
+            for i in range(1, width):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(width):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(width):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(width):
+                left = line[i - 1] if i else 0
+                upleft = prior[i - 1] if i else 0
+                line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} on row {r}")
+        prior = bytes(line)
+        out += prior
+    return width, height, bytes(out)
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars") -> DataFrame:
+    """Build an image-shaped table of REAL PNGs from any corpus:
+    deterministic doc-derived gray8 images (pixel(r,c) = (seed + 31r + 7c)
+    mod 256 with seed = (doc_id*131 + n_chars) mod 256, dimensions
+    8..24 x 4..16) encoded through the real filter+deflate pipeline, the
+    filter type cycling (doc_id + row) mod 5 so every scanline filter is
+    exercised corpus-wide. The pixel formula is closed-form on purpose:
+    the DuckDB oracle recomputes the stats arithmetically, so the whole
+    compress->filter->inflate->unfilter cycle must be EXACT to pass."""
+    import numpy as np
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, nch in zip(pdf[id_col], pdf[chars_col]):
+                mid, nch = int(mid), int(nch)
+                w, h = 8 + mid % 17, 4 + nch % 13
+                seed = (mid * 131 + nch) % 256
+                px = (
+                    seed + 31 * np.arange(h)[:, None] + 7 * np.arange(w)[None, :]
+                ) % 256
+                lines = [bytes(row) for row in px.astype(np.uint8)]
+                payload = make_png_gray(lines, filter_for_row=lambda r: (mid + r) % 5)
+                rows.append((mid, payload, "image/png"))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "media_type"])
+
+    return df.select(F.col(id_col), F.col(chars_col)).mapInPandas(
+        encode, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Pixel-level feature extraction: (media_id, payload) -> integer pixel
+    statistics via the REAL decode path (no fake mode — gray8 PNG decode
+    is dependency-free). Stats are exact integers so oracle comparison is
+    hash-stable (no float repr drift)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_png_pixels(bytes(payload))
+                rows.append((int(mid), w, h, w * h, sum(px), min(px), max(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_px",
+                    "pixel_sum", "min_px", "max_px",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(decode, schema=PIXEL_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* shape: explodes frame indices 0..n-1 step
     every_n per media row (the real decoder would emit frame payloads).

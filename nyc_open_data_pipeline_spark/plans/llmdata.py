@@ -1930,6 +1930,46 @@ def mm4_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm5_pixel_stats",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           CAST(8 + d.doc_id % 17 AS INT) AS width,
+           CAST(4 + d.n_chars % 13 AS INT) AS height,
+           CAST((8 + d.doc_id % 17) * (4 + d.n_chars % 13) AS BIGINT) AS n_px,
+           CAST(SUM(((d.doc_id * 131 + d.n_chars) % 256 + 31 * r.r + 7 * c.c) % 256)
+                AS BIGINT) AS pixel_sum,
+           CAST(MIN(((d.doc_id * 131 + d.n_chars) % 256 + 31 * r.r + 7 * c.c) % 256)
+                AS INT) AS min_px,
+           CAST(MAX(((d.doc_id * 131 + d.n_chars) % 256 + 31 * r.r + 7 * c.c) % 256)
+                AS INT) AS max_px
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(0, 4 + d.n_chars % 13 - 1)) AS r) r,
+         LATERAL (SELECT unnest(generate_series(0, 8 + d.doc_id % 17 - 1)) AS c) c
+    GROUP BY d.doc_id, d.n_chars
+    """,
+    survey_ref="extension: multimodal REAL pixel decode (gray8 PNG: CRC-verified chunk "
+    "walk, multi-IDAT zlib inflate, all five scanline unfilters — feature extraction "
+    "over decoded pixels, not just header metadata)",
+)
+def mm5_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image FEATURE EXTRACTION end-to-end, fully real: corpus rows ->
+    deterministic gray8 PNGs through the real filter+deflate encoder
+    (filter type cycling over all five per scanline) -> real inflate +
+    unfilter decode -> exact integer pixel statistics. The oracle
+    recomputes the stats from the closed-form pixel formula with a
+    LATERAL row/column expansion, so any inexactness anywhere in the
+    codec cycle fails the comparison. Encoder filters against raw
+    neighbors, decoder against reconstructed ones (PNG spec), and the
+    unfilter math is pinned separately by hand vectors, so mirrored
+    encode/decode bugs can't cancel."""
+    from nyc_open_data_pipeline_spark.functions import multimodal as MM
+
+    d = t(spark, sf_dir, "documents")
+    media = MM.attach_png_payload(d)
+    return MM.png_pixel_stats(media)
+
+
+@register(
     "c1_cleanroom_pipeline",
     oracle=f"""
     WITH s AS (

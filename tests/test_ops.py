@@ -431,6 +431,132 @@ def test_multimodal_audio_decode_end_to_end(spark):
     assert all(r["bits_per_sample"] == 16 for r in got.values())
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def test_paeth_predictor_vectors():
+    from nyc_open_data_pipeline_spark.functions.multimodal import _paeth
+
+    # ties break left, then up, then up-left (spec §9.4)
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 10, 10) == 10  # all equal -> left
+    assert _paeth(0, 10, 0) == 10  # estimate 10 -> up exact
+    assert _paeth(40, 20, 10) == 40  # estimate 50, left closest
+    assert _paeth(60, 30, 20) == 60  # estimate 70, left closest
+    assert _paeth(5, 9, 7) == 7  # estimate 7: pc=0 beats pa=pb=2 -> up-left
+    assert _paeth(5, 5, 9) == 5  # estimate 1: pa=4=pb -> left wins the tie
+
+
+def test_png_unfilter_hand_vectors():
+    """The decoder's unfilter math pinned against BY-HAND filtered bytes
+    (not the module's own encoder), so a mirrored encode/decode bug can't
+    cancel: row 0 Sub-filtered, row 1 Paeth-filtered, every delta computed
+    manually from the spec."""
+    import struct
+    import zlib
+
+    from nyc_open_data_pipeline_spark.functions.multimodal import decode_png_pixels
+
+    # raw pixels: row0 = [10, 20, 30], row1 = [40, 60, 90]
+    # Sub(row0):  10, 20-10, 30-20            -> 0x01 0a 0a 0a
+    # Paeth(row1): 40-paeth(0,10,0)=30, 60-paeth(40,20,10)=20,
+    #              90-paeth(60,30,20)=30      -> 0x04 1e 14 1e
+    raw = b"\x01\x0a\x0a\x0a\x04\x1e\x14\x1e"
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(png) == (3, 2, bytes([10, 20, 30, 40, 60, 90]))
+
+
+def test_png_pixel_roundtrip_all_filters_and_multi_idat():
+    from nyc_open_data_pipeline_spark.functions.multimodal import (
+        decode_png_pixels,
+        make_png_gray,
+    )
+
+    lines = [bytes((r * 31 + c * 7 + 13) % 256 for c in range(23)) for r in range(17)]
+    flat = b"".join(lines)
+    for ft in range(5):  # every filter type, uniformly
+        w, h, px = decode_png_pixels(make_png_gray(lines, filter_for_row=lambda r: ft))
+        assert (w, h, px) == (23, 17, flat), f"filter {ft} roundtrip"
+    # cycling filters + an image big enough to force the two-IDAT split
+    big = [bytes((r + c) % 256 for c in range(64)) for r in range(48)]
+    payload = make_png_gray(big, filter_for_row=lambda r: r % 5)
+    assert payload.count(b"IDAT") == 2, "large image must split IDAT"
+    assert decode_png_pixels(payload) == (64, 48, b"".join(big))
+
+
+def test_png_pixel_decode_rejects():
+    import struct
+    import zlib
+
+    import pytest
+
+    from nyc_open_data_pipeline_spark.functions.multimodal import (
+        decode_png_pixels,
+        make_png_gray,
+    )
+
+    good = make_png_gray([bytes(range(16))] * 4)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_pixels(b"BM" + bytes(30))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_pixels(good[:-20])  # cut reaches INTO the IDAT chunk
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # flip an IDAT byte, CRC must catch it
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png_pixels(bytes(corrupt))
+    rgb_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # color type 2
+    rgb = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", rgb_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(13))) + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_png_pixels(rgb)
+    bad_filter = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x07\x01\x02"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type 7"):
+        decode_png_pixels(bad_filter)
+
+
+def test_multimodal_png_pixel_stats_end_to_end(spark):
+    """mm5's path: corpus rows -> real filtered+deflated PNGs -> real
+    inflate+unfilter decode -> exact integer pixel stats, verified against
+    the closed-form pixel formula computed directly."""
+    from nyc_open_data_pipeline_spark.functions.multimodal import (
+        attach_png_payload,
+        png_pixel_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 5), (3, 100), (11, 256), (254, 999)], ["doc_id", "n_chars"]
+    )
+    got = {r["media_id"]: r for r in png_pixel_stats(attach_png_payload(docs)).collect()}
+    for mid, nch in [(0, 5), (3, 100), (11, 256), (254, 999)]:
+        w, h = 8 + mid % 17, 4 + nch % 13
+        seed = (mid * 131 + nch) % 256
+        px = [(seed + 31 * r + 7 * c) % 256 for r in range(h) for c in range(w)]
+        row = got[mid]
+        assert (row["width"], row["height"], row["n_px"]) == (w, h, w * h)
+        assert row["pixel_sum"] == sum(px)
+        assert (row["min_px"], row["max_px"]) == (min(px), max(px))
+
+
 def test_frame_sample_plan(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
     media = attach_payload(docs)
