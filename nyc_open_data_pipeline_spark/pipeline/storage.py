@@ -564,6 +564,7 @@ class ParquetStorage:
             writer.parquet(stage)
             try:
                 self._check_fence(schema.table_name, token)
+                self._recover(schema.table_name)  # crashed-swap old dir, if any
                 if not os.path.exists(final):
                     # first write: the whole staged dir publishes in ONE
                     # rename, generation marker riding inside it
@@ -592,18 +593,30 @@ class ParquetStorage:
         The publish is N fast metadata renames, not one atomic op — the
         same exposure as a parquet job commit's task-file moves, but it
         happens AFTER the fence check instead of inside a minutes-long
-        job, shrinking the takeover window to milliseconds."""
-        for dirpath, _dirnames, filenames in os.walk(stage):
-            rel = os.path.relpath(dirpath, stage)
-            dst_dir = final if rel == "." else os.path.join(final, rel)
-            made = False
-            for fn in filenames:
-                if fn.startswith(("_", ".")):
-                    continue  # _SUCCESS / hidden committer droppings
-                if not made:
-                    os.makedirs(dst_dir, exist_ok=True)
-                    made = True
-                os.rename(os.path.join(dirpath, fn), os.path.join(dst_dir, fn))
+        job, shrinking the takeover window to milliseconds. A driver-side
+        failure mid-loop rolls every moved file back into the stage dir,
+        so exceptions leave the live table exactly as it was (hard
+        crashes can still leave a partial append — documented residue)."""
+        moved: list[tuple[str, str]] = []
+        try:
+            for dirpath, _dirnames, filenames in os.walk(stage):
+                rel = os.path.relpath(dirpath, stage)
+                dst_dir = final if rel == "." else os.path.join(final, rel)
+                made = False
+                for fn in filenames:
+                    if fn.startswith(("_", ".")):
+                        continue  # _SUCCESS / hidden committer droppings
+                    if not made:
+                        os.makedirs(dst_dir, exist_ok=True)
+                        made = True
+                    src, dst = os.path.join(dirpath, fn), os.path.join(dst_dir, fn)
+                    os.rename(src, dst)
+                    moved.append((src, dst))
+        except BaseException:
+            for src, dst in reversed(moved):
+                with contextlib.suppress(OSError):
+                    os.rename(dst, src)
+            raise
 
     def upsert(self, spark: SparkSession, df: DataFrame, schema: TableSchema) -> int:
         """K3 MERGE: keep existing rows whose keys don't collide (anti-join),
@@ -760,20 +773,38 @@ class ParquetStorage:
         stage = f"{final}__stage_{uuid.uuid4().hex[:8]}"
         merged.write.partitionBy(*parts).mode("overwrite").parquet(stage)
         trash = f"{final}__old_{uuid.uuid4().hex[:8]}"
+        parked: list[tuple[str, str]] = []  # (park, dst)
+        placed: list[tuple[str, str]] = []  # (src, dst)
         try:
             self._check_fence(schema.table_name, token)
             staged_rps = self._segment_relpaths(stage, len(parts))
-            for rp in staged_rps:
-                src, dst = os.path.join(stage, rp), os.path.join(final, rp)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if os.path.exists(dst):
-                    # park, don't delete: until this publish completes the
-                    # old slice stays recoverable; a crash between the two
-                    # renames leaves it in the trash dir (vacuum sweeps)
-                    park = os.path.join(trash, rp)
-                    os.makedirs(os.path.dirname(park), exist_ok=True)
-                    os.rename(dst, park)
-                os.rename(src, dst)
+            try:
+                for rp in staged_rps:
+                    src, dst = os.path.join(stage, rp), os.path.join(final, rp)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    if os.path.exists(dst):
+                        # park, don't delete: until this publish completes
+                        # the old slice stays recoverable; a crash between
+                        # the two renames leaves it in the trash dir
+                        park = os.path.join(trash, rp)
+                        os.makedirs(os.path.dirname(park), exist_ok=True)
+                        os.rename(dst, park)
+                        parked.append((park, dst))
+                    os.rename(src, dst)
+                    placed.append((src, dst))
+            except BaseException:
+                # driver-side failure mid-loop: unwind so the live table is
+                # exactly as it was — new slices back to stage first (frees
+                # each dst), parked old slices restored second — BEFORE the
+                # finally deletes the trash dir; otherwise a parked-but-
+                # not-yet-replaced partition would be destroyed with it
+                for src, dst in reversed(placed):
+                    with contextlib.suppress(OSError):
+                        os.rename(dst, src)
+                for park, dst in reversed(parked):
+                    with contextlib.suppress(OSError):
+                        os.rename(park, dst)
+                raise
             # a touched partition with NO staged dir lost its every row (a
             # delete emptied it) — its stale live dir must go too, matched
             # on UNESCAPED dir text so Hive percent-escaped values are

@@ -708,6 +708,46 @@ def test_swap_append_preserves_hive_escaping_via_rename(spark, tmp_path):
     assert storage.generation("t") == 2
 
 
+def test_swap_partition_publish_rolls_back_on_midloop_failure(spark, tmp_path, monkeypatch):
+    """A driver-side failure in the middle of the partition-swap publish
+    loop must unwind completely: new slices return to the stage dir and
+    PARKED old slices are restored before the trash dir is deleted — the
+    live table reads exactly as before, and a retry then succeeds."""
+    storage = ParquetStorage(str(tmp_path))
+    schema = _part_schema()
+    base = spark.createDataFrame([(1, 2020, "a"), (2, 2021, "b")], ["k", "year", "v"])
+    assert storage.upsert(spark, base, schema) == 2
+    before = {tuple(r) for r in storage.read(spark, "t").select("k", "year", "v").collect()}
+
+    calls = {"n": 0}
+    real_rename = os.rename
+
+    def failing(src, dst):
+        if "__stage_" in src and "year=" in dst:
+            calls["n"] += 1
+            if calls["n"] == 2:  # second partition: parked, placement fails
+                raise OSError("simulated rename failure mid-publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing)
+    update = spark.createDataFrame(
+        [(1, 2020, "NEW"), (2, 2021, "NEW")], ["k", "year", "v"]
+    )
+    with pytest.raises(OSError, match="simulated rename failure"):
+        storage.upsert(spark, update, schema)
+    monkeypatch.undo()
+
+    after = {tuple(r) for r in storage.read(spark, "t").select("k", "year", "v").collect()}
+    assert after == before, "failed publish must leave the table untouched"
+    parent = os.path.dirname(storage.path("t"))
+    leftovers = [d for d in os.listdir(parent) if "__stage_" in d or "__old_" in d]
+    assert leftovers == [], "rollback must leave no stage/trash residue"
+    assert calls["n"] == 2, "the failure must have hit the mid-loop point"
+    assert storage.upsert(spark, update, schema) == 2  # retry succeeds
+    got = {tuple(r) for r in storage.read(spark, "t").select("k", "year", "v").collect()}
+    assert got == {(1, 2020, "NEW"), (2, 2021, "NEW")}
+
+
 def test_pointer_read_rejects_uncommitted_table(spark, tmp_path):
     storage = ParquetStorage(str(tmp_path), commit="pointer")
     assert not storage.exists("nope")
