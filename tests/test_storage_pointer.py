@@ -790,9 +790,15 @@ def test_differential_fuzz_swap_vs_pointer(spark, tmp_path):
     for step in range(14):
         op = rng.choice(["upsert", "upsert", "delete", "compact", "vacuum"])
         if op == "upsert":
+            # part = k % 3 keeps a key's partition stable — the documented
+            # upsert contract. (A moving key is only merged correctly when
+            # its OLD partition happens to be touched by the same batch;
+            # the previous rng.randrange(3) generator relied on the seed
+            # avoiding the other case.)
             rows = [
-                (rng.randrange(12), rng.randrange(3), f"s{step}i{i}")
+                (k, k % 3, f"s{step}i{i}")
                 for i in range(rng.randrange(1, 5))
+                for k in [rng.randrange(12)]
             ]
             # model: within-batch dedup keeps the min row per key (the
             # dedup_first contract), then incoming wins over stored
@@ -822,6 +828,121 @@ def test_differential_fuzz_swap_vs_pointer(spark, tmp_path):
         assert got_swap == want, f"swap diverged from model after {ops}"
         assert got_ptr == want, f"pointer diverged from model after {ops}"
     assert any(o == "delete" for o in ops) and ops.count("upsert") >= 5
+
+
+def test_differential_fuzz_swap_publish_fault_injection(spark, tmp_path, monkeypatch):
+    """Crash-consistency fuzz for the staged swap publish: a seeded random
+    program of upserts / appends / deletes runs with os.rename randomly
+    failing on PUBLISH renames only (staged-file ingest, partition swaps,
+    atomic-swap dance — recovery renames stay reliable, as a filesystem
+    that failed everything forever would). Invariants, checked after every
+    event: (a) any op that raises leaves the swap table EXACTLY as before
+    (the mid-loop rollback + crashed-swap recovery), (b) a bounded retry
+    then succeeds, (c) swap and a fault-free pointer store agree with the
+    dict model throughout."""
+    import random
+
+    fault = random.Random(4113)
+    rng = random.Random(2913)
+    schema = TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("part", "integer"),
+            ColumnSpec("v", "string"),
+        ],
+        unique_keys=["k"],
+        partition_by=["part"],
+    )
+    swap = ParquetStorage(str(tmp_path / "sw"))
+    ptr = ParquetStorage(str(tmp_path / "pt"), commit="pointer")
+    model: dict[int, tuple[int, str]] = {}
+
+    real_rename = os.rename
+    armed = {"on": False}
+
+    def flaky(src, dst):
+        publishy = "__stage_" in src or "__tmp_" in src or "__old_" in dst
+        if armed["on"] and publishy and fault.random() < 0.35:
+            raise OSError("injected publish-rename fault")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky)
+
+    def state(storage) -> set:
+        if not storage.exists("t"):
+            return set()
+        return {(r["k"], r["part"], r["v"]) for r in storage.read(spark, "t").collect()}
+
+    def run_swap_with_faults(op) -> int:
+        """Run op against the swap store under injected faults; after every
+        failure assert full rollback; return the number of injected
+        failures survived."""
+        failures = 0
+        for attempt in range(8):
+            armed["on"] = attempt < 7  # last attempt fault-free: must land
+            try:
+                op(swap)
+                armed["on"] = False
+                return failures
+            except OSError as e:
+                assert "injected" in str(e), e
+                failures += 1
+                armed["on"] = False
+                want = {(k, p, v) for k, (p, v) in model.items()}
+                assert state(swap) == want, (
+                    f"swap not rolled back after injected failure #{failures}"
+                )
+        raise AssertionError("unreachable")
+
+    next_append_key = 1000
+    survived = 0
+    ops = []
+    for step in range(12):
+        kind = rng.choice(["upsert", "upsert", "append", "delete"])
+        if kind == "upsert":
+            # part = k % 3: the upsert contract requires a key's partition
+            # to be stable (as any Hive-style dynamic-overwrite MERGE does)
+            rows = [
+                (k, k % 3, f"s{step}i{i}")
+                for i in range(rng.randrange(1, 5))
+                for k in [rng.randrange(12)]
+            ]
+            batch: dict[int, tuple[int, str]] = {}
+            for k, p, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+                batch.setdefault(k, (p, v))
+            df = spark.createDataFrame(rows, ["k", "part", "v"])
+            survived += run_swap_with_faults(lambda s: s.upsert(spark, df, schema))
+            ptr.upsert(spark, df, schema)
+            model.update(batch)
+        elif kind == "append":
+            rows = [
+                (next_append_key + i, (next_append_key + i) % 3, f"a{step}i{i}")
+                for i in range(rng.randrange(1, 4))
+            ]
+            next_append_key += len(rows)
+            df = spark.createDataFrame(rows, ["k", "part", "v"])
+            survived += run_swap_with_faults(lambda s: s.create_or_append(df, schema))
+            ptr.create_or_append(df, schema)
+            model.update({k: (p, v) for k, p, v in rows})
+        elif kind == "delete" and model:
+            keys = rng.sample(sorted(model), min(len(model), rng.randrange(1, 3)))
+            kdf = spark.createDataFrame([(k, model[k][0]) for k in keys], ["k", "part"])
+            survived += run_swap_with_faults(
+                lambda s: s.delete_keys(spark, kdf, schema)
+            )
+            ptr.delete_keys(spark, kdf, schema)
+            for k in keys:
+                model.pop(k)
+        else:
+            continue
+        ops.append(kind)
+        want = {(k, p, v) for k, (p, v) in model.items()}
+        assert state(swap) == want, f"swap diverged from model after {ops}"
+        assert state(ptr) == want, f"pointer diverged from model after {ops}"
+    assert survived >= 3, (
+        f"fault schedule exercised only {survived} failures — raise the rate"
+    )
 
 
 def test_commit_mode_validated():
