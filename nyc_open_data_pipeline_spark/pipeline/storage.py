@@ -289,15 +289,48 @@ class ParquetStorage:
         except (OSError, ValueError, KeyError):
             return 0
 
-    def _write_generation(self, dirpath: str, gen: int, token: str) -> None:
+    def _write_generation(
+        self, dirpath: str, gen: int, token: str, schema_json: str | None = None
+    ) -> None:
         # tmp + atomic replace: an in-place truncate-write would let a crash
         # or concurrent reader see a torn file, which generation() reads as
         # 0 — breaking monotonicity (round-12 review)
         dest = os.path.join(dirpath, self.GEN_FILE)
         tmp = f"{dest}.tmp_{uuid.uuid4().hex[:8]}"
+        rec = {"gen": gen, "writer": token, "ts": time.time()}
+        if schema_json is not None:
+            rec["schema"] = schema_json
         with open(tmp, "w") as f:
-            json.dump({"gen": gen, "writer": token, "ts": time.time()}, f)
+            json.dump(rec, f)
         os.replace(tmp, dest)
+
+    def _stamped_schema_json(self, table: str) -> str | None:
+        """The table schema stamped by the last swap-mode commit, if any
+        (older tables predate stamping and read via footer inference)."""
+        try:
+            with open(os.path.join(self.path(table), self.GEN_FILE)) as f:
+                return json.load(f).get("schema")
+        except (OSError, ValueError):
+            return None
+
+    def _evolved_schema_json(self, table: str, new_schema) -> str:
+        """Schema to stamp after a PARTIAL write (append / partition
+        replace): previous stamped fields, with the new write's fields
+        merged in by name — a re-declared field takes its NEW type
+        (latest declaration wins, the K1 contract), unseen fields append.
+        Old files missing a later column read as NULL under the explicit
+        schema, matching pointer mode's unionByName semantics."""
+        from pyspark.sql.types import StructField, StructType
+
+        prev = self._stamped_schema_json(table)
+        if not prev:
+            return new_schema.json()
+        merged = {f.name: f for f in StructType.fromJson(json.loads(prev)).fields}
+        for f in new_schema.fields:
+            merged[f.name] = f
+        return StructType(
+            [StructField(n, f.dataType, True) for n, f in merged.items()]
+        ).json()
 
     def exists(self, table: str) -> bool:
         if self.commit == "pointer":
@@ -428,13 +461,27 @@ class ParquetStorage:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         """Resolve the table to a DataFrame. Swap mode: the table dir is
-        the data. Pointer mode: union the manifest's live (segment,
-        partition) slices — per-segment ``basePath`` keeps the Hive
-        partition columns, and unionByName(allowMissingColumns) lets old
-        segments predate a schema-evolution column (they read as NULL,
-        same as the swap path's merged rewrite)."""
+        the data, read under the schema the last commit STAMPED in the
+        generation marker — deterministic under schema evolution (with
+        footer inference, which file's schema wins depends on listing
+        order of UUID-named part files), old files' missing columns read
+        as NULL, empty tables read as typed empty frames, and no
+        all-footer mergeSchema pass is ever needed at scale. Tables
+        stamped before schema stamping fall back to footer inference.
+        Pointer mode: union the manifest's live (segment, partition)
+        slices — per-segment ``basePath`` keeps the Hive partition
+        columns, and unionByName(allowMissingColumns) lets old segments
+        predate a schema-evolution column (they read as NULL, same as
+        the swap path)."""
         if self.commit != "pointer":
             self._recover(table)
+            sj = self._stamped_schema_json(table)
+            if sj:
+                from pyspark.sql.types import StructType
+
+                return spark.read.schema(
+                    StructType.fromJson(json.loads(sj))
+                ).parquet(self.path(table))
             return spark.read.parquet(self.path(table))
         m = self._read_manifest(table)
         if not m:
@@ -568,7 +615,7 @@ class ParquetStorage:
                 if not os.path.exists(final):
                     # first write: the whole staged dir publishes in ONE
                     # rename, generation marker riding inside it
-                    self._write_generation(stage, 1, token)
+                    self._write_generation(stage, 1, token, out.schema.json())
                     try:
                         self._dir_rename(stage, final)
                         return
@@ -579,7 +626,10 @@ class ParquetStorage:
                         self._check_fence(schema.table_name, token)
                 self._ingest_staged_files(stage, final)
                 self._write_generation(
-                    final, self.generation(schema.table_name) + 1, token
+                    final,
+                    self.generation(schema.table_name) + 1,
+                    token,
+                    self._evolved_schema_json(schema.table_name, out.schema),
                 )
             finally:
                 shutil.rmtree(stage, ignore_errors=True)
@@ -819,7 +869,12 @@ class ParquetStorage:
             } - staged_vals
             if gone:
                 self._remove_partition_dirs(final, parts, gone)
-            self._write_generation(final, self.generation(schema.table_name) + 1, token)
+            self._write_generation(
+                final,
+                self.generation(schema.table_name) + 1,
+                token,
+                self._evolved_schema_json(schema.table_name, merged.schema),
+            )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
             shutil.rmtree(trash, ignore_errors=True)
@@ -1080,7 +1135,10 @@ class ParquetStorage:
             writer = writer.partitionBy(*[c for c in schema.partition_by if c in df.columns])
         writer.parquet(tmp)
         self._write_generation(
-            tmp, self.generation(schema.table_name) + 1, token or "unlocked"
+            tmp,
+            self.generation(schema.table_name) + 1,
+            token or "unlocked",
+            df.schema.json(),  # full rewrite: the frame IS the table
         )
         if token is not None:
             self._check_fence(schema.table_name, token)

@@ -945,6 +945,78 @@ def test_differential_fuzz_swap_publish_fault_injection(spark, tmp_path, monkeyp
     )
 
 
+def test_swap_append_schema_evolution_is_deterministic(spark, tmp_path):
+    """Swap-mode appends across a schema change used to read under
+    whichever part file's footer Spark happened to pick (UUID file names
+    make the winner listing-order random). The generation marker now
+    stamps the evolved union schema and read() applies it explicitly:
+    old rows surface the new column as NULL, a NARROWER later append
+    does not shrink the view, and the column set is stable."""
+    storage = ParquetStorage(str(tmp_path))
+    v1 = TableSchema(
+        table_name="t",
+        columns=[ColumnSpec("k", "integer", primary_key=True), ColumnSpec("v", "string")],
+        unique_keys=[],
+    )
+    v2 = TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("v", "string"),
+            ColumnSpec("extra", "string"),
+        ],
+        unique_keys=[],
+    )
+    storage.create_or_append(spark.createDataFrame([(1, "a")], ["k", "v"]), v1)
+    storage.create_or_append(
+        spark.createDataFrame([(2, "b", "x")], ["k", "v", "extra"]), v2
+    )
+    df = storage.read(spark, "t")
+    assert df.columns == ["k", "v", "extra"]
+    assert {tuple(r) for r in df.collect()} == {(1, "a", None), (2, "b", "x")}
+    # a narrower append after the widening must NOT shrink the view
+    storage.create_or_append(spark.createDataFrame([(3, "c")], ["k", "v"]), v1)
+    df = storage.read(spark, "t")
+    assert df.columns == ["k", "v", "extra"], "union view survives a narrow append"
+    assert {tuple(r) for r in df.collect()} == {
+        (1, "a", None), (2, "b", "x"), (3, "c", None),
+    }
+
+
+def test_swap_partitioned_upsert_schema_evolution(spark, tmp_path):
+    """The partition-swap publish path stamps the evolved schema too: after
+    a widened upsert touches ONE partition, the untouched partition's old
+    files still read under the union schema (new column NULL)."""
+    storage = ParquetStorage(str(tmp_path))
+    v1 = _part_schema()
+    storage.upsert(
+        spark,
+        spark.createDataFrame([(1, 2020, "a"), (2, 2021, "b")], ["k", "year", "v"]),
+        v1,
+    )
+    v2 = TableSchema(
+        table_name="t",
+        columns=[
+            ColumnSpec("k", "integer", primary_key=True),
+            ColumnSpec("year", "integer"),
+            ColumnSpec("v", "string"),
+            ColumnSpec("extra", "string"),
+        ],
+        unique_keys=["k"],
+        partition_by=["year"],
+    )
+    storage.upsert(
+        spark,
+        spark.createDataFrame([(1, 2020, "A2", "x")], ["k", "year", "v", "extra"]),
+        v2,
+    )
+    got = {
+        r["k"]: (r["year"], r["v"], r["extra"])
+        for r in storage.read(spark, "t").collect()
+    }
+    assert got == {1: (2020, "A2", "x"), 2: (2021, "b", None)}
+
+
 def test_commit_mode_validated():
     with pytest.raises(ValueError, match="commit"):
         ParquetStorage("/tmp/x", commit="s3")
