@@ -274,6 +274,7 @@ class ParquetStorage:
 
     GEN_FILE = "_generation"
     MANIFEST = "_current"
+    HISTORY_PREFIX = "_gen_"
 
     def generation(self, table: str) -> int:
         """Monotonic commit counter for a table (0 = never committed via
@@ -405,18 +406,89 @@ class ParquetStorage:
                 "segment dirs to truly reset the table)"
             ) from e
 
+    def _history_path(self, table: str, gen: int) -> str:
+        return os.path.join(self.path(table), f"{self.HISTORY_PREFIX}{gen:08d}.json")
+
     def _flip_manifest(self, table: str, manifest: dict, token: str) -> None:
         """Publish: atomically replace the single ``_current`` pointer
         file. Locally tmp + os.replace; on S3 the identical flip is one
         conditional PUT (put-if-match on the previous ETag) — the only
-        operation in the whole pointer protocol that needs atomicity."""
+        operation in the whole pointer protocol that needs atomicity.
+
+        TIME TRAVEL: before the flip, the same manifest is persisted as an
+        immutable ``_gen_NNNNNNNN.json`` history file. Segments are
+        immutable until vacuum, so any retained generation resolves to a
+        consistent snapshot (``read(as_of=...)``); a crash between the
+        history write and the flip leaves an orphan history file above the
+        current generation, which readers refuse (never-committed state)
+        and vacuum removes."""
         os.makedirs(self.path(table), exist_ok=True)
+        hist = self._history_path(table, int(manifest["gen"]))
+        htmp = f"{hist}.tmp_{uuid.uuid4().hex[:8]}"
+        with open(htmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(htmp, hist)
         dest = self._manifest_path(table)
         tmp = f"{dest}.tmp_{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         self._check_fence(table, token)
         os.replace(tmp, dest)
+
+    def history(self, table: str) -> list[int]:
+        """Retained generations of a pointer-mode table, oldest first —
+        each readable via ``read(as_of=gen)`` until ``vacuum`` prunes it
+        past its retention. Orphans above the current generation (crash
+        between history write and flip) are excluded."""
+        if self.commit != "pointer":
+            raise ValueError("history() requires commit='pointer'")
+        root = self.path(table)
+        m = self._read_manifest(table)
+        cur = int(m["gen"]) if m else 0
+        out = []
+        if os.path.isdir(root):
+            for e in os.listdir(root):
+                if e.startswith(self.HISTORY_PREFIX) and e.endswith(".json") and ".tmp_" not in e:
+                    with contextlib.suppress(ValueError):
+                        g = int(e[len(self.HISTORY_PREFIX) : -5])
+                        if g <= cur:
+                            out.append(g)
+        return sorted(out)
+
+    def rollback(self, table: str, to_gen: int) -> int:
+        """Restore a pointer-mode table to a retained earlier generation —
+        published as a NEW generation whose manifest reuses the old one's
+        partition->segment map (no data is copied or rewritten; the old
+        segments are still on disk because vacuum retention kept their
+        manifest). Returns the new generation number."""
+        if self.commit != "pointer":
+            raise ValueError("rollback() requires commit='pointer'")
+        with self._locked(table) as token:
+            cur = self._read_manifest(table)
+            if not cur:
+                raise FileNotFoundError(f"pointer-mode table {table!r} has no manifest")
+            if to_gen >= int(cur["gen"]):
+                raise ValueError(
+                    f"rollback target gen {to_gen} is not below current {cur['gen']}"
+                )
+            try:
+                with open(self._history_path(table, to_gen)) as f:
+                    old = json.load(f)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"generation {to_gen} of {table!r} is not retained "
+                    "(vacuumed, or never existed) — see history()"
+                ) from None
+            new_gen = int(cur["gen"]) + 1
+            m = {
+                "gen": new_gen,
+                "parts": old["parts"],
+                "writer": token,
+                "schema": old.get("schema"),
+                "restored_from": to_gen,
+            }
+            self._flip_manifest(table, m, token)
+            return new_gen
 
     def _write_segment(
         self, df: DataFrame, schema: TableSchema
@@ -459,7 +531,9 @@ class ParquetStorage:
         walk(segdir, 0, "")
         return sorted(out)
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, table: str, as_of: int | None = None
+    ) -> DataFrame:
         """Resolve the table to a DataFrame. Swap mode: the table dir is
         the data, read under the schema the last commit STAMPED in the
         generation marker — deterministic under schema evolution (with
@@ -472,8 +546,13 @@ class ParquetStorage:
         slices — per-segment ``basePath`` keeps the Hive partition
         columns, and unionByName(allowMissingColumns) lets old segments
         predate a schema-evolution column (they read as NULL, same as
-        the swap path)."""
+        the swap path). ``as_of=<generation>`` (pointer only) TIME-TRAVELS
+        to a retained generation's snapshot — valid until vacuum retention
+        prunes it; generations above the current one are refused (a crash
+        orphan is never-committed state)."""
         if self.commit != "pointer":
+            if as_of is not None:
+                raise ValueError("as_of time travel requires commit='pointer'")
             self._recover(table)
             sj = self._stamped_schema_json(table)
             if sj:
@@ -488,6 +567,21 @@ class ParquetStorage:
             raise FileNotFoundError(
                 f"pointer-mode table {table!r} has no committed manifest"
             )
+        if as_of is not None:
+            if as_of > int(m["gen"]):
+                raise ValueError(
+                    f"as_of generation {as_of} is above the current "
+                    f"committed generation {m['gen']} of {table!r}"
+                )
+            if as_of != int(m["gen"]):
+                try:
+                    with open(self._history_path(table, as_of)) as f:
+                        m = json.load(f)
+                except FileNotFoundError:
+                    raise ValueError(
+                        f"generation {as_of} of {table!r} is not retained "
+                        "(vacuumed, or never existed) — see history()"
+                    ) from None
         if not m.get("parts"):
             # legitimately committed but EMPTY (every partition deleted or
             # purged): readers get a typed empty frame from the schema the
@@ -948,15 +1042,20 @@ class ParquetStorage:
                 self._full_rewrite(survivors, schema, token)
             return self._count(spark, schema.table_name)
 
-    def vacuum(self, table: str) -> list[str]:
+    def vacuum(self, table: str, retain_generations: int = 0) -> list[str]:
         """Remove orphaned work a crashed writer left behind. Swap mode:
         ``__tmp_*`` / ``__stage_*`` always (never live after a successful
         write), ``__old_*`` only when the final directory exists (when it
         does NOT, the old dir is the recovery source — see ``_recover``).
-        Pointer mode: segment dirs and manifest tmps not referenced by the
-        current manifest — taken under the table lock so an in-flight
-        writer's not-yet-published segment is never swept. Listing-only,
-        no data read; returns the removed paths."""
+        Pointer mode: prune history manifests outside the retention
+        window (``retain_generations`` prior generations stay
+        time-travelable; orphans above the current generation always go),
+        then sweep segment dirs referenced by NO remaining manifest and
+        stale manifest tmps — taken under the table lock so an in-flight
+        writer's not-yet-published segment is never swept. The default
+        ``retain_generations=0`` keeps only the current snapshot (time
+        travel is bounded by vacuum retention, as in any lakehouse
+        format). Listing-only, no data read; returns the removed paths."""
         removed: list[str] = []
         if self.commit == "pointer":
             root = self.path(table)
@@ -964,17 +1063,47 @@ class ParquetStorage:
                 return removed
             with self._locked(table):
                 m = self._read_manifest(table)
+                cur = int(m["gen"]) if m else 0
+                floor = cur - max(0, retain_generations)
                 live = {
                     seg
                     for segs in ((m or {}).get("parts") or {}).values()
                     for seg in segs
                 }
+                for e in sorted(os.listdir(root)):
+                    if not (
+                        e.startswith(self.HISTORY_PREFIX) and e.endswith(".json")
+                    ) or ".tmp_" in e:
+                        continue
+                    full = os.path.join(root, e)
+                    try:
+                        g = int(e[len(self.HISTORY_PREFIX) : -5])
+                    except ValueError:
+                        continue
+                    if g > cur or g < floor:
+                        # above current = crash orphan; below floor = out
+                        # of retention
+                        with contextlib.suppress(OSError):
+                            os.remove(full)
+                        removed.append(full)
+                    elif g != cur:
+                        # retained: its segments stay live for time travel
+                        with contextlib.suppress(OSError, ValueError):
+                            with open(full) as f:
+                                hm = json.load(f)
+                            live |= {
+                                seg
+                                for segs in (hm.get("parts") or {}).values()
+                                for seg in segs
+                            }
                 for e in os.listdir(root):
                     full = os.path.join(root, e)
                     if e.startswith("seg_") and os.path.isdir(full) and e not in live:
                         shutil.rmtree(full, ignore_errors=True)
                         removed.append(full)
-                    elif e.startswith(f"{self.MANIFEST}.tmp_"):
+                    elif e.startswith(f"{self.MANIFEST}.tmp_") or (
+                        e.startswith(self.HISTORY_PREFIX) and ".tmp_" in e
+                    ):
                         with contextlib.suppress(OSError):
                             os.remove(full)
                         removed.append(full)

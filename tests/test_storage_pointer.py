@@ -1017,6 +1017,73 @@ def test_swap_partitioned_upsert_schema_evolution(spark, tmp_path):
     assert got == {1: (2020, "A2", "x"), 2: (2021, "b", None)}
 
 
+def test_pointer_time_travel_and_rollback(spark, tmp_path):
+    """Every manifest flip persists an immutable per-generation history
+    file; segments are immutable until vacuum, so retained generations
+    read as consistent snapshots (read(as_of=gen)), rollback republishes
+    an old generation's pointer map as a NEW generation without copying
+    data, and crash orphans above the current generation are refused."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _kv_schema()
+    storage.upsert(spark, spark.createDataFrame([(1, "a")], ["k", "v"]), schema)
+    storage.upsert(spark, spark.createDataFrame([(2, "b")], ["k", "v"]), schema)
+    storage.upsert(spark, spark.createDataFrame([(1, "A")], ["k", "v"]), schema)
+    assert storage.history("t") == [1, 2, 3]
+
+    def snap(as_of=None):
+        return {
+            (r["k"], r["v"]) for r in storage.read(spark, "t", as_of=as_of).collect()
+        }
+
+    assert snap(1) == {(1, "a")}
+    assert snap(2) == {(1, "a"), (2, "b")}
+    assert snap(3) == snap() == {(1, "A"), (2, "b")}
+    with pytest.raises(ValueError, match="above the current"):
+        snap(4)
+
+    assert storage.rollback("t", to_gen=1) == 4
+    assert snap() == {(1, "a")}, "rollback restores the old snapshot"
+    assert snap(3) == {(1, "A"), (2, "b")}, "pre-rollback state stays retained"
+    assert storage.generation("t") == 4
+    # writes continue normally on top of the rolled-back state
+    storage.upsert(spark, spark.createDataFrame([(3, "c")], ["k", "v"]), schema)
+    assert snap() == {(1, "a"), (3, "c")}
+
+    with pytest.raises(ValueError, match="requires commit='pointer'"):
+        ParquetStorage(str(tmp_path / "sw")).rollback("t", to_gen=1)
+
+
+def test_pointer_vacuum_retention_bounds_time_travel(spark, tmp_path):
+    """vacuum(retain_generations=K) keeps the last K prior generations
+    time-travelable (their manifests AND the segments they reference);
+    everything older is pruned and its exclusive segments swept; default
+    K=0 collapses to the current snapshot only."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _kv_schema()
+    for step in range(3):
+        storage.upsert(
+            spark, spark.createDataFrame([(step, f"v{step}")], ["k", "v"]), schema
+        )
+    assert storage.history("t") == [1, 2, 3]
+
+    storage.vacuum("t", retain_generations=1)
+    assert storage.history("t") == [2, 3]
+    assert {
+        (r["k"], r["v"]) for r in storage.read(spark, "t", as_of=2).collect()
+    } == {(0, "v0"), (1, "v1")}
+    with pytest.raises(ValueError, match="not retained"):
+        storage.read(spark, "t", as_of=1)
+
+    storage.vacuum("t")  # default: current snapshot only
+    assert storage.history("t") == [3]
+    with pytest.raises(ValueError, match="not retained"):
+        storage.read(spark, "t", as_of=2)
+    # the live table is untouched by retention pruning
+    assert {
+        (r["k"], r["v"]) for r in storage.read(spark, "t").collect()
+    } == {(0, "v0"), (1, "v1"), (2, "v2")}
+
+
 def test_commit_mode_validated():
     with pytest.raises(ValueError, match="commit"):
         ParquetStorage("/tmp/x", commit="s3")
