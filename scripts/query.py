@@ -34,6 +34,15 @@ def main() -> int:
         "ingest CLI's --commit-mode; pointer tables resolve through the "
         "manifest, not a bare parquet read)",
     )
+    ap.add_argument(
+        "--as-of",
+        type=int,
+        default=None,
+        metavar="GEN",
+        help="time-travel: resolve every --storage-root table at this "
+        "retained generation (commit-mode pointer only; see "
+        "ParquetStorage.history)",
+    )
     ap.add_argument("--format", choices=["jsonl", "table"], default="jsonl")
     ap.add_argument("--limit", type=int, default=1000, help="max rows printed")
     ap.add_argument("--explain", action="store_true", help="print the physical plan too")
@@ -44,6 +53,9 @@ def main() -> int:
     from nyc_open_data_pipeline_spark.session import get_spark
 
     spark = get_spark("query-cli")
+
+    if args.as_of is not None and (args.sf_dir or args.commit_mode != "pointer"):
+        ap.error("--as-of requires --storage-root with --commit-mode pointer")
 
     if args.sf_dir:
         from nyc_open_data_pipeline_spark.catalog import TESTDATA_TABLES, register_tables
@@ -65,7 +77,7 @@ def main() -> int:
                 continue
             if name.endswith("__lock") or "__" in name:
                 continue  # lock dirs / swap work dirs are not tables
-            storage.read(spark, name).createOrReplaceTempView(name)
+            storage.read(spark, name, as_of=args.as_of).createOrReplaceTempView(name)
 
     df = spark.sql(args.sql)
     if args.explain:

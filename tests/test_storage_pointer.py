@@ -777,6 +777,7 @@ def test_differential_fuzz_swap_vs_pointer(spark, tmp_path):
     swap = ParquetStorage(str(tmp_path / "sw"))
     ptr = ParquetStorage(str(tmp_path / "pt"), commit="pointer")
     model: dict[int, tuple[int, str]] = {}
+    snapshots: dict[int, set] = {}  # pointer generation -> expected row set
 
     def df_of(rows):
         return spark.createDataFrame(rows, ["k", "part", "v"])
@@ -827,7 +828,22 @@ def test_differential_fuzz_swap_vs_pointer(spark, tmp_path):
         got_swap, got_ptr = state(swap), state(ptr)
         assert got_swap == want, f"swap diverged from model after {ops}"
         assert got_ptr == want, f"pointer diverged from model after {ops}"
+        if ptr.exists("t"):
+            snapshots[ptr.generation("t")] = want
     assert any(o == "delete" for o in ops) and ops.count("upsert") >= 5
+    # time-travel coda: every generation still retained after the random
+    # vacuums must read back EXACTLY the model snapshot recorded when that
+    # generation was current — pointer history is consistent under the
+    # whole op mix (including compactions, which bump the generation
+    # without changing visible rows)
+    retained = [g for g in ptr.history("t") if g in snapshots]
+    assert retained, "fuzz never observed a retained generation"
+    for g in retained:
+        got = {
+            (r["k"], r["part"], r["v"])
+            for r in ptr.read(spark, "t", as_of=g).collect()
+        }
+        assert got == snapshots[g], f"as_of={g} snapshot diverged after {ops}"
 
 
 def test_differential_fuzz_swap_publish_fault_injection(spark, tmp_path, monkeypatch):
