@@ -1180,6 +1180,72 @@ class ParquetStorage:
             walk(root, 0, {})
         return dropped
 
+    def diff_generations(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_gen: int,
+        to_gen: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Change feed between two retained generations (the storage-level
+        form of the engine's ``j9_snapshot_diff`` query, or Delta's CDF):
+        rows of the ``to`` snapshot (default: current) annotated
+        ``insert``/``update_post``, plus rows of the ``from`` snapshot
+        that vanished as ``delete``, in a ``_change_type`` column. With
+        ``keys`` (the table's unique keys) an in-place change reads as
+        one ``update_post`` row; without keys it pairs as delete +
+        insert (exceptAll multiset semantics). One full-outer join of two
+        snapshot reads — partition-parallel at any scale, no driver-side
+        row handling; presence is detected via literal marker columns
+        (NULL-proof) and change via null-safe per-column comparison."""
+        if self.commit != "pointer":
+            raise ValueError("diff_generations requires commit='pointer'")
+        old = self.read(spark, table, as_of=from_gen)
+        new = self.read(spark, table, as_of=to_gen)
+        if not keys:
+            ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+            dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+            return ins.unionByName(dels)
+        nonkey_old = [c for c in old.columns if c not in keys]
+        nonkey_new = [c for c in new.columns if c not in keys]
+        o = old.select(
+            *keys,
+            *[F.col(c).alias(f"__old_{c}") for c in nonkey_old],
+            F.lit(True).alias("__old_present"),
+        )
+        n = new.select(
+            *keys,
+            *[F.col(c).alias(f"__new_{c}") for c in nonkey_new],
+            F.lit(True).alias("__new_present"),
+        )
+        j = o.join(n, on=keys, how="full_outer")
+        shared = [c for c in nonkey_old if c in set(nonkey_new)]
+        same = F.lit(True)
+        for c in shared:
+            same = same & F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+        if set(nonkey_old) != set(nonkey_new):
+            same = F.lit(False)  # schema changed between the snapshots
+        def out(c):
+            if c in keys:
+                return F.col(c)
+            if c in set(nonkey_old):  # delete rows carry their last values
+                return F.coalesce(F.col(f"__new_{c}"), F.col(f"__old_{c}")).alias(c)
+            return F.col(f"__new_{c}").alias(c)  # column newer than from_gen
+
+        out_cols = [out(c) for c in new.columns]
+        return (
+            j.withColumn(
+                "_change_type",
+                F.when(F.col("__old_present").isNull(), F.lit("insert"))
+                .when(F.col("__new_present").isNull(), F.lit("delete"))
+                .when(~same, F.lit("update_post"))
+                .otherwise(F.lit("unchanged")),
+            )
+            .filter(F.col("_change_type") != "unchanged")
+            .select(*out_cols, "_change_type")
+        )
+
     def compact_segments(
         self,
         spark: SparkSession,

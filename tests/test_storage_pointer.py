@@ -1100,6 +1100,54 @@ def test_pointer_vacuum_retention_bounds_time_travel(spark, tmp_path):
     } == {(0, "v0"), (1, "v1"), (2, "v2")}
 
 
+def test_pointer_diff_generations_change_feed(spark, tmp_path):
+    """diff_generations = the storage-level change feed over time-travel
+    snapshots: keyed mode classifies insert / update_post / delete with
+    NULL-proof presence markers and null-safe change detection; keyless
+    mode pairs changes as delete + insert via exceptAll."""
+    storage = ParquetStorage(str(tmp_path), commit="pointer")
+    schema = _kv_schema()
+    storage.upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], ["k", "v"]),
+        schema,
+    )  # gen 1
+    storage.upsert(
+        spark, spark.createDataFrame([(2, "B2"), (4, "d")], ["k", "v"]), schema
+    )  # gen 2
+    storage.delete_keys(spark, spark.createDataFrame([(1,)], ["k"]), schema)  # gen 3
+
+    feed = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in storage.diff_generations(spark, "t", 1, 3, keys=["k"]).collect()
+    }
+    assert feed == {
+        (1, "a", "delete"),
+        (2, "B2", "update_post"),
+        (4, "d", "insert"),
+    }, "key 3's NULL value is unchanged and must not appear"
+
+    # adjacent generations; to_gen defaults to current
+    assert {
+        (r["k"], r["_change_type"])
+        for r in storage.diff_generations(spark, "t", 2, keys=["k"]).collect()
+    } == {(1, "delete")}
+
+    # keyless mode: an update pairs as delete + insert
+    keyless = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in storage.diff_generations(spark, "t", 1, 2).collect()
+    }
+    assert keyless == {
+        (2, "b", "delete"),
+        (2, "B2", "insert"),
+        (4, "d", "insert"),
+    }
+
+    with pytest.raises(ValueError, match="requires commit='pointer'"):
+        ParquetStorage(str(tmp_path / "sw")).diff_generations(spark, "t", 1, keys=["k"])
+
+
 def test_commit_mode_validated():
     with pytest.raises(ValueError, match="commit"):
         ParquetStorage("/tmp/x", commit="s3")
