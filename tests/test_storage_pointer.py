@@ -1148,6 +1148,38 @@ def test_pointer_diff_generations_change_feed(spark, tmp_path):
         ParquetStorage(str(tmp_path / "sw")).diff_generations(spark, "t", 1, keys=["k"])
 
 
+def test_count_reads_footers_not_data(spark, tmp_path, monkeypatch):
+    """upsert/delete return counts; at 100 TB a scan-based count would be
+    a full table read per write. _count must resolve from parquet footer
+    metadata of the LIVE files only: exact across both modes (escaped
+    partitions, multi-segment pointer tables with superseded segments
+    still on disk) and proven scan-free by making read() explode."""
+    swap = ParquetStorage(str(tmp_path / "sw"))
+    ptr = ParquetStorage(str(tmp_path / "pt"), commit="pointer")
+    schema = _str_part_schema()
+    # swap gets an escapable partition value (pointer rejects those by
+    # design); pointer gets a plain one — the point is superseded
+    # segments staying on disk until vacuum must not be counted
+    for s, hot in ((swap, "a:b"), (ptr, "left")):
+        base = spark.createDataFrame(
+            [(1, hot, "x"), (2, hot, "y"), (3, "keep", "z")], ["k", "src", "v"]
+        )
+        assert s.upsert(spark, base, schema) == 3
+        assert s.upsert(
+            spark, spark.createDataFrame([(1, hot, "X2")], ["k", "src", "v"]), schema
+        ) == 3
+        assert s.delete_keys(
+            spark, spark.createDataFrame([(2, hot)], ["k", "src"]), schema
+        ) == 2
+
+    def boom(*a, **kw):
+        raise AssertionError("_count must not scan via read()")
+
+    monkeypatch.setattr(ParquetStorage, "read", boom)
+    assert swap._count(spark, "t") == 2
+    assert ptr._count(spark, "t") == 2
+
+
 def test_commit_mode_validated():
     with pytest.raises(ValueError, match="commit"):
         ParquetStorage("/tmp/x", commit="s3")
