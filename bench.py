@@ -187,6 +187,7 @@ HEADLINE += [
     # round 13
     "mm4_audio_meta",
     "mm5_pixel_stats",
+    "mm6_video_meta",
 ]
 
 # The r1 headline set — kept for the cross-round-comparable core30 subtotal.

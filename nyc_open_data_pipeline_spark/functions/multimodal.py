@@ -553,6 +553,131 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(decode, schema=PIXEL_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL video container decode (round 13): AVI is a RIFF form, so the video
+# leg of the image/audio/video triad gets the same dependency-free treatment
+# as WAV — a real container built by our encoder, parsed by a generic chunk
+# walk. Frame PIXEL decoding would need real codecs (absent here), but the
+# container metadata (dimensions, frame count, frame period) decodes for
+# real, which is what pipeline-level video curation filters on.
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = (
+    "media_id long, width int, height int, n_frames long, "
+    "usec_per_frame int, duration_ms long"
+)
+
+
+def make_avi(width: int, height: int, n_frames: int, usec_per_frame: int) -> bytes:
+    """A minimal, spec-shaped RIFF/AVI container: LIST('hdrl') holding the
+    56-byte ``avih`` main header (frame period, total frames, dimensions)
+    plus a LIST('strl') stream header, and an empty LIST('movi') — the
+    layout every AVI reader walks. Frame data is out of scope (no codec),
+    but sizes, padding, and CRC-less RIFF structure are real."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", tag, len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def list_chunk(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, 0, 0, 0x10, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"\x00" * 4, 0, 0, 0, 0,
+                       1_000_000, usec_per_frame or 1, 0, n_frames, 0, 0, 0,
+                       0, 0, width, height)
+    strl = list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", bytes(40)))
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = list_chunk(b"movi", b"")
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, usec_per_frame) from a RIFF/AVI payload —
+    the REAL video decode branch, dependency-free. Walks the top-level
+    RIFF chunk list generically (pad bytes honored, unknown chunks
+    skipped) to the LIST('hdrl'), then its sub-chunks to ``avih``; the
+    main header's fixed-offset fields carry the metadata every AVI tool
+    agrees on. Raises ValueError on malformed input."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            tag, size = struct.unpack("<4sI", buf[i : i + 8])
+            body_end = i + 8 + size
+            if body_end > end:
+                raise ValueError(f"AVI chunk {tag!r} truncated")
+            yield tag, i + 8, body_end
+            i = body_end + (size % 2)
+
+    for tag, b0, b1 in walk(payload, 12, len(payload)):
+        if tag == b"LIST" and payload[b0 : b0 + 4] == b"hdrl":
+            for t2, c0, c1 in walk(payload, b0 + 4, b1):
+                if t2 == b"avih":
+                    if c1 - c0 < 40:
+                        raise ValueError("avih main header too short")
+                    f = struct.unpack("<10I", payload[c0 : c0 + 40])
+                    usec, n_frames, width, height = f[0], f[4], f[8], f[9]
+                    if width <= 0 or height <= 0:
+                        raise ValueError("avih missing dimensions")
+                    return width, height, n_frames, usec
+            raise ValueError("AVI hdrl list has no avih header")
+    raise ValueError("AVI missing hdrl list")
+
+
+def attach_avi_payload(df: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars") -> DataFrame:
+    """Build a video-shaped table of REAL AVI containers from any corpus:
+    deterministic doc-derived dimensions (width 160..784 step 16, height
+    120..584), frame counts (1..1000 from n_chars) and frame periods
+    (20..60 ms from doc_id) — closed-form so the DuckDB oracle recomputes
+    the decoded metadata arithmetically."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, nch in zip(pdf[id_col], pdf[chars_col]):
+                mid, nch = int(mid), int(nch)
+                w, h = 160 + 16 * (mid % 40), 120 + 8 * (nch % 59)
+                frames = 1 + nch % 1000
+                usec = (20 + (mid % 5) * 10) * 1000
+                rows.append((mid, make_avi(w, h, frames, usec), "video/avi"))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "media_type"])
+
+    return df.select(F.col(id_col), F.col(chars_col)).mapInPandas(
+        encode, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def decode_video_meta(media: DataFrame) -> DataFrame:
+    """Video decode stage: (media_id, payload) -> typed container metadata
+    via mapInPandas — like the audio path there is NO fake mode, the RIFF
+    walk is fully dependency-free (non-AVI payloads raise loudly)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames, usec = decode_avi_header(bytes(payload))
+                rows.append((int(mid), w, h, frames, usec, frames * usec // 1000))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "usec_per_frame", "duration_ms",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(decode, schema=VIDEO_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* shape: explodes frame indices 0..n-1 step
     every_n per media row (the real decoder would emit frame payloads).

@@ -1970,6 +1970,38 @@ def mm5_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm6_video_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(160 + 16 * (doc_id % 40) AS INT) AS width,
+           CAST(120 + 8 * (n_chars % 59) AS INT) AS height,
+           CAST(1 + n_chars % 1000 AS BIGINT) AS n_frames,
+           CAST((20 + (doc_id % 5) * 10) * 1000 AS INT) AS usec_per_frame,
+           CAST((1 + n_chars % 1000) * ((20 + (doc_id % 5) * 10) * 1000) // 1000
+                AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    survey_ref="extension: multimodal VIDEO container decode (real RIFF/AVI walk — "
+    "LIST(hdrl)/avih main header: dimensions, frame count, frame period — no fake "
+    "mode; completes the image/audio/video real-decode triad)",
+)
+def mm6_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata end-to-end, fully real: corpus rows ->
+    spec-shaped RIFF/AVI containers (LIST hdrl with the 56-byte avih main
+    header + a strl stream header + empty movi) -> generic RIFF chunk-walk
+    decode -> typed metadata (dimensions, frame count, frame period,
+    duration). Frame PIXEL decode needs codecs this container lacks by
+    design; the metadata every AVI tool agrees on decodes for real, which
+    is what pipeline-level video curation (resolution/duration/fps
+    filters) operates on. Like mm4 there is NO fake branch."""
+    from nyc_open_data_pipeline_spark.functions import multimodal as MM
+
+    d = t(spark, sf_dir, "documents")
+    media = MM.attach_avi_payload(d)
+    return MM.decode_video_meta(media)
+
+
+@register(
     "c1_cleanroom_pipeline",
     oracle=f"""
     WITH s AS (

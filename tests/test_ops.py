@@ -557,6 +557,66 @@ def test_multimodal_png_pixel_stats_end_to_end(spark):
         assert (row["min_px"], row["max_px"]) == (min(px), max(px))
 
 
+def test_avi_container_roundtrip_and_rejects():
+    """The AVI builder/parser pair: spec-shaped containers roundtrip, the
+    generic chunk walk skips unknown top-level chunks before hdrl, and
+    malformed input fails loudly."""
+    import struct
+
+    import pytest
+
+    from nyc_open_data_pipeline_spark.functions.multimodal import (
+        decode_avi_header,
+        make_avi,
+    )
+
+    assert decode_avi_header(make_avi(640, 480, 300, 33333)) == (640, 480, 300, 33333)
+    assert decode_avi_header(make_avi(16, 8, 1, 100000)) == (16, 8, 1, 100000)
+
+    # unknown top-level chunk (odd size, padded) spliced BEFORE hdrl: a
+    # generic walk must skip it
+    good = make_avi(320, 240, 10, 40000)
+    junk = struct.pack("<4sI", b"JUNK", 5) + b"abcde" + b"\x00"
+    spliced = good[:12] + junk + good[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_avi_header(spliced) == (320, 240, 10, 40000)
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_header(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi_header(good[:-14])  # cut reaches INTO the hdrl list body
+    with pytest.raises(ValueError, match="missing hdrl"):
+        decode_avi_header(good[:12])
+    zero = bytearray(make_avi(1, 1, 5, 1000))
+    # zero out the avih width field (offset: find avih tag, +8 header, +32)
+    at = zero.index(b"avih") + 8 + 32
+    zero[at : at + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="missing dimensions"):
+        decode_avi_header(bytes(zero))
+
+
+def test_multimodal_video_decode_end_to_end(spark):
+    """mm6's path: corpus rows -> real AVI containers -> real RIFF walk
+    decode, both as mapInPandas stages; metadata verified against the
+    doc-derived parameters the encoder embeds."""
+    from nyc_open_data_pipeline_spark.functions.multimodal import (
+        attach_avi_payload,
+        decode_video_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 0), (3, 100), (42, 1234)], ["doc_id", "n_chars"]
+    )
+    got = {r["media_id"]: r for r in decode_video_meta(attach_avi_payload(docs)).collect()}
+    for mid, nch in [(0, 0), (3, 100), (42, 1234)]:
+        w, h = 160 + 16 * (mid % 40), 120 + 8 * (nch % 59)
+        frames, usec = 1 + nch % 1000, (20 + (mid % 5) * 10) * 1000
+        row = got[mid]
+        assert (row["width"], row["height"]) == (w, h)
+        assert (row["n_frames"], row["usec_per_frame"]) == (frames, usec)
+        assert row["duration_ms"] == frames * usec // 1000
+
+
 def test_frame_sample_plan(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
     media = attach_payload(docs)
