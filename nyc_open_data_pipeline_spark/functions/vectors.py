@@ -23,6 +23,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def lit_double_array(values) -> Column:
+    """array<double> literal built with ONE py4j call (an ``F.expr`` string
+    the JVM parses) instead of one ``F.lit`` round-trip per component.
+
+    Why this exists (optimization round 13, guide §1.2 "per-task work" —
+    here per-QUERY driver work): the multiprobe/ANN family materializes
+    R plane sets x nbits planes x dim components as expression literals;
+    at 16x16x65 that was ~16k py4j calls, 13.5 s of pure driver-side plan
+    construction per invocation (measured), vs 0.4 s for the expr form —
+    and the values are identical: repr() is Python's shortest round-trip
+    float form, and Spark's CAST(string AS DOUBLE) is correctly-rounded
+    strtod, so every component parses back to the same IEEE bits the old
+    ``F.lit(float)`` literal carried. Non-finite components fall back to
+    the per-component path (repr 'inf'/'nan' would not parse as DOUBLE).
+    """
+    import math
+
+    vals = [float(x) for x in values]
+    if not vals or not all(math.isfinite(x) for x in vals):
+        return F.array(*[F.lit(x) for x in vals])
+    return F.expr("array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in vals) + ")")
+
+
+def lit_long_array(values) -> Column:
+    """array<bigint> literal in one py4j call (see lit_double_array)."""
+    vals = [int(x) for x in values]
+    if not vals:
+        return F.array(*[F.lit(x).cast("long") for x in vals])
+    return F.expr("array(" + ",".join(f"{x}L" for x in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns (double fold, in order)."""
     return F.aggregate(
@@ -222,7 +253,7 @@ def hyperplane_bucket(
     corpus's measured dim pass it so a mixed-dim corpus fails loudly."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(x) for x in p]))
+        d = dot(vec, lit_double_array(p))
         bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

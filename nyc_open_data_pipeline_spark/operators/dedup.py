@@ -536,9 +536,7 @@ def multiprobe_candidate_pairs(
             "vec_id",
             "r",
             F.col("bucket").alias("b0"),
-            F.explode(
-                F.array(*[F.lit(m).cast("long") for m in masks])
-            ).alias("mask"),
+            F.explode(VEC.lit_long_array(masks)).alias("mask"),
         ).select(
             "vec_id",
             "r",
@@ -681,7 +679,9 @@ def simhash64(col: Column, token_weight: Column | None = None) -> Column:
     # counters. Writing this as 63 separate F.aggregate folds duplicates the
     # whole token-hash subtree 63x and makes Catalyst spend ~1.4 s PLANNING
     # the query; the array form is a few dozen expression nodes total.
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
+    from nyc_open_data_pipeline_spark.functions import vectors as VEC
+
+    masks = VEC.lit_long_array([1 << i for i in range(63)])
     zero = F.array_repeat(F.lit(0).cast("long"), 63)
     votes = F.aggregate(
         hashed,

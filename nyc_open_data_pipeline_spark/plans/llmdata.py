@@ -6801,7 +6801,7 @@ def _kcenter_greedy_batched(
     per-batch. Returns (chosen rows, distributed passes)."""
 
     def dist_to(vec: list, nrm: float):
-        c = F.array(*[F.lit(float(x)) for x in vec])
+        c = VEC.lit_double_array(vec)
         return _pround(
             F.lit(1.0)
             - VEC.cosine_prenormed(F.col("v"), c, F.col("nrm"), F.lit(nrm))
@@ -7054,7 +7054,7 @@ def smp4_kcenter_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = seed_rows[0]
 
     def dist_to(vec: list, nrm: float):
-        c = F.array(*[F.lit(float(x)) for x in vec])
+        c = VEC.lit_double_array(vec)
         return _pround(
             F.lit(1.0)
             - VEC.cosine_prenormed(F.col("v"), c, F.col("nrm"), F.lit(nrm))
@@ -7897,7 +7897,7 @@ def s13_mips_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     masks = DD.probe_masks(nbits, radius)
     probes = qb.select(
         "query_id", "r",
-        F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("mask"),
+        F.explode(VEC.lit_long_array(masks)).alias("mask"),
         F.col("b0"),
     ).select(
         "query_id", "r", F.col("b0").bitwiseXOR(F.col("mask")).alias("bucket")
