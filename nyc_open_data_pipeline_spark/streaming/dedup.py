@@ -102,6 +102,22 @@ class StateCompactionStats:
 _COMPACT_TARGET_BYTES = 128 * 1024 * 1024
 
 
+def _footer_rows(d: str) -> int:
+    """Row count of a just-written parquet partition dir from FOOTER
+    metadata — driver-side, exact, no Spark job (the storage layer's
+    post-commit counting discipline applied to the sinks' per-batch
+    metrics). The sinks previously localCheckpoint'd their output frames
+    just so the metrics ``count()`` after the write would not re-execute
+    the batch plan; counting the written footers removes both the extra
+    materialization job per frame per micro-batch and the checkpoint
+    block traffic (optimization round 13, guide §1.2: fewer jobs)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _part_files(d)
+    )
+
+
 def _batch_ids(state_dir: str) -> list[int]:
     out = []
     try:
@@ -366,11 +382,19 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             )
         except Exception:
             pass
-        survivors = batch.select("doc_id", "content_hash").localCheckpoint(eager=True)
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        # The anti-join plan executes ONCE into the output partition; the
+        # state partition (hashes only) derives from the just-written file
+        # set — a driver-local parquet read orders of magnitude cheaper
+        # than the localCheckpoint materialization job this replaces, and
+        # the metrics count comes from the written footers (round-13
+        # optimization: 3 jobs + block traffic -> 2 jobs per micro-batch).
+        out_part = os.path.join(out_dir, f"batch={batch_id}")
+        batch.select("doc_id", "content_hash").write.mode("overwrite").parquet(
+            out_part
         )
-        survivors.select("content_hash").write.mode("overwrite").parquet(
+        sess.read.schema("doc_id long, content_hash string").parquet(
+            out_part
+        ).select("content_hash").write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch={batch_id}")
         )
         tmp = f"{marker}.tmp"
@@ -381,21 +405,16 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             record_batch_metrics,
         )
 
-        # stop the clock BEFORE the count job: n_out counts checkpointed
-        # blocks (cheap, but any cost would inflate the reported batch
-        # wall time — ADVICE r7)
+        # clock stops before the (driver-side, footer-read) count so its
+        # cost never inflates the reported batch wall time (ADVICE r7)
         _sec = round(_time.perf_counter() - _t0, 3)
         record_batch_metrics(
             sink="incremental_dedup",
             batch_id=batch_id,
-            n_out=survivors.count(),
+            n_out=_footer_rows(out_part),
             sec=_sec,
             pass_token=_pass,
         )
-        # retire this batch's checkpoint blocks: on a long-running stream
-        # they otherwise accumulate one set per micro-batch until the JVM
-        # happens to GC the RDD handles (round 12; the gr1-3 lesson)
-        retire_local_checkpoint(survivors)
 
     return process
 
@@ -527,17 +546,19 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             # substring sink); replay-safe for the same pre-batch-filter
             # reason
             new_keys = new_keys.join(seen, ["band", "band_key"], "left_anti")
-        out = survivors.localCheckpoint(eager=True)
-        keys = new_keys.localCheckpoint(eager=True)
+        # survivors and new_keys each have exactly ONE consumer (their
+        # write) now that the metrics counts come from the written parquet
+        # footers — write the live plans directly instead of paying a
+        # localCheckpoint materialization job per frame per micro-batch
+        # (round-13 optimization; bk stays pinned through both writes, its
+        # five consumers are why IT is checkpointed)
+        out_part = os.path.join(out_dir, f"batch={batch_id}")
+        state_part = os.path.join(state_dir, f"batch={batch_id}")
+        survivors.write.mode("overwrite").parquet(out_part)
+        new_keys.write.mode("overwrite").parquet(state_part)
         from nyc_open_data_pipeline_spark.session import retire_local_checkpoint
 
-        retire_local_checkpoint(bk)  # out/keys pinned: bk's blocks retire now
-        out.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        keys.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch={batch_id}")
-        )
+        retire_local_checkpoint(bk)
         tmp = f"{marker}.tmp"
         with open(tmp, "w") as f:
             f.write(str(batch_id))
@@ -546,19 +567,17 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
             record_batch_metrics,
         )
 
-        # clock stops before the (cheap, checkpointed) count jobs so their
+        # clock stops before the (driver-side, footer-read) counts so their
         # cost never inflates the reported batch wall time (ADVICE r7)
         _sec = round(_time.perf_counter() - _t0, 3)
         record_batch_metrics(
             sink="incremental_neardup",
             batch_id=batch_id,
-            n_out=out.count(),
-            n_new_keys=keys.count(),
+            n_out=_footer_rows(out_part),
+            n_new_keys=_footer_rows(state_part),
             sec=_sec,
             pass_token=_pass,
         )
-        retire_local_checkpoint(out)  # see incremental_dedup_sink note
-        retire_local_checkpoint(keys)
 
     return process
 
@@ -696,10 +715,12 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
             )
         except Exception:
             pass
-        spans = spans.localCheckpoint(eager=True)
-        spans.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
+        # spans' only consumer is its write now that the metrics count
+        # comes from the written footers — write the live plan directly
+        # (round-13 optimization: one materialization job less per batch;
+        # grams stays checkpointed for its two consumers)
+        out_part = os.path.join(out_dir, f"batch={batch_id}")
+        spans.write.mode("overwrite").parquet(out_part)
         new_grams.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch={batch_id}")
         )
@@ -707,17 +728,16 @@ def incremental_substring_sink(spark: SparkSession, out_dir: str, state_dir: str
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, marker)
-        # clock stops before the (cheap, checkpointed) count job
+        # clock stops before the (driver-side, footer-read) count
         _sec = round(_time.perf_counter() - _t0, 3)
         record_batch_metrics(
             sink="incremental_substring",
             batch_id=batch_id,
-            n_out=spans.count(),
+            n_out=_footer_rows(out_part),
             sec=_sec,
             pass_token=_pass,
         )
         retire_local_checkpoint(grams)  # see incremental_dedup_sink note
-        retire_local_checkpoint(spans)
 
     return process
 
