@@ -2130,6 +2130,12 @@ def cleanroom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", "text")
+        # Checkpointed (round-13): pass2 feeds the survivor set (both
+        # endpoints of the edge semi-joins) and the anti-join's left
+        # side — same branch-replication class as c5's p2; one
+        # materialization replaces three executions of the quality +
+        # md5 + dedup-window chain.
+        .localCheckpoint(eager=True)
     )
     surv = pass2.select("doc_id")
     edges = _shared_scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
@@ -2293,6 +2299,14 @@ def c5_cleanroom_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", "cleaned")
+        # Checkpointed (round-13 optimization, v10's cellv discipline):
+        # p2 feeds the survivor semi-join (twice, via the candidate
+        # self-join), the near-dup drop's left side, and the final stats
+        # pass — without materialization each branch re-executes the
+        # whole boilerplate-strip + gate + dedup-window chain. Measured
+        # at sf0.1: 6.35 -> 5.04 s min-of-3 interleaved, identical
+        # collected output.
+        .localCheckpoint(eager=True)
     )
     # Near-dup candidates are generated over the exact-dedup SURVIVORS
     # only (round 8): on a copy-heavy crawl the full-corpus candidate
@@ -4259,10 +4273,14 @@ def ctm2_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_approx_pairs(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """(query_id, neighbor_id) of the IVF top-5 at a given probe width —
-    s4's plan with nprobe as a parameter (s4 itself is the nprobe=2 point
-    with scores; the sweep needs only the id pairs)."""
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(cell, qscored): the nprobe-INDEPENDENT halves of the IVF probe —
+    the cell assignment of the whole corpus and the query-to-centroid
+    scores. Split out of ``_ivf_approx_pairs`` (round-13 optimization) so
+    s9's sweep can materialize the assignment ONCE and re-probe it per
+    width instead of rebuilding corpus x centroids scoring + the
+    assignment window for every sweep point — materializing the
+    assignment is exactly what building a real IVF index does."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -4294,6 +4312,14 @@ def _ivf_approx_pairs(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFram
             pair_cs.alias("cs"),
         )
     )
+    return cell, qscored
+
+
+def _ivf_probe_pairs(cell: DataFrame, qscored: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, neighbor_id) of the IVF top-5 at a given probe width
+    over a prebuilt (cell, qscored) pair — s4's plan with nprobe as a
+    parameter (s4 itself is the nprobe=2 point with scores; the sweep
+    needs only the id pairs)."""
     wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
     pr = (
         qscored.withColumn("rn", F.row_number().over(wq))
@@ -4388,14 +4414,23 @@ def s9_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 queries x 5 neighbors); plans are the s4 shape re-parameterized, so
     the sweep inherits its scale properties (broadcast centroids, cell-key
     shuffles only)."""
+    # exact truth (15 rows, a Python GEMM stage) and the nprobe-independent
+    # IVF halves are each computed ONCE and checkpointed — the sweep's
+    # three branches otherwise replicate the s1 mapInPandas scan and the
+    # full corpus-x-centroids assignment window per probe width
+    # (round-13 optimization; measured below in OPTIMIZATION_r13.md)
     exact = (
         s1_cosine_topk(spark, sf_dir)
         .filter(F.col("query_id") < 3)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
+    cell, qscored = _ivf_index(spark, sf_dir)
+    cell = cell.localCheckpoint(eager=True)
+    qscored = qscored.localCheckpoint(eager=True)
     out = None
     for np_ in (1, 2, 4):
-        approx = _ivf_approx_pairs(spark, sf_dir, np_)
+        approx = _ivf_probe_pairs(cell, qscored, np_)
         rec = approx.join(exact, ["query_id", "neighbor_id"]).agg(
             F.lit(np_).cast("long").alias("nprobe"),
             F.count("*").cast("long").alias("total_overlap"),
@@ -5881,8 +5916,16 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc) pair — shared by bm1 (lexical top-k) and bm2 (RRF fusion). The
     query-term table broadcasts onto the postings so only matching terms
     survive; per-term scores sum through DECIMAL."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", TXT.tokens(F.col("text")).alias("toks")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", TXT.tokens(F.col("text")).alias("toks"))
+        # Checkpointed (round-13): the token frame feeds the postings
+        # explode AND the doc-length side, and the tf chain above them is
+        # consumed by both the df aggregation and the scoring join — four
+        # tokenize passes per invocation without materialization.
+        # Doc-scale storage (one toks array per doc), measured 2.22 ->
+        # 1.95 s min-of-3 interleaved at sf0.1, identical output.
+        .localCheckpoint(eager=True)
     )
     ex = d.select("doc_id", F.explode("toks").alias("term"))
     tf = ex.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
