@@ -192,11 +192,52 @@ def _bucketed_is_normalized(spark: SparkSession, table: str) -> bool:
     return ok
 
 
+# Schema-probe cache: (applicationId, sf_dir, name) -> (corpus mtime,
+# Spark read schema, nanos-timestamp column list). The expensive parts of
+# load_table are per-call driver work — spark.read.parquet's footer schema
+# inference and the pyarrow nanos-column probe — measured 94-152 ms per
+# call (round-13 optimization), paid by every query invocation per table;
+# the full 211-query two-pass bench rebuilds tables 600+ times. Caching
+# the probed SCHEMA (not the DataFrame: a shared DataFrame instance makes
+# two-role self-joins ambiguous — q8's nation-x-nation join failed
+# analysis under a frame cache) lets every call build a fresh relation
+# with spark.read.schema(...), skipping the inference. Same (appid,
+# mtime)-fingerprint staleness discipline as _HV_CACHE / the autosizer /
+# stream fixtures. Bucketed-layout mode bypasses the cache (its table
+# choice depends on session-catalog state, not just the dir).
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from nyc_open_data_pipeline_spark.session import ensure_semantic_confs
 
     ensure_semantic_confs(spark)
     autosize_shuffle_partitions(spark, sf_dir)
+    return _build_table(spark, sf_dir, name)
+
+
+def _probe_schema(spark: SparkSession, sf_dir: str, name: str, path: str):
+    """(read schema, nanos col list) for a table path, cached by corpus
+    mtime — see _SCHEMA_CACHE."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    mt = _dir_mtime_ns(sf_dir)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None and hit[0] == mt:
+        return hit[1], hit[2], hit[3]
+    schema = spark.read.parquet(path).schema
+    nanos = _nanos_timestamp_cols(path)
+    # single-file row-group count for the _EXPRESSION_HEAVY fan-out probe
+    # (footer read, cached for the same reason as the schema)
+    groups = None
+    if os.path.isfile(path):
+        import pyarrow.parquet as pq
+
+        groups = pq.ParquetFile(path).metadata.num_row_groups
+    _SCHEMA_CACHE[key] = (mt, schema, nanos, groups)
+    return schema, nanos, groups
+
+
+def _build_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Bucketed-layout opt-in (operators/bucketing): when the session catalog
     # holds a pre-bucketed copy (written once via write_bucketed, paying the
     # join shuffle at write time) and the operator asks for it, serve that —
@@ -215,7 +256,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.catalog.tableExists(bt) and _bucketed_is_normalized(spark, bt):
             return spark.table(bt)
     path = table_path(sf_dir, name)
-    df = spark.read.parquet(path)
+    schema, nanos_cols, row_groups = _probe_schema(spark, sf_dir, name, path)
+    # explicit schema: skips per-call footer inference (the probe above is
+    # cached); the relation itself is freshly built per call so two roles
+    # of one table in a self-join keep distinct attribute ids
+    df = spark.read.schema(schema).parquet(path)
     dtypes = dict(df.dtypes)
     # Normalize any TIMESTAMP_NTZ column (no-UTC-flag parquet read before the
     # inferTimestampNTZ conf landed, or a cached plan) to TIMESTAMP. Under the
@@ -224,7 +269,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c, dt in dtypes.items():
         if dt == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    for c in _nanos_timestamp_cols(path):
+    for c in nanos_cols:
         # Convert only when Spark actually surfaced the column as a long:
         # nanosAsLong applies to TIMESTAMP(NANOS) annotations, but pyarrow
         # also reports ns for INT96 timestamps (Spark's own writer default),
@@ -233,13 +278,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtypes.get(c) == "bigint":
             # integer div: double division would lose precision above 2^53 ns
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    if name in _EXPRESSION_HEAVY and os.path.isfile(path):
+    if name in _EXPRESSION_HEAVY and row_groups is not None:
         # footer-only row-group probe (cheaper than df.rdd.getNumPartitions(),
-        # which pays a py4j DataFrame->RDD conversion per call)
-        import pyarrow.parquet as pq
-
+        # which pays a py4j DataFrame->RDD conversion per call); the count
+        # itself rides the cached schema probe
         target = spark.sparkContext.defaultParallelism
-        if pq.ParquetFile(path).metadata.num_row_groups < target:
+        if row_groups < target:
             df = df.repartition(target)
     return df
 
