@@ -2184,3 +2184,37 @@ def test_retire_local_checkpoint_actually_frees_blocks(spark):
     assert cached_rdd_ids() >= mine
     retire_local_checkpoint(df)
     assert not cached_rdd_ids() & mine, "checkpoint blocks were not freed"
+
+
+def test_lit_array_helpers_match_per_component_literals(spark):
+    """Round-13: plane/mask array literals build as one parsed expr —
+    values and types must be bit-identical to the per-component F.lit
+    construction, including round-trip-critical doubles; non-finite
+    values take the fallback path and still land exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nyc_open_data_pipeline_spark.functions.vectors import (
+        lit_double_array,
+        lit_long_array,
+    )
+
+    doubles = [1.0, -1.0, 0.1, -0.3, 1e-300, 3.141592653589793, 2**53 + 1.0]
+    longs = [1 << i for i in range(63)] + [-5, 0]
+    df = spark.range(1)
+    old_d = F.array(*[F.lit(float(x)) for x in doubles])
+    old_l = F.array(*[F.lit(int(x)).cast("long") for x in longs])
+    row = df.select(
+        lit_double_array(doubles).alias("nd"),
+        old_d.alias("od"),
+        lit_long_array(longs).alias("nl"),
+        old_l.alias("ol"),
+    ).collect()[0]
+    assert [x.hex() for x in row["nd"]] == [x.hex() for x in row["od"]]
+    assert row["nl"] == row["ol"]
+    types = dict(df.select(lit_double_array(doubles).alias("nd"),
+                           lit_long_array(longs).alias("nl")).dtypes)
+    assert types == {"nd": "array<double>", "nl": "array<bigint>"}
+    nan_row = df.select(lit_double_array([float("nan"), 1.0]).alias("v")).collect()[0]
+    assert math.isnan(nan_row["v"][0]) and nan_row["v"][1] == 1.0

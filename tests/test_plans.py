@@ -1212,3 +1212,16 @@ def test_smp4_is_takeordered_fixed_passes(spark, sf_dir):
             by_rnd.setdefault(r["rnd"], []).append(r["radius"])
     maxes = [max(by_rnd[r]) for r in sorted(by_rnd)]
     assert maxes == sorted(maxes, reverse=True)
+
+
+def test_load_table_two_roles_self_join_resolves(spark, sf_dir):
+    """Round-13 regression pin for the schema-probe cache: two load_table
+    calls for the same table must return relations whose attribute ids
+    are distinct, so a two-role self-join (q8's nation x nation shape)
+    still analyzes. A DataFrame-instance cache broke exactly this."""
+    from nyc_open_data_pipeline_spark.catalog import load_table
+
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation")
+    joined = n1.join(n2, n1["n_regionkey"] == n2["n_nationkey"])
+    assert joined.count() == n1.count()  # every region key is a nation key

@@ -1062,3 +1062,52 @@ def test_first_batch_crash_with_no_marker_still_replays(spark, tmp_path):
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 2}
     assert len(spark.read.parquet(out).collect()) == 2  # no double rows
+
+
+def test_sink_metrics_counts_match_written_rows(spark, tmp_path):
+    """Round-13 sink internals change: per-batch metrics counts now come
+    from the written parquet FOOTERS (no count job, no output checkpoint)
+    — pin that the reported n_out/n_new_keys equal the rows actually
+    written per batch partition, for both the exact-hash and the
+    near-dup sinks."""
+    from nyc_open_data_pipeline_spark.streaming.dedup import (
+        run_incremental_dedup,
+        run_incremental_neardup,
+    )
+    from nyc_open_data_pipeline_spark.streaming.replay import write_stream_chunks
+    from nyc_open_data_pipeline_spark.streaming.windows import drain_batch_metrics
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha one two three four"), (2, "alpha one two three four"),
+         (3, "beta five six seven eight")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "beta five six seven eight"), (11, "gamma nine ten eleven twelve")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "in")
+    write_stream_chunks([b0, b1], d)
+    drain_batch_metrics()
+    for runner, out_tag in (
+        (run_incremental_dedup, "dedup"),
+        (run_incremental_neardup, "neardup"),
+    ):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = str(tmp_path / f"out_{out_tag}")
+        state = str(tmp_path / f"state_{out_tag}")
+        runner(spark, stream, out, state)
+        by_batch = {}
+        for m in drain_batch_metrics():
+            by_batch[m["batch_id"]] = m
+        assert set(by_batch) == {0, 1}
+        for bid, m in by_batch.items():
+            written = spark.read.parquet(f"{out}/batch={bid}").count()
+            assert m["n_out"] == written, (out_tag, bid, m, written)
+            if "n_new_keys" in m:
+                keys = spark.read.parquet(f"{state}/batch={bid}").count()
+                assert m["n_new_keys"] == keys, (out_tag, bid, m, keys)
