@@ -299,6 +299,13 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Discard warm-up-corpus cache builds: cache_build_sec must report the
+    # cost of building the AT-SF shared intermediates (the ones min-of-2
+    # amortizes away — VERDICT r13 #2), not the sf0.001 warm-up copies.
+    from nyc_open_data_pipeline_spark.plans.common import drain_cache_build_secs
+
+    drain_cache_build_secs()
+
     # FULL timed passes, min per query: the host shows bursty external
     # load (observed 3-4x inflation for ~30s windows); separating the
     # repetitions of a query by a whole pass means a burst hits different
@@ -474,7 +481,28 @@ def main() -> None:
         out["stream_batches"] = stream_batches
     if errors:
         out["errors"] = errors
+
+    # Session-cache build accounting (round-14, VERDICT r13 #2): the shared
+    # intermediates (_hv_get frames, stream fixtures) are built in pass 1 and
+    # warm in pass 2, so min-of-N reports the warm number — this line makes
+    # the amortized build cost visible instead of landing nowhere. It is NOT
+    # part of `value` (the cross-round total keeps its 13-round meaning);
+    # builds run inside pass-1 query timings exactly as before.
+    cache_builds = drain_cache_build_secs()
+    cache_build_total = round(sum(cache_builds.values()), 3)
+    out["cache_build_sec"] = cache_build_total
+    out["cache_builds"] = {k: round(v, 3) for k, v in sorted(cache_builds.items())}
     print(json.dumps(out))
+    print(json.dumps(
+        {
+            "metric": "cache_build_sec",
+            "value": cache_build_total,
+            "unit": "sec",
+            "builds": out["cache_builds"],
+            "sf": float(sf),
+        },
+        separators=(",", ":"),
+    ))
     # Second, compact line with NO per-query dict: the driver keeps only the
     # tail of stdout, and in round 3 the headline subtotals (printed before the
     # 90+-entry queries dict) were truncated away. This trailing line is small
@@ -493,20 +521,27 @@ def main() -> None:
         "n_errors": len(errors),
         "sf": float(sf),
     }
+    summary["cache_build_sec"] = cache_build_total
+    # Per-query SECONDS must survive the driver's tail-of-stdout capture
+    # (round-13 verdict #1: they lived only on the big main line, got
+    # truncated, and PERF's per-query join came up empty two rounds
+    # running). SHORT keys (the unique family+number prefix, e.g. "d26")
+    # keep the summary line small; the driver joins rounds and the 8-core
+    # scaling run on these.
+    short_secs: dict[str, float] = {}
+    short_ratios: dict[str, float] = {}
+    for k, v in ok.items():
+        sk = k.split("_", 1)[0]
+        if sk in short_secs:
+            sk = k  # prefix collision: fall back to the full name
+        short_secs[sk] = round(v, 2)
+        if y:
+            short_ratios[sk] = round(v / y, 2)
+    summary["query_secs"] = short_secs
     if yardstick:
         summary["yardstick"] = yardstick
-        # Per-query box-calibrated ratios must survive the driver's
-        # tail-of-stdout capture (round-12 verdict #3: they lived only on
-        # the big main line and were truncated away). SHORT keys (the
-        # unique family+number prefix, e.g. "d26") keep the whole summary
-        # line under the observed ~4.6 KB retained tail.
-        shorts: dict[str, float] = {}
-        for k, v in ok.items():
-            sk = k.split("_", 1)[0]
-            if sk in shorts:
-                sk = k  # prefix collision: fall back to the full name
-            shorts[sk] = round(v / y, 2)
-        summary["query_ratios"] = shorts
+        # Box-calibrated ratios, same short keys (round-12 verdict #3).
+        summary["query_ratios"] = short_ratios
     print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 

@@ -42,6 +42,28 @@ def sql_davg(expr: str, alias: str, prec: int = 28, scale: int = 4) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cache-build accounting (round-14, VERDICT r13 what's-wrong #2): the bench
+# warms at sf0.001 then takes min-of-2 passes at sf0.1, so the cost of
+# building session-scoped shared intermediates (_hv_get frames, stream-input
+# fixtures) is paid in pass 1 and invisible in the min — honest amortization
+# requires REPORTING it. Builders call record_cache_build; bench.py drains
+# after the warm-up (discarding sf0.001 builds) and again at the end, and
+# emits one {"metric": "cache_build_sec", ...} line.
+# ---------------------------------------------------------------------------
+CACHE_BUILD_SECS: dict[str, float] = {}
+
+
+def record_cache_build(label: str, sec: float) -> None:
+    CACHE_BUILD_SECS[label] = round(CACHE_BUILD_SECS.get(label, 0.0) + sec, 3)
+
+
+def drain_cache_build_secs() -> dict[str, float]:
+    out = dict(CACHE_BUILD_SECS)
+    CACHE_BUILD_SECS.clear()
+    return out
+
+
 def sql_floordiv(expr: str, w: int) -> str:
     """Integer FLOORING division as a Spark SQL fragment. Spark's ``div``
     truncates toward zero while DuckDB's ``//`` floors, so bare ``div``

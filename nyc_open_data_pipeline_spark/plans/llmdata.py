@@ -58,6 +58,7 @@ EMB_BUCKET_CAP = 2000
 # query invocations in one session reuse the same cache entry instead of
 # stacking a new persist per call (ADVICE r1: unbounded CacheManager growth).
 _HV_CACHE: dict = {}
+_HV_BUILD_DEPTH = 0  # nested-build guard for cache-build accounting
 
 
 def _hv_get(spark: SparkSession, sf_dir: str, label: str, build, *extra):
@@ -67,6 +68,10 @@ def _hv_get(spark: SparkSession, sf_dir: str, label: str, build, *extra):
     instead of serving stale derived data or leaking one persisted copy per
     regeneration. One entry per (app, sf_dir, label, *extra) at any time."""
     from nyc_open_data_pipeline_spark.catalog import _dir_mtime_ns
+
+    import time as _time
+
+    from nyc_open_data_pipeline_spark.plans.common import record_cache_build
 
     key = (spark.sparkContext.applicationId, sf_dir, label, *extra)
     mt = _dir_mtime_ns(sf_dir)
@@ -81,7 +86,31 @@ def _hv_get(spark: SparkSession, sf_dir: str, label: str, build, *extra):
                     v.unpersist()
                 except Exception:
                     pass
-    val = build()
+    # Time the build AND eagerly materialize any persisted result frame so
+    # the recorded seconds are the TRUE build cost (a lazy persist would
+    # otherwise materialize inside the first consumer's action and the
+    # build would be attributed nowhere — VERDICT r13 what's-wrong #2).
+    # Results are unchanged: the first consumer would have materialized the
+    # identical cached plan anyway. Builds can NEST (scored_pairs builds hv);
+    # only the outermost build records, so the reported total counts each
+    # second exactly once.
+    global _HV_BUILD_DEPTH
+    t0 = _time.perf_counter()
+    _HV_BUILD_DEPTH += 1
+    try:
+        val = build()
+        for v in (val if isinstance(val, tuple) else (val,)):
+            if isinstance(v, DataFrame):
+                try:
+                    lvl = v.storageLevel
+                    if lvl.useMemory or lvl.useDisk:
+                        v.count()
+                except Exception:
+                    pass
+    finally:
+        _HV_BUILD_DEPTH -= 1
+    if _HV_BUILD_DEPTH == 0:
+        record_cache_build(label, _time.perf_counter() - t0)
     _HV_CACHE[key] = (mt, val)
     return val
 

@@ -253,6 +253,15 @@ def cached_fixture(spark, sf_dir: str, tag: str, build) -> str:
         if not _FIXTURE_CACHE:
             atexit.register(_cleanup_fixtures)
         d = tempfile.mkdtemp(prefix=f"{tag}_")
+        # fixture builds run real write jobs: record their seconds so the
+        # bench's cache_build_sec line accounts for the amortized cost
+        # (same discipline as plans/llmdata._hv_get)
+        import time as _time
+
+        from nyc_open_data_pipeline_spark.plans.common import record_cache_build
+
+        t0 = _time.perf_counter()
         build(d)
+        record_cache_build(f"fixture:{tag}", _time.perf_counter() - t0)
         _FIXTURE_CACHE[key] = (mt, d)
     return d
