@@ -218,7 +218,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _probe_schema(spark: SparkSession, sf_dir: str, name: str, path: str):
     """(read schema, nanos col list) for a table path, cached by corpus
-    mtime — see _SCHEMA_CACHE."""
+    mtime — see _SCHEMA_CACHE.
+
+    Cache-key scope note (ADVICE r13): the probed schema depends on
+    session-level confs (nanosAsLong, TIMESTAMP_NTZ inference), which are
+    NOT in the key — safe because every probe runs after load_table's
+    ensure_semantic_confs(spark) pinned those confs on the probing
+    session, so any session in the application probes under identical
+    settings. A caller bypassing load_table with divergent confs would
+    need the conf values folded into this key."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     mt = _dir_mtime_ns(sf_dir)
     hit = _SCHEMA_CACHE.get(key)

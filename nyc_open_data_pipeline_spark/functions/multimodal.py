@@ -304,6 +304,45 @@ def attach_wav_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def wav_meta_from_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """FUSED attach+decode audio path (round-14 optimization, guide §4/§8):
+    one mapInPandas stage builds each document's complete WAV container
+    (attach_wav_payload's exact per-row construction) and immediately
+    chunk-walk decodes it (decode_wav_header, the real parser) — the
+    payload bytes never cross the JVM boundary at all. The chained
+    attach -> decode form costs four Python boundary crossings of the
+    payload column and TWO Python workers per task (64 on local[32] —
+    measured 6-13 s of mass worker respawn when the bench context had
+    emptied the reuse pool); the fused form is one crossing of the narrow
+    input columns and one worker per task. Same codec code on both sides,
+    so the real-codec coverage is unchanged; mm4's oracle hash-gates the
+    equivalence."""
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = str(text).encode("utf-8")
+                mid = int(mid)
+                channels, rate = 1 + mid % 2, 8000 + (len(data) % 5) * 4000
+                payload = make_wav(data, channels, rate)
+                ch, sr, bits, n_frames = decode_wav_header(payload)
+                rows.append((mid, ch, sr, bits, n_frames, n_frames * 1000 // sr))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "channels", "sample_rate",
+                    "bits_per_sample", "n_frames", "duration_ms",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode_decode, schema=AUDIO_SCHEMA
+    )
+
+
 def decode_audio_meta(media: DataFrame) -> DataFrame:
     """Audio decode stage: (media_id, payload) -> typed audio metadata via
     mapInPandas. Unlike the image path this branch has NO fake mode — the
@@ -362,6 +401,113 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Vectorization crossover (round-14 optimization, guide §4.2): the per-byte
+# Python filter/unfilter loops are the textbook UDF-boundary violation at
+# real image sizes (a 1920x1080 frame is ~2M loop iterations per pass), but
+# numpy carries ~100 us of per-call overhead that LOSES on the tiny fixture
+# images (<=24x16 px: measured 0.53 s vs 0.28 s over 5000 images). Dispatch
+# on pixel count: loops below the threshold, numpy at or above it — measured
+# 14x faster at 1920x1080 (0.564 -> 0.039 s filter pass) and bit-identical
+# on both paths (differential property tests pin loops == numpy == spec
+# vectors). Tests override this to force each path.
+_PNG_VEC_MIN_PX = 2048
+
+
+def _filter_scanlines_np(px, fts) -> bytes:
+    """Vectorized PNG encoder filter pass over an (h, w) uint8 pixel array
+    with per-row filter types ``fts`` — filters against RAW neighbors as
+    the spec requires of encoders, exactly like the byte-loop path.
+    Returns the filtered stream (filter byte + w filtered bytes per row)."""
+    import numpy as np
+
+    h, w = px.shape
+    p16 = px.astype(np.int16)
+    left = np.zeros_like(p16)
+    left[:, 1:] = p16[:, :-1]
+    prior = np.zeros_like(p16)
+    prior[1:, :] = p16[:-1, :]
+    out = np.empty((h, w + 1), dtype=np.uint8)
+    out[:, 0] = fts
+    res = out[:, 1:]
+    for t in (0, 1, 2, 3, 4):
+        rows = np.flatnonzero(fts == t)
+        if rows.size == 0:
+            continue
+        P, L, U = p16[rows], left[rows], prior[rows]
+        if t == 0:
+            v = P
+        elif t == 1:  # Sub
+            v = P - L
+        elif t == 2:  # Up
+            v = P - U
+        elif t == 3:  # Average (raw neighbors: no recurrence on encode)
+            v = P - ((L + U) >> 1)
+        else:  # Paeth
+            ul = np.zeros_like(p16)
+            ul[1:, 1:] = p16[:-1, :-1]
+            UL = ul[rows]
+            p = L + U - UL
+            pa, pb, pc = np.abs(p - L), np.abs(p - U), np.abs(p - UL)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), L, np.where(pb <= pc, U, UL)
+            )
+            v = P - pred
+        res[rows] = (v & 0xFF).astype(np.uint8)
+    return out.tobytes()
+
+
+def _unfilter_scanlines_np(raw: bytes, width: int, height: int) -> bytes:
+    """Vectorized PNG decoder unfilter pass: per-scanline numpy over the
+    inflated (filter byte + w bytes) stream. Rows are sequential (each
+    unfilters against the RECONSTRUCTED prior row per the spec), but
+    within a row None/Up are pure vector ops and Sub is an exact mod-256
+    prefix sum (uint64 cumsum & 0xFF). Average and Paeth carry a true
+    left-neighbor recurrence through a floor-divide / nearest-predictor —
+    no closed form — so those rows keep a scalar loop, exactly as the
+    reference C decoders do; with the corpus's 5-filter cycling that
+    still vectorizes 3/5 of all scanlines."""
+    import numpy as np
+
+    stride = 1 + width
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    fts = a[:, 0]
+    lines16 = a[:, 1:].astype(np.int16)
+    out = np.empty((height, width), dtype=np.uint8)
+    prior = np.zeros(width, dtype=np.int16)
+    for r in range(height):
+        ft = int(fts[r])
+        line = lines16[r]
+        if ft == 0:
+            rec = (line & 0xFF).astype(np.uint8)
+        elif ft == 1:  # Sub: exact mod-256 prefix sum
+            rec = (np.cumsum(line, dtype=np.uint64) & 0xFF).astype(np.uint8)
+        elif ft == 2:  # Up
+            rec = ((line + prior) & 0xFF).astype(np.uint8)
+        elif ft == 3:  # Average: recurrence on reconstructed left
+            buf = bytearray(width)
+            acc = 0
+            pr = prior
+            for i in range(width):
+                acc = (int(line[i]) + (acc + int(pr[i])) // 2) & 0xFF
+                buf[i] = acc
+            rec = np.frombuffer(bytes(buf), dtype=np.uint8)
+        elif ft == 4:  # Paeth: recurrence on reconstructed left
+            buf = bytearray(width)
+            acc = 0
+            pr = prior
+            for i in range(width):
+                up = int(pr[i])
+                ul = int(pr[i - 1]) if i else 0
+                acc = (int(line[i]) + _paeth(acc, up, ul)) & 0xFF
+                buf[i] = acc
+            rec = np.frombuffer(bytes(buf), dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} on row {r}")
+        out[r] = rec
+        prior = rec.astype(np.int16)
+    return out.tobytes()
+
+
 def make_png_gray(rows: list[bytes], filter_for_row=None) -> bytes:
     """A COMPLETE valid 8-bit grayscale PNG around raw scanlines: IHDR +
     IDAT (zlib-deflated filtered scanlines, split into two IDAT chunks
@@ -377,31 +523,42 @@ def make_png_gray(rows: list[bytes], filter_for_row=None) -> bytes:
     if any(len(r) != width for r in rows):
         raise ValueError("ragged scanlines")
     pick = filter_for_row or (lambda r: 0)
-    raw = bytearray()
-    prior = bytes(width)
-    for r, line in enumerate(rows):
-        ft = pick(r)
-        raw.append(ft)
-        if ft == 0:
-            raw += line
-        elif ft == 1:  # Sub
-            raw += bytes((line[i] - (line[i - 1] if i else 0)) & 0xFF for i in range(width))
-        elif ft == 2:  # Up
-            raw += bytes((line[i] - prior[i]) & 0xFF for i in range(width))
-        elif ft == 3:  # Average
-            raw += bytes(
-                (line[i] - ((line[i - 1] if i else 0) + prior[i]) // 2) & 0xFF
-                for i in range(width)
-            )
-        elif ft == 4:  # Paeth
-            raw += bytes(
-                (line[i] - _paeth(line[i - 1] if i else 0, prior[i], prior[i - 1] if i else 0))
-                & 0xFF
-                for i in range(width)
-            )
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        prior = line
+    fts = [pick(r) for r in range(height)]
+    if any(ft < 0 or ft > 4 for ft in fts):
+        bad = next(ft for ft in fts if ft < 0 or ft > 4)
+        raise ValueError(f"unknown PNG filter type {bad}")
+    if width * height >= _PNG_VEC_MIN_PX:
+        # vectorized filter pass (bit-identical; see _PNG_VEC_MIN_PX)
+        import numpy as np
+
+        px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width)
+        raw = bytearray(
+            _filter_scanlines_np(px, np.asarray(fts, dtype=np.uint8))
+        )
+    else:
+        raw = bytearray()
+        prior = bytes(width)
+        for r, line in enumerate(rows):
+            ft = fts[r]
+            raw.append(ft)
+            if ft == 0:
+                raw += line
+            elif ft == 1:  # Sub
+                raw += bytes((line[i] - (line[i - 1] if i else 0)) & 0xFF for i in range(width))
+            elif ft == 2:  # Up
+                raw += bytes((line[i] - prior[i]) & 0xFF for i in range(width))
+            elif ft == 3:  # Average
+                raw += bytes(
+                    (line[i] - ((line[i - 1] if i else 0) + prior[i]) // 2) & 0xFF
+                    for i in range(width)
+                )
+            elif ft == 4:  # Paeth
+                raw += bytes(
+                    (line[i] - _paeth(line[i - 1] if i else 0, prior[i], prior[i - 1] if i else 0))
+                    & 0xFF
+                    for i in range(width)
+                )
+            prior = line
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -470,6 +627,9 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(
             f"PNG pixel payload is {len(raw)} bytes, expected {stride * height}"
         )
+    if width * height >= _PNG_VEC_MIN_PX:
+        # vectorized unfilter pass (bit-identical; see _PNG_VEC_MIN_PX)
+        return width, height, _unfilter_scanlines_np(raw, width, height)
     out = bytearray()
     prior = bytes(width)
     for r in range(height):
@@ -530,18 +690,71 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id", chars_col: str = "
     )
 
 
+def png_pixel_stats_from_docs(
+    df: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars"
+) -> DataFrame:
+    """FUSED attach+decode pixel path (round-14, guide §4/§8 — see
+    wav_meta_from_docs): one mapInPandas stage runs attach_png_payload's
+    exact per-row encode (deterministic pixels -> real filter+deflate
+    PNG) and png_pixel_stats' exact decode (CRC walk, inflate, unfilter,
+    integer stats), so the PNG bytes never cross the JVM boundary. Both
+    real codec passes still execute per row; mm5's closed-form oracle
+    hash-gates the whole cycle."""
+    import numpy as np
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, nch in zip(pdf[id_col], pdf[chars_col]):
+                mid, nch = int(mid), int(nch)
+                w, h = 8 + mid % 17, 4 + nch % 13
+                seed = (mid * 131 + nch) % 256
+                px = (
+                    seed + 31 * np.arange(h)[:, None] + 7 * np.arange(w)[None, :]
+                ) % 256
+                lines = [bytes(row) for row in px.astype(np.uint8)]
+                payload = make_png_gray(
+                    lines, filter_for_row=lambda r: (mid + r) % 5
+                )
+                dw, dh, dpx = decode_png_pixels(payload)
+                if len(dpx) >= _PNG_VEC_MIN_PX:
+                    a = np.frombuffer(dpx, dtype=np.uint8)
+                    stats = (int(a.sum(dtype=np.uint64)), int(a.min()), int(a.max()))
+                else:
+                    stats = (sum(dpx), min(dpx), max(dpx))
+                rows.append((mid, dw, dh, dw * dh, *stats))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_px",
+                    "pixel_sum", "min_px", "max_px",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(chars_col)).mapInPandas(
+        encode_decode, schema=PIXEL_SCHEMA
+    )
+
+
 def png_pixel_stats(media: DataFrame) -> DataFrame:
     """Pixel-level feature extraction: (media_id, payload) -> integer pixel
     statistics via the REAL decode path (no fake mode — gray8 PNG decode
     is dependency-free). Stats are exact integers so oracle comparison is
     hash-stable (no float repr drift)."""
 
+    import numpy as np
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, px = decode_png_pixels(bytes(payload))
-                rows.append((int(mid), w, h, w * h, sum(px), min(px), max(px)))
+                if len(px) >= _PNG_VEC_MIN_PX:
+                    a = np.frombuffer(px, dtype=np.uint8)
+                    stats = (int(a.sum(dtype=np.uint64)), int(a.min()), int(a.max()))
+                else:
+                    stats = (sum(px), min(px), max(px))
+                rows.append((int(mid), w, h, w * h, *stats))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -653,6 +866,38 @@ def attach_avi_payload(df: DataFrame, id_col: str = "doc_id", chars_col: str = "
 
     return df.select(F.col(id_col), F.col(chars_col)).mapInPandas(
         encode, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def avi_meta_from_docs(
+    df: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars"
+) -> DataFrame:
+    """FUSED attach+decode video path (round-14, guide §4/§8 — see
+    wav_meta_from_docs): one mapInPandas stage builds the spec-shaped
+    RIFF/AVI container (attach_avi_payload's exact construction) and
+    immediately RIFF-walk decodes it (decode_avi_header); the container
+    bytes never cross the JVM boundary. mm6's oracle hash-gates it."""
+
+    def encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, nch in zip(pdf[id_col], pdf[chars_col]):
+                mid, nch = int(mid), int(nch)
+                w, h = 160 + 16 * (mid % 40), 120 + 8 * (nch % 59)
+                frames = 1 + nch % 1000
+                usec = (20 + (mid % 5) * 10) * 1000
+                dw, dh, df_, du = decode_avi_header(make_avi(w, h, frames, usec))
+                rows.append((mid, dw, dh, df_, du, df_ * du // 1000))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "usec_per_frame", "duration_ms",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(chars_col)).mapInPandas(
+        encode_decode, schema=VIDEO_SCHEMA
     )
 
 

@@ -1955,17 +1955,20 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm4_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio metadata end-to-end: corpus text -> COMPLETE valid WAV
     containers (deterministic doc-derived channels/rate, 16-bit PCM) ->
-    real RIFF chunk-walk decode -> typed metadata. Both mapInPandas stages
-    are the production path; unlike mm2 there is NO stand-in decoder — the
-    WAV parse is dependency-free, so the real branch IS the only branch.
-    The oracle reproduces the doc-derived parameters arithmetically
-    (n_frames = floor(n_bytes / block_align), the truncation a PCM encoder
-    must apply)."""
+    real RIFF chunk-walk decode -> typed metadata. Encode and decode are
+    FUSED into one mapInPandas stage (round-14 optimization, guide §4/§8:
+    the chained attach -> decode plan shipped the payload bytes across
+    the JVM/Python boundary four times and needed two Python workers per
+    task; fused, the container never leaves the Python worker). Same
+    codec code on both sides — unlike mm2 there is NO stand-in decoder,
+    the WAV parse is dependency-free, so the real branch IS the only
+    branch. The oracle reproduces the doc-derived parameters
+    arithmetically (n_frames = floor(n_bytes / block_align), the
+    truncation a PCM encoder must apply)."""
     from nyc_open_data_pipeline_spark.functions import multimodal as MM
 
     d = t(spark, sf_dir, "documents")
-    media = MM.attach_wav_payload(d)
-    return MM.decode_audio_meta(media)
+    return MM.wav_meta_from_docs(d)
 
 
 @register(
@@ -2000,12 +2003,14 @@ def mm5_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec cycle fails the comparison. Encoder filters against raw
     neighbors, decoder against reconstructed ones (PNG spec), and the
     unfilter math is pinned separately by hand vectors, so mirrored
-    encode/decode bugs can't cancel."""
+    encode/decode bugs can't cancel. Encode and decode are FUSED into one
+    mapInPandas stage (round-14 optimization, guide §4/§8 — see mm4): the
+    PNG bytes never cross the JVM boundary, halving the Python workers
+    and boundary crossings per task; both real codec passes still run."""
     from nyc_open_data_pipeline_spark.functions import multimodal as MM
 
     d = t(spark, sf_dir, "documents")
-    media = MM.attach_png_payload(d)
-    return MM.png_pixel_stats(media)
+    return MM.png_pixel_stats_from_docs(d)
 
 
 @register(
@@ -2032,12 +2037,13 @@ def mm6_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration). Frame PIXEL decode needs codecs this container lacks by
     design; the metadata every AVI tool agrees on decodes for real, which
     is what pipeline-level video curation (resolution/duration/fps
-    filters) operates on. Like mm4 there is NO fake branch."""
+    filters) operates on. Like mm4 there is NO fake branch. Encode and
+    decode are FUSED into one mapInPandas stage (round-14 optimization,
+    guide §4/§8 — see mm4): the container never crosses the JVM boundary."""
     from nyc_open_data_pipeline_spark.functions import multimodal as MM
 
     d = t(spark, sf_dir, "documents")
-    media = MM.attach_avi_payload(d)
-    return MM.decode_video_meta(media)
+    return MM.avi_meta_from_docs(d)
 
 
 @register(

@@ -392,11 +392,13 @@ def incremental_dedup_sink(spark: SparkSession, out_dir: str, state_dir: str):
         batch.select("doc_id", "content_hash").write.mode("overwrite").parquet(
             out_part
         )
-        sess.read.schema("doc_id long, content_hash string").parquet(
-            out_part
-        ).select("content_hash").write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch={batch_id}")
-        )
+        # read back with HASH_SCHEMA only: parquet reads by name, so the
+        # unread doc_id column's type never matters (ADVICE r13 — the
+        # previous hardcoded 'doc_id long' was only safe because the
+        # select pruned it before the scan materialized it)
+        sess.read.schema(HASH_SCHEMA).parquet(out_part).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"batch={batch_id}"))
         tmp = f"{marker}.tmp"
         with open(tmp, "w") as f:
             f.write(str(batch_id))
@@ -555,6 +557,13 @@ def incremental_neardup_sink(spark: SparkSession, out_dir: str, state_dir: str):
         out_part = os.path.join(out_dir, f"batch={batch_id}")
         state_part = os.path.join(state_dir, f"batch={batch_id}")
         survivors.write.mode("overwrite").parquet(out_part)
+        # CORRECTNESS DEPENDENCY (ADVICE r13): new_keys is a LIVE plan
+        # whose `seen` scan reads state_dir while this write overwrites
+        # state_dir/batch=<batch_id>. That is safe ONLY because the scan
+        # carries `filter(batch < batch_id)`, which partition-prunes the
+        # very partition being rewritten out of the read. A refactor that
+        # drops or weakens that filter must re-insulate the read (e.g.
+        # checkpoint new_keys) before this write.
         new_keys.write.mode("overwrite").parquet(state_part)
         from nyc_open_data_pipeline_spark.session import retire_local_checkpoint
 

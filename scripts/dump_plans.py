@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for named queries to plans/r13/<query>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/<round>/<query>_<tag>.txt.
 
 Usage: PYTHONPATH=. python scripts/dump_plans.py <tag> <query> [<query> ...]
+Round dir defaults to r14; override with SPARK_GRAFT_PLANS_ROUND.
 
 The optimization-round evidence artifact: the judge cannot run Spark, so every
-plan claim in OPTIMIZATION_r13.md is backed by a committed before/after pair
+plan claim in OPTIMIZATION_rNN.md is backed by a committed before/after pair
 produced by this script (guide §7.2). Plans are captured at sf0.1 (the bench
 scale) with the same session the bench uses.
 """
@@ -19,7 +20,10 @@ def main() -> int:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from nyc_open_data_pipeline_spark.plans import all_queries

@@ -2218,3 +2218,39 @@ def test_lit_array_helpers_match_per_component_literals(spark):
     assert types == {"nd": "array<double>", "nl": "array<bigint>"}
     nan_row = df.select(lit_double_array([float("nan"), 1.0]).alias("v")).collect()[0]
     assert math.isnan(nan_row["v"][0]) and nan_row["v"][1] == 1.0
+
+
+def test_fused_media_meta_equals_chained(spark):
+    """Round-14 optimization: mm4/mm5/mm6 fuse their attach+decode
+    mapInPandas pair into one Python stage so the media payload never
+    crosses the JVM boundary. The fused operators must be row-identical
+    to the chained compositions they replace — same codec code runs on
+    both sides, pinned here over a corpus slice that exercises every
+    doc-derived parameter branch."""
+    from nyc_open_data_pipeline_spark.functions.multimodal import (
+        attach_avi_payload,
+        attach_png_payload,
+        attach_wav_payload,
+        avi_meta_from_docs,
+        decode_audio_meta,
+        decode_video_meta,
+        png_pixel_stats,
+        png_pixel_stats_from_docs,
+        wav_meta_from_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (3 + i % 11) + "tail", 17 + i * 13) for i in range(40)],
+        "doc_id long, text string, n_chars long",
+    )
+    for fused, chained in [
+        (wav_meta_from_docs(docs), decode_audio_meta(attach_wav_payload(docs))),
+        (
+            png_pixel_stats_from_docs(docs),
+            png_pixel_stats(attach_png_payload(docs)),
+        ),
+        (avi_meta_from_docs(docs), decode_video_meta(attach_avi_payload(docs))),
+    ]:
+        a = sorted(map(tuple, fused.collect()))
+        b = sorted(map(tuple, chained.collect()))
+        assert a == b and len(a) == 40

@@ -532,3 +532,70 @@ def test_wav_parser_tolerates_junk_chunks_property(body, channels, junk, positio
     spliced_body = b"".join(chunks)
     spliced = struct.pack("<4sI4s", b"RIFF", 4 + len(spliced_body), b"WAVE") + spliced_body
     assert decode_wav_header(spliced) == want
+
+
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=40),
+    data=st.data(),
+)
+@CODEC_SETTINGS
+def test_png_vectorized_paths_bit_identical(w, h, data):
+    """Round-14 optimization (guide §4.2): the PNG filter/unfilter passes
+    dispatch to numpy above _PNG_VEC_MIN_PX pixels. The two paths must be
+    BIT-identical — same filtered stream out of the encoder, same pixels
+    out of the decoder — for arbitrary content, dimensions and filter
+    schedules; the oracle hash-checks mm5 end to end, so any divergence
+    on the numpy path would otherwise only surface at real image sizes
+    the fixture corpus never reaches."""
+    import struct
+    import zlib
+
+    from nyc_open_data_pipeline_spark.functions import multimodal as MM
+
+    lines = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=w, max_size=w)))
+        for _ in range(h)
+    ]
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+
+    def idat_of(payload: bytes) -> bytes:
+        pos, out = 8, b""
+        while pos + 8 <= len(payload):
+            ln, ct = struct.unpack(">I4s", payload[pos : pos + 8])
+            if ct == b"IDAT":
+                out += payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        return zlib.decompress(out)
+
+    saved = MM._PNG_VEC_MIN_PX  # plain set/restore: hypothesis reuses the
+    try:                        # test function across examples, so a
+        MM._PNG_VEC_MIN_PX = 1  # function-scoped fixture would not reset
+        png_np = MM.make_png_gray(lines, filter_for_row=lambda r: filters[r])
+        dec_np = MM.decode_png_pixels(png_np)
+        MM._PNG_VEC_MIN_PX = 1 << 60  # force loops
+        png_loop = MM.make_png_gray(lines, filter_for_row=lambda r: filters[r])
+        dec_loop = MM.decode_png_pixels(png_loop)
+        assert idat_of(png_np) == idat_of(png_loop)  # identical filtered stream
+        assert dec_np == dec_loop == (w, h, b"".join(lines))
+        # cross-path: loop-encoded decodes through the numpy unfilter too
+        MM._PNG_VEC_MIN_PX = 1
+        assert MM.decode_png_pixels(png_loop) == dec_loop
+    finally:
+        MM._PNG_VEC_MIN_PX = saved
+
+
+def test_png_vectorized_above_threshold_roundtrip():
+    """A real-image-sized PNG (above the dispatch threshold on the default
+    config, so the numpy path runs without monkeypatching) roundtrips
+    exactly through encode -> decode with every filter type in play."""
+    import numpy as np
+
+    from nyc_open_data_pipeline_spark.functions import multimodal as MM
+
+    rng = np.random.default_rng(1234)
+    h, w = 96, 80  # 7680 px >= _PNG_VEC_MIN_PX
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    lines = [bytes(r) for r in px]
+    payload = MM.make_png_gray(lines, filter_for_row=lambda r: r % 5)
+    assert MM.decode_png_pixels(payload) == (w, h, b"".join(lines))
