@@ -7653,7 +7653,19 @@ def _setsim_pairs(d: DataFrame) -> DataFrame:
     plus the verify stage's ia/ib sides, 5-6 full passes per invocation
     (and for c6, each pass repeats the exact-dedup semi-join feeding
     ``d``). Measured at sf0.1: 6.98 -> 5.67 s min-of-3 interleaved,
-    identical output (row count + inter_sz/jaccard checksums)."""
+    identical output (row count + inter_sz/jaccard checksums).
+
+    Checkpoint lifetime (ADVICE r13, noted deliberately): the RETURNED
+    plan reads these blocks lazily, so they cannot be retired here;
+    freeing is GC + ContextCleaner once the caller drops the frame —
+    the same lifetime as every one-shot query-scoped checkpoint in this
+    module (c5's p2, cleanroom's pass2, s9's index frames, bm25's token
+    frame). Round-14 A/B'd the persist(DISK_ONLY) alternative (explicit
+    unpersist lifecycle) at sf1: 2x slower end-to-end (SCALE.md §R14);
+    persist(MEMORY_AND_DISK) also carries a staleness hazard these
+    per-invocation checkpoints cannot have (CacheManager serves
+    structurally-equal plans across invocations regardless of corpus
+    mtime), so the GC-driven lifetime is kept."""
     docsets = d.select(
         "doc_id", DD.shingles(F.col("text")).alias("toks")
     ).localCheckpoint(eager=True)
